@@ -1,0 +1,354 @@
+"""Kernel-level parity tests, ported from the reference's pytest suite.
+
+Reference sources are cited per test (paths under /root/reference).
+These are Spark-free: they pin the numeric semantics the Arrow UDFs wrap.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from eristropy_spark.kernels.adf import adfuller, holm_sidak_reject, mackinnon_pvalue
+from eristropy_spark.kernels.bootstrap import (
+    single_stationary_boot,
+    stationary_bootstrap,
+    unif_to_geom,
+)
+from eristropy_spark.kernels.gp import cv_error, detrend_gp, find_best_ls
+from eristropy_spark.kernels.permen import permen
+from eristropy_spark.kernels.rng import sequence_rng
+from eristropy_spark.kernels.sampen import bootstrap_mse, sampen, sampen_se
+from eristropy_spark.kernels.stats import mean, mean_squared_error, standard_error
+from eristropy_spark.kernels.transforms import detrend_linreg, difference, znorm
+
+
+# ---------------------------------------------------------------- stats
+# tests/test_utils.py:15-61
+
+
+def test_mean_matches_numpy():
+    x = np.arange(10, dtype=np.float64)
+    np.testing.assert_almost_equal(mean(x), np.mean(x))
+
+
+def test_standard_error_is_population_sd():
+    # tests/test_utils.py:31-39 — oracle is sqrt(np.var), i.e. ddof=0
+    x = np.arange(100, dtype=np.float64)
+    rng = np.random.default_rng(17)
+    y = x + rng.normal(scale=0.25, size=x.size)
+    np.testing.assert_almost_equal(standard_error(y), np.sqrt(np.var(y)))
+
+
+def test_mse_doc_example():
+    # tests/test_utils.py:80-90
+    y = np.array([1, 2, 3], dtype=np.float64)
+    yhat = np.array([1.5, 2.2, 2.8])
+    assert np.isclose(mean_squared_error(y, yhat), 0.11)
+
+
+def test_mse_constant_offset():
+    y = np.arange(100, dtype=np.float64)
+    np.testing.assert_almost_equal(mean_squared_error(y, y + 2), 4.0)
+
+
+# ------------------------------------------------------------- bootstrap
+# tests/test_utils.py:64-77, tests/test_bootstrap.py:12-76
+
+
+def test_unif_to_geom_distribution():
+    # KS-free variant (scipy unavailable): compare empirical CDF at a few
+    # quantiles against the Geometric(p) CDF.
+    rng = np.random.default_rng(17)
+    p = 0.3
+    draws = np.array([unif_to_geom(u, p) for u in rng.uniform(size=100_000)])
+    for k in (1, 2, 3, 5, 8):
+        emp = (draws <= k).mean()
+        theo = 1 - (1 - p) ** k
+        assert abs(emp - theo) < 0.01
+
+
+def test_single_boot_structure():
+    rng = sequence_rng(42, "docA")
+    n, p = 200, 0.5
+    idx = single_stationary_boot(n, p, rng)
+    assert idx.shape == (n,)
+    assert idx.min() >= 0 and idx.max() < n
+
+
+def test_stationary_bootstrap_matrix():
+    rng = sequence_rng(42, "docA")
+    x = np.random.default_rng(17).normal(size=100)
+    X = stationary_bootstrap(x, 0.5, 25, rng)
+    assert X.shape == (25, 100)
+    # every bootstrap value comes from x
+    assert np.isin(X, x).all()
+    # resamples differ from each other (randomness)
+    assert not np.allclose(X[0], X[1])
+
+
+def test_bootstrap_deterministic_per_doc():
+    # our engine's RNG contract: same (seed, doc_id) => identical draws,
+    # regardless of call order — replaces the reference's global seed
+    a = stationary_bootstrap(np.arange(50.0), 0.5, 5, sequence_rng(7, "d1"))
+    b = stationary_bootstrap(np.arange(50.0), 0.5, 5, sequence_rng(7, "d1"))
+    c = stationary_bootstrap(np.arange(50.0), 0.5, 5, sequence_rng(7, "d2"))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+# --------------------------------------------------------------- sampen
+# tests/test_utils.py:143-191
+
+
+def test_sampen_constant_is_zero():
+    assert sampen(np.full(1000, 5.0), 2, 0.2) == 0.0
+
+
+def test_sampen_linear_is_zero():
+    assert sampen(np.linspace(0, 1, 1000), 2, 0.2) == 0.0
+
+
+def test_sampen_random_positive():
+    x = np.random.default_rng(17).normal(size=1000)
+    assert sampen(x, 2, 0.2) > 0.0
+
+
+def test_sampen_periodic_below_random():
+    rng = np.random.default_rng(17)
+    periodic = sampen(np.sin(np.linspace(0, 2 * np.pi, 1000)), 2, 0.2)
+    rand = sampen(rng.normal(size=1000), 2, 0.2)
+    assert 0.0 < periodic < rand
+
+
+def test_sampen_decreasing_in_r():
+    x = np.random.default_rng(17).normal(size=1000)
+    assert sampen(x, 2, 0.3) < sampen(x, 2, 0.2)
+
+
+def test_sampen_nan_when_no_matches():
+    # widely separated values: no template matches at all
+    x = np.array([0.0, 100.0, 200.0, 300.0, 400.0])
+    assert math.isnan(sampen(x, 2, 0.5))
+
+
+def test_sampen_strict_less_than():
+    # |x_j - x_i| == r must NOT match (utils.py:171 uses <, not <=)
+    x = np.arange(20, dtype=np.float64)
+    # every pairwise diff is an integer >= 1, so r=1.0 yields zero matches
+    assert math.isnan(sampen(x, 1, 1.0))
+    # nudging r above 1.0 admits the adjacent-pair templates
+    assert sampen(x, 1, 1.0 + 1e-9) == 0.0
+
+
+def test_sampen_loop_oracle():
+    # cross-check the vectorized kernel against a direct transcription of
+    # the published run-length algorithm (Lake et al. / reference
+    # utils.py:144-193) on random data
+    def oracle(x, m, r):
+        n = x.size
+        run = np.zeros(n, dtype=int)
+        lastrun = np.zeros(n, dtype=int)
+        mm = m + 1
+        a = np.zeros(mm)
+        b = np.zeros(mm)
+        for i in range(n - 1):
+            nj = n - i - 1
+            for jj in range(nj):
+                j = jj + i + 1
+                if abs(x[j] - x[i]) < r:
+                    run[jj] = lastrun[jj] + 1
+                    for order in range(min(mm, run[jj])):
+                        a[order] += 1.0
+                        if j < n - 1:
+                            b[order] += 1.0
+                else:
+                    run[jj] = 0
+            lastrun[:nj] = run[:nj]
+        if a[-1] == 0.0:
+            return float("nan")
+        return -math.log(a[mm - 1] / b[mm - 2])
+
+    rng = np.random.default_rng(3)
+    for m in (1, 2, 3):
+        for _ in range(5):
+            x = rng.normal(size=80)
+            got, want = sampen(x, m, 0.25), oracle(x, m, 0.25)
+            if math.isnan(want):
+                assert math.isnan(got)
+            else:
+                np.testing.assert_almost_equal(got, want)
+
+
+def test_bootstrap_mse_monotone_in_length():
+    # tests/test_sample_entropy.py:237-247: longer signal => lower MSE
+    rng_data = np.random.default_rng(17)
+    mses = []
+    for n in (50, 100, 200, 400):
+        x = rng_data.normal(size=n)
+        mses.append(bootstrap_mse(x, 1, 0.2, 0.5, 50, sequence_rng(17, f"n{n}")))
+    assert mses[0] >= mses[-1]
+
+
+def test_bootstrap_mse_linear_vs_constant():
+    # tests/test_sample_entropy.py:218-234 (x = linspace(-1, 1, 200))
+    lin = bootstrap_mse(np.linspace(-1, 1, 200), 2, 0.2, 0.5, 50, sequence_rng(1, "lin"))
+    const = bootstrap_mse(np.full(200, 0.5), 2, 0.2, 0.5, 50, sequence_rng(1, "const"))
+    assert lin >= 0.0
+    assert lin >= const
+    np.testing.assert_almost_equal(const, 0.0, decimal=2)
+
+
+def test_sampen_se_nonnegative():
+    x = np.random.default_rng(17).normal(size=200)
+    se = sampen_se(x, 1, 0.2, 0.5, 50, sequence_rng(17, "d"))
+    assert se >= 0.0
+
+
+# --------------------------------------------------------------- permen
+# no reference implementation exists (README.md:14 advertises it);
+# properties from the Bandt–Pompe definition
+
+
+def test_permen_constant_zero():
+    assert permen(np.full(500, 3.0), m=3) == 0.0
+
+
+def test_permen_monotone_zero():
+    assert permen(np.arange(500.0), m=3) == 0.0
+
+
+def test_permen_random_near_max():
+    x = np.random.default_rng(17).normal(size=100_000)
+    h = permen(x, m=3, normalize=True)
+    assert 0.99 < h <= 1.0
+
+
+def test_permen_periodic_below_random():
+    rng = np.random.default_rng(17)
+    hp = permen(np.sin(np.linspace(0, 20 * np.pi, 2000)), m=4)
+    hr = permen(rng.normal(size=2000), m=4)
+    assert hp < hr
+
+
+def test_permen_short_series_nan():
+    assert math.isnan(permen(np.array([1.0, 2.0]), m=4))
+
+
+# ------------------------------------------------------------ transforms
+
+
+def test_difference_exact():
+    # difference.py:5-26 doc example
+    np.testing.assert_array_equal(
+        difference(np.array([1.0, 3.0, 6.0, 10.0, 15.0])), [2, 3, 4, 5]
+    )
+    with pytest.raises(ValueError):
+        difference(np.array([1.0]))
+    with pytest.raises(ValueError):
+        difference(np.array([1.0, np.nan]))
+
+
+def test_detrend_linreg_matches_lstsq():
+    # tests/test_linreg.py:7-20 — oracle is np.linalg.lstsq
+    rng = np.random.default_rng(17)
+    t = np.arange(50, dtype=np.float64)
+    y = 3.0 * t + rng.normal(size=50)
+    res = detrend_linreg(t, y)
+    A = np.column_stack([np.ones(50), t])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    np.testing.assert_allclose(res, y - A @ beta, atol=1e-10)
+    # a perfectly linear signal detrends to ~0
+    np.testing.assert_allclose(detrend_linreg(t, 2 * t + 1), 0.0, atol=1e-8)
+
+
+def test_znorm_sample_std():
+    # stationarity.py:279-281 via pandas transform => ddof=1
+    x = np.random.default_rng(17).normal(size=100)
+    z = znorm(x)
+    np.testing.assert_almost_equal(z.mean(), 0.0)
+    np.testing.assert_almost_equal(z.std(ddof=1), 1.0)
+
+
+# ------------------------------------------------------------------ gp
+# tests/test_gp.py:92-141 golden values
+
+
+def test_gp_cv_error_golden():
+    X = np.arange(10, dtype=np.float64).reshape(-1, 1)
+    y = np.random.default_rng(17).normal(size=10)
+    np.testing.assert_almost_equal(
+        cv_error(X, y, ls=0.5, n_splits=3), 0.7484052691169865
+    )
+
+
+def test_gp_best_ls_golden():
+    X = np.arange(10, dtype=np.float64).reshape(-1, 1)
+    y = np.random.default_rng(17).normal(size=10)
+    assert find_best_ls(X, y, np.array([0.5, 1.0]), n_splits=3) == 0.5
+
+
+def test_gp_detrend_golden():
+    y = np.random.default_rng(17).normal(size=10)
+    expected = np.array(
+        [
+            1.06695763e-06,
+            2.54575510e-07,
+            -4.44978049e-07,
+            -9.54630765e-07,
+            -1.81473399e-06,
+            3.67333456e-07,
+            -7.57561006e-07,
+            -7.54210002e-07,
+            -1.14763661e-07,
+            -3.60613987e-08,
+        ]
+    )
+    np.testing.assert_allclose(
+        detrend_gp(y, np.array([0.5, 1.0]), n_splits=3), expected, atol=1e-6
+    )
+
+
+# ----------------------------------------------------------------- adf
+
+
+def test_mackinnon_anchor():
+    # public anchor: tau=-3.43 is the ~1% critical value for "c"
+    assert abs(mackinnon_pvalue(-3.43) - 0.01) < 0.001
+    assert mackinnon_pvalue(3.0) == 1.0
+    assert mackinnon_pvalue(-20.0) == 0.0
+
+
+def test_adf_stationary_vs_trending():
+    rng = np.random.default_rng(17)
+    white = rng.normal(size=200)
+    walk = np.cumsum(rng.normal(size=200))
+    _, p_white, _, _ = adfuller(white)
+    _, p_walk, _, _ = adfuller(walk)
+    assert p_white < 0.01
+    assert p_walk > 0.10
+
+
+def test_adf_linear_sine_decision():
+    # the reference's end-to-end expectation (tests/test_stationarity.py:62-75):
+    # after differencing, survivor set is {"def"} (the sine), fraction 0.5
+    abc = np.diff(np.linspace(0, 100, 100))  # constant diff — degenerate
+    defv = np.diff(np.sin(np.linspace(0, 2 * np.pi, 100)))
+    try:
+        _, p_abc, _, _ = adfuller(abc)
+    except ValueError:
+        p_abc = 1.0  # reference maps estimation failure to p=1 (stationarity.py:158-163)
+    _, p_def, _, _ = adfuller(defv)
+    reject = holm_sidak_reject(np.array([p_abc, p_def]), alpha=0.05)
+    assert list(reject) == [False, True]
+
+
+def test_holm_sidak_stepdown():
+    p = np.array([0.001, 0.02, 0.04, 0.6])
+    rej = holm_sidak_reject(p, alpha=0.05)
+    # step-down: once one fails, all larger p fail
+    assert rej[0]
+    assert not rej[3]
+    first_fail = np.argmin(rej[np.argsort(p)]) if not rej.all() else len(p)
+    sorted_rej = rej[np.argsort(p)]
+    assert not sorted_rej[first_fail:].any()
