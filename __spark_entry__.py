@@ -3,20 +3,72 @@
 ``entry(spark)`` — flagship query smoke check (sf0.001).
 ``queries()`` / ``oracle_sql()`` — operator inventory checked against a
 DuckDB oracle at sf0.01 (row count + schema + order-insensitive value
-hash).  Column names/aliases are kept identical on both sides; computed
-doubles are rounded to 6 dp on both sides to make the value hash stable
+hash).  Column names/aliases are identical on both sides; computed
+doubles are rounded to 6 dp on both sides so the value hash is stable
 across independently-derived float pipelines.
+
+Coverage map (SURVEY.md §2 + training-data-pipeline ops):
+  tokenize          S1/S5/O1/O2  token-table construction (checksummed)
+  difference        W1           per-signal lag difference
+  detrend_linreg    W2           closed-form OLS residuals
+  znorm             W12          per-signal z-normalization (ddof=1)
+  rollup_minute     north rule   1-min tier
+  rollup_hour_cascade north rule hour tier THROUGH the cascade vs direct SQL
+  gapfill_locf      north rule   dense grid + LOCF
+  gorilla_roundtrip north rule   codec round-trip invariant
+  sampen_permen     E1/E16       entropy per sequence (rows-only)
+  stationarity      W13/W14/X5   ADF + Holm-Sidak survivors (rows-only)
+  dedup_exact       pipeline     exact text dedup
+  text_stats        pipeline     token counting / ratios
+  quality_score     pipeline     quality heuristic
+  lang_id           pipeline     marker-word language ID
+  ngram_jaccard     pipeline     exact near-dup pairs
+  minhash_lsh       pipeline     MinHash-LSH near-dup (rows-only)
+  simhash           pipeline     SimHash near-dup (rows-only)
+  similarity_topk   pipeline     brute-force cosine top-k
+  similarity_lsh    pipeline     hyperplane-LSH ANN (rows-only)
+  multimodal_features pipeline   binary decode plumbing (rows-only)
+  tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eristropy_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from eristropy_spark.operators.entropy import compute_entropy
+from eristropy_spark.operators.gapfill import gapfill_locf
+from eristropy_spark.operators.multimodal import documents_to_assets, extract_features
+from eristropy_spark.operators.rollup import rollup_tier
+from eristropy_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from eristropy_spark.operators.stationarity import make_stationary
+from eristropy_spark.operators.text import lang_id, quality_score, text_stats
 from eristropy_spark.sources.tokens import events_to_tokens
+
+
+
+def _r6(c):
+    """Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6.
+
+    Spark's round() is decimal-exact HALF_UP while DuckDB's rounds in
+    float space — they disagree on decimal-half boundaries, which makes
+    value-hash comparisons flaky.  Using the identical float expression
+    on both sides makes the rounding bit-deterministic across engines.
+    """
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def _nan_avg(col: str):
@@ -33,20 +85,25 @@ def entry(spark: SparkSession) -> DataFrame:
         ent.groupBy("source")
         .agg(
             F.count("*").alias("n_seq"),
-            F.round(_nan_avg("sampen"), 6).alias("avg_sampen"),
-            F.round(_nan_avg("permen"), 6).alias("avg_permen"),
+            _r6(_nan_avg("sampen")).alias("avg_sampen"),
+            _r6(_nan_avg("permen")).alias("avg_permen"),
         )
         .orderBy("source")
     )
 
 
-# --------------------------------------------------------------------------
-# queries + oracles — one entry per implemented operator (SURVEY.md §2)
-# --------------------------------------------------------------------------
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def _q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/S5 + O1/O2: token-table construction summary (arrays checksummed)."""
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- tokens
+
+
+def _q_tokenize(spark, sf_dir):
     t = events_to_tokens(spark, sf_dir)
     return t.select(
         "doc_id",
@@ -72,11 +129,8 @@ GROUP BY user_id, event_type
 """
 
 
-def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: per-signal first difference (exploded long layout, lag window)."""
-    from pyspark.sql import Window
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+def _q_difference(spark, sf_dir):
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         ev.withColumn("prev", F.lag("value").over(w))
@@ -84,7 +138,7 @@ def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat_ws(":", "user_id", "event_type").alias("doc_id"),
             F.col("event_id").cast("long").alias("event_id"),
-            F.round(F.col("value") - F.col("prev"), 6).alias("dvalue"),
+            _r6(F.col("value") - F.col("prev")).alias("dvalue"),
         )
     )
 
@@ -92,7 +146,7 @@ def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DIFFERENCE = """
 SELECT user_id || ':' || event_type AS doc_id,
        event_id,
-       round(value - prev, 6) AS dvalue
+       floor((value - prev) * 1000000 + 0.5) / 1000000 AS dvalue
 FROM (
   SELECT user_id, event_type, event_id, value,
          lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
@@ -102,9 +156,74 @@ WHERE prev IS NOT NULL
 """
 
 
-def _q_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule rollup tier: per (source, 1-min bucket) aggregates."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+def _q_detrend_linreg(spark, sf_dir):
+    """W2 closed form: residual = y - (b0 + b1*t), b1 = cov_pop/var_pop on
+    the per-signal positional index."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    sig = Window.partitionBy("user_id", "event_type")
+    pos = (F.row_number().over(w) - 1).cast("double")
+    d = ev.select(
+        F.concat_ws(":", "user_id", "event_type").alias("doc_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        pos.alias("pos"),
+        F.col("value"),
+    )
+    sigw = Window.partitionBy("doc_id")
+    b1 = F.covar_pop("pos", "value").over(sigw) / F.var_pop("pos").over(sigw)
+    b0 = F.avg("value").over(sigw) - b1 * F.avg("pos").over(sigw)
+    return d.select(
+        "doc_id",
+        "event_id",
+        _r6(F.col("value") - (b0 + b1 * F.col("pos"))).alias("residual"),
+    )
+
+
+_ORACLE_DETREND = """
+WITH d AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         event_id,
+         CAST(row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS DOUBLE) AS pos,
+         value
+  FROM events
+), s AS (
+  SELECT doc_id, event_id, pos, value,
+         covar_pop(pos, value) OVER (PARTITION BY doc_id) / var_pop(pos) OVER (PARTITION BY doc_id) AS b1,
+         avg(value) OVER (PARTITION BY doc_id) AS vbar,
+         avg(pos) OVER (PARTITION BY doc_id) AS pbar
+  FROM d
+)
+SELECT doc_id, event_id, floor((value - ((vbar - b1 * pbar) + b1 * pos)) * 1000000 + 0.5) / 1000000 AS residual
+FROM s
+"""
+
+
+def _q_znorm(spark, sf_dir):
+    """W12: per-signal z-normalization, ddof=1 (stddev_samp)."""
+    ev = _events(spark, sf_dir)
+    sigw = Window.partitionBy("user_id", "event_type")
+    z = (F.col("value") - F.avg("value").over(sigw)) / F.stddev_samp("value").over(sigw)
+    return ev.select(
+        F.concat_ws(":", "user_id", "event_type").alias("doc_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        _r6(z).alias("zvalue"),
+    )
+
+
+_ORACLE_ZNORM = """
+SELECT user_id || ':' || event_type AS doc_id,
+       event_id,
+       floor(((value - avg(value) OVER w) / stddev_samp(value) OVER w) * 1000000 + 0.5) / 1000000 AS zvalue
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type)
+"""
+
+
+# ---------------------------------------------------------------- rollups
+
+
+def _q_rollup_minute(spark, sf_dir):
+    ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
             F.col("event_type").alias("source"),
@@ -112,9 +231,9 @@ def _q_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
+            _r6(F.sum("value")).alias("sum_value"),
+            _r6(F.min("value")).alias("min_value"),
+            _r6(F.max("value")).alias("max_value"),
         )
     )
 
@@ -123,33 +242,419 @@ _ORACLE_ROLLUP_MINUTE = """
 SELECT event_type AS source,
        date_trunc('minute', ts) AS bucket,
        count(*) AS n,
-       round(sum(value), 6) AS sum_value,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS sum_value,
+       floor((min(value)) * 1000000 + 0.5) / 1000000 AS min_value,
+       floor((max(value)) * 1000000 + 0.5) / 1000000 AS max_value
 FROM events
 GROUP BY 1, 2
 """
 
 
-def _q_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1/E16: per-sequence SampEn + PermEn (no SQL oracle — rows-only check;
-    numeric parity is pinned by tests/test_kernels.py golden tests)."""
+def _q_rollup_hour_cascade(spark, sf_dir):
+    """Hour tier computed THROUGH the cascade (minute tier merged up);
+    the oracle aggregates straight from raw — this checks the
+    decomposable-merge law on real data."""
+    ev = _events(spark, sf_dir)
+    minute = (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", "ts").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        minute.groupBy(
+            "source", F.date_trunc("hour", "bucket").alias("bucket")
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            _r6(F.sum("sum_value")).alias("sum_value"),
+            _r6(F.min("min_value")).alias("min_value"),
+            _r6(F.max("max_value")).alias("max_value"),
+        )
+    )
+
+
+_ORACLE_ROLLUP_HOUR = """
+SELECT event_type AS source,
+       date_trunc('hour', ts) AS bucket,
+       count(*) AS n,
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS sum_value,
+       floor((min(value)) * 1000000 + 0.5) / 1000000 AS min_value,
+       floor((max(value)) * 1000000 + 0.5) / 1000000 AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_gapfill_locf(spark, sf_dir):
+    """Dense 1-min grid per source, LOCF-filled avg value."""
+    ev = _events(spark, sf_dir)
+    minute = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("minute", "ts").alias("bucket"),
+    ).agg(F.avg("value").alias("avg_value"))
+    filled = gapfill_locf(minute, "1 minute", ("avg_value",))
+    return filled.select(
+        "source", "bucket", _r6("avg_value").alias("avg_value")
+    )
+
+
+# LOCF in portable SQL: count(real) over preceding window groups each gap
+# run with its anchor; max(value) within the (source, group) fills it.
+_ORACLE_GAPFILL_LOCF = """
+WITH minute AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS bucket,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT source, min(bucket) AS lo, max(bucket) AS hi FROM minute GROUP BY 1
+), grid AS (
+  SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+  FROM bounds
+), joined AS (
+  SELECT g.source, g.bucket, m.avg_value,
+         count(m.avg_value) OVER (PARTITION BY g.source ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM grid g LEFT JOIN minute m USING (source, bucket)
+)
+SELECT source, bucket,
+       floor((max(avg_value) OVER (PARTITION BY source, grp)) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM joined
+"""
+
+
+def _q_gorilla_roundtrip(spark, sf_dir):
+    """Codec invariant: encode(tokens) → decode == identity, per sequence.
+    The oracle asserts the trivially-true expectation; a codec bug makes
+    ``ok`` false and the value-hash mismatch."""
+    from eristropy_spark.functions.codec import tokens_roundtrip_ok_udf
+
+    t = events_to_tokens(spark, sf_dir)
+    return t.select(
+        "doc_id", "n_tok", tokens_roundtrip_ok_udf(F.col("tokens")).alias("ok")
+    )
+
+
+_ORACLE_GORILLA = """
+SELECT user_id || ':' || event_type AS doc_id,
+       CAST(count(*) AS INT) AS n_tok,
+       true AS ok
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# ------------------------------------------------------------- entropy
+
+
+def _q_sampen(spark, sf_dir):
     tokens = events_to_tokens(spark, sf_dir)
     ent = compute_entropy(tokens, m=1, r=0.2, normalize=True)
     return ent.select(
         "doc_id",
         "source",
-        F.round("sampen", 6).alias("sampen"),
-        F.round("permen", 6).alias("permen"),
+        _r6("sampen").alias("sampen"),
+        _r6("permen").alias("permen"),
     )
+
+
+def _q_stationarity(spark, sf_dir):
+    tokens = events_to_tokens(spark, sf_dir)
+    res = make_stationary(tokens, method="difference", normalize=True, keep_all=True)
+    return res.df.select(
+        "doc_id", _r6("pvalue").alias("pvalue"), "is_stationary"
+    )
+
+
+# ---------------------------------------------------------------- text
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY lower(trim(text))
+"""
+
+
+def _q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+_STOPWORD_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '\\b{w}\\b'))"
+    for w in ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+)
+
+_ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       n_chars,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+       floor((CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+             / (length(text) - length(replace(text, ' ', '')) + 1)) * 1000000 + 0.5) / 1000000 AS avg_word_len,
+       floor((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+             / greatest(length(text), 1)) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+       floor((CAST({_STOPWORD_SQL} AS DOUBLE)
+             / (length(text) - length(replace(text, ' ', '')) + 1)) * 1000000 + 0.5) / 1000000 AS stopword_ratio
+FROM documents
+"""
+
+
+def _q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+_ORACLE_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+         CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+           / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len,
+         CAST({_STOPWORD_SQL} AS DOUBLE)
+           / (length(text) - length(replace(text, ' ', '')) + 1) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id,
+       floor((0.4 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+                         THEN 1.0 ELSE 0.5 END)
+           + 0.3 * least(stopword_ratio * 5.0, 1.0)) * 1000000 + 0.5) / 1000000 AS quality
+FROM s
+"""
+
+
+def _q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _lang_score_sql(words):
+    return " + ".join(f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words)
+
+
+_ORACLE_LANG_ID = f"""
+WITH scores AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, 'de' AS lang, {_lang_score_sql(('der','und','das'))} AS score FROM documents
+    UNION ALL
+    SELECT doc_id, 'en', {_lang_score_sql(('the','and','with'))} FROM documents
+    UNION ALL
+    SELECT doc_id, 'es', {_lang_score_sql(('el','la','que'))} FROM documents
+    UNION ALL
+    SELECT doc_id, 'fr', {_lang_score_sql(('le','et','les'))} FROM documents
+    UNION ALL
+    SELECT doc_id, 'zh', {_lang_score_sql(('的','是','了'))} FROM documents
+  )
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+_ORACLE_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sizes a ON a.doc_id = doc_a
+JOIN sizes b ON b.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2
+"""
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=64, bands=16, n=3, threshold=0.2)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+# ------------------------------------------------------------ similarity
+
+_QUERY_VEC_IDS = list(range(10))
+
+
+def _q_similarity_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_bruteforce(emb, _QUERY_VEC_IDS, k=5)
+
+
+_ORACLE_SIMILARITY = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor((
+           list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+         ) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_similarity_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(emb, _QUERY_VEC_IDS, k=5, n_bits=8, n_tables=8)
+
+
+def _q_multimodal(spark, sf_dir):
+    assets = documents_to_assets(_docs(spark, sf_dir))
+    return extract_features(assets, fake_decode=True).drop("feature")
+
+
+# ------------------------------------------------------- relational shell
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 1000000 + 0.5) / 1000000 AS sum_qty,
+       floor((sum(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000 AS sum_disc_price,
+       floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+       floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """Join shell: customer ⋈ orders ⋈ lineitem, top-10 revenue orders.
+    The customer side is broadcast (small dim)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _r6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_ORACLE_TPCH_Q3 = """
+SELECT o_orderkey, o_orderdate,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_semi_join(spark, sf_dir):
+    """P3 shape: keep-list semi-join — customers with any high-value order."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keep = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(keep.distinct(), "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", _r6("c_acctbal").alias("c_acctbal"))
+    )
+
+
+_ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name, floor((c_acctbal) * 1000000 + 0.5) / 1000000 AS c_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
         "difference": _q_difference,
+        "detrend_linreg": _q_detrend_linreg,
+        "znorm": _q_znorm,
         "rollup_minute": _q_rollup_minute,
+        "rollup_hour_cascade": _q_rollup_hour_cascade,
+        "gapfill_locf": _q_gapfill_locf,
+        "gorilla_roundtrip": _q_gorilla_roundtrip,
         "sampen_permen": _q_sampen,
+        "stationarity": _q_stationarity,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_lsh": _q_similarity_lsh,
+        "multimodal_features": _q_multimodal,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "semi_join": _q_semi_join,
     }
 
 
@@ -157,5 +662,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tokenize": _ORACLE_TOKENIZE,
         "difference": _ORACLE_DIFFERENCE,
+        "detrend_linreg": _ORACLE_DETREND,
+        "znorm": _ORACLE_ZNORM,
         "rollup_minute": _ORACLE_ROLLUP_MINUTE,
+        "rollup_hour_cascade": _ORACLE_ROLLUP_HOUR,
+        "gapfill_locf": _ORACLE_GAPFILL_LOCF,
+        "gorilla_roundtrip": _ORACLE_GORILLA,
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "text_stats": _ORACLE_TEXT_STATS,
+        "quality_score": _ORACLE_QUALITY,
+        "lang_id": _ORACLE_LANG_ID,
+        "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "similarity_topk": _ORACLE_SIMILARITY,
+        "tpch_q1": _ORACLE_TPCH_Q1,
+        "tpch_q3": _ORACLE_TPCH_Q3,
+        "semi_join": _ORACLE_SEMI_JOIN,
+        # rows-only (non-SQL-expressible): sampen_permen, stationarity,
+        # minhash_lsh, simhash, similarity_lsh, multimodal_features
     }

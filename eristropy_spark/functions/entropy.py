@@ -25,6 +25,7 @@ from eristropy_spark.kernels import adf as adf_kernel
 from eristropy_spark.kernels.permen import permen as permen_kernel
 from eristropy_spark.kernels.rng import sequence_rng
 from eristropy_spark.kernels.sampen import bootstrap_mse, sampen, sampen_se
+from eristropy_spark.kernels.transforms import znorm
 
 __all__ = [
     "sampen_udf",
@@ -40,14 +41,26 @@ def _as_f8(arr) -> np.ndarray:
 
 
 @F.pandas_udf(DoubleType())
-def sampen_udf(tokens: pd.Series, m: pd.Series, r: pd.Series) -> pd.Series:
-    """SampEn(tokens; m, r) per row (kernel parity: utils.py:144-193)."""
+def sampen_udf(
+    tokens: pd.Series, m: pd.Series, r: pd.Series, normalize: pd.Series
+) -> pd.Series:
+    """SampEn(tokens; m, r) per row (kernel parity: utils.py:144-193).
+
+    ``normalize=True`` z-normalizes (ddof=1) inside the kernel — in
+    NumPy this is ~1000x cheaper than doing it with Catalyst
+    higher-order array expressions, and bit-identical to the
+    reference's normalize-then-SampEn pipeline.
+    """
     out = np.empty(len(tokens), dtype=np.float64)
-    m_v, r_v = m.to_numpy(), r.to_numpy()
+    m_v, r_v, nz = m.to_numpy(), r.to_numpy(), normalize.to_numpy()
     for i, seq in enumerate(tokens):
-        out[i] = (
-            np.nan if seq is None else sampen(_as_f8(seq), int(m_v[i]), float(r_v[i]))
-        )
+        if seq is None:
+            out[i] = np.nan
+            continue
+        x = _as_f8(seq)
+        if nz[i]:
+            x = znorm(x)
+        out[i] = sampen(x, int(m_v[i]), float(r_v[i]))
     return pd.Series(out)
 
 

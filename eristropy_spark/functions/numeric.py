@@ -1,0 +1,20 @@
+"""Portable numeric helpers shared by operators and the driver contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["round6"]
+
+
+def round6(c: Column) -> Column:
+    """Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6.
+
+    Spark's ``round()`` rounds the exact decimal expansion (HALF_UP via
+    BigDecimal) while DuckDB rounds in float space; they disagree on
+    decimal-half boundaries, which makes cross-engine value comparisons
+    flaky.  This explicit float expression is bit-deterministic on both
+    engines.  NaN propagates (floor(NaN) is NaN in Spark SQL).
+    """
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)

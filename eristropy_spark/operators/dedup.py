@@ -1,0 +1,284 @@
+"""Deduplication operators for the documents table.
+
+Four strategies, cheapest to richest (training-data pipeline core):
+
+* ``exact_dedup`` — group by normalized text, keep min doc_id.  One
+  shuffle on the normalized text (hash aggregated map-side first).
+* ``ngram_jaccard_pairs`` — exact n-gram Jaccard over word shingles:
+  explode distinct shingles → self-join on shingle → |A∩B| per pair →
+  Jaccard via |A|+|B|−|A∩B|.  Exact but O(pairs-sharing-a-shingle);
+  the scale path prunes with ``minhash_lsh_pairs`` first.
+* ``minhash_lsh_pairs`` — MinHash signatures (k permutations via
+  seeded 64-bit hash mixing, NumPy) banded into LSH buckets; candidate
+  pairs are generated ONLY within buckets (self-join per band-bucket),
+  then exact-verified with true Jaccard.  This is the 100 TB design:
+  candidate generation touches each doc b times, never all pairs.
+* ``simhash_pairs`` — 64-bit SimHash; near-dup candidates = equal
+  16-bit SimHash quarters (4-band Hamming pruning, catches distance
+  ≤ 3·16 splits by pigeonhole for hamming ≤ 3), verified by exact
+  Hamming distance.
+
+Word shingling is done with built-in expressions; only the signature
+computations (minhash/simhash) use an Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eristropy_spark.functions.numeric import round6
+from pyspark.sql.types import ArrayType, LongType
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(keep_id, n_dups) — canonical doc per exact normalized text."""
+    norm = F.lower(F.trim(F.col("text")))
+    return (
+        docs.groupBy(norm.alias("_norm"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .drop("_norm")
+        .select("keep_id", "n_dups")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, built-in exprs only."""
+    words = F.split(F.lower(F.col("text")), " ")
+    count = F.size(words) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold (a < b)."""
+    sh = word_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            round6(F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _mix64(h: np.ndarray, seed: int) -> np.ndarray:
+    """Cheap xorshift-multiply mixer — k permutations from one base hash."""
+    x = h ^ np.uint64(seed)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    words = text.lower().split(" ")
+    if len(words) < n:
+        grams = [" ".join(words)]
+    else:
+        grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = np.frombuffer(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), dtype=np.uint64
+        )[0]
+    return out
+
+
+def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 17):
+    """pandas_udf: text -> array<long> of k minhash values."""
+
+    seeds = np.random.RandomState(seed).randint(1, 2**31, size=k).astype(np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not t:
+                out.append([0] * k)
+                continue
+            base = _shingle_hashes(t, n)
+            sig = [int(_mix64(base, int(s)).min().astype(np.int64)) for s in seeds]
+            out.append(sig)
+        return pd.Series(out)
+
+    return minhash_udf
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 17,
+) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification.
+
+    k/bands rows per band; a pair collides if any band's sub-signature
+    matches.  With k=64, bands=16 (4 rows/band) the collision curve
+    crosses ~50% near J≈0.5 — generous recall for threshold 0.8.
+    """
+    rows = k // bands
+    sig = docs.select(
+        "doc_id", make_minhash_udf(k, n, seed)(F.col("text")).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification on the candidate set only: restrict the shingle
+    # table to candidate docs, then intersect
+    sh = word_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select("doc_b"))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id").persist()
+    inter = (
+        sh_c.alias("x")
+        .join(sh_c.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+        .join(cands, ["doc_a", "doc_b"])  # only LSH candidates
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            round6(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def make_simhash_udf(n: int = 2, seed: int = 17):
+    """pandas_udf: text -> 64-bit SimHash (as signed long)."""
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            if not t:
+                out[i] = 0
+                continue
+            hashes = _mix64(_shingle_hashes(t, n), seed)
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            vote = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for b in range(64):
+                if vote[b] > 0:
+                    sim |= np.uint64(1) << np.uint64(b)
+            out[i] = sim.astype(np.int64)
+        return pd.Series(out)
+
+    return simhash_udf
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 17) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with SimHash Hamming <= max_hamming.
+
+    Candidate pruning: split the 64-bit hash into 4 16-bit bands; any
+    pair within Hamming 3 shares at least one identical band
+    (pigeonhole).  Verification is an exact popcount on the candidate
+    pairs only.
+    """
+    sig = docs.select("doc_id", make_simhash_udf(2, seed)(F.col("text")).alias("sim"))
+    banded = sig.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sim", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

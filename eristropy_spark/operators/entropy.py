@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eristropy_spark.functions.arrays import znorm_array
 from eristropy_spark.functions.entropy import (
     permen_udf,
     sampen_se_udf,
@@ -44,15 +43,19 @@ def compute_entropy(
     ``r`` is an absolute tolerance on the (float64-cast) token scale,
     matching the reference's convention of applying r to the signal's
     own units.  With ``normalize=True`` each sequence is z-normalized
-    first — entirely JVM-side (``znorm_array``) — so the conventional
-    r≈0.2 applies; this mirrors the reference's
-    ``normalize_signals=True`` default (stationarity.py:278-281).
+    (ddof=1) inside the SampEn kernel — NumPy-side, mirroring the
+    reference's ``normalize_signals=True`` default
+    (stationarity.py:278-281).  PermEn is invariant under the affine
+    z-norm (ordinal patterns are order statistics), so it always runs
+    on the raw sequence.
     """
     toks = F.col("tokens").cast("array<double>")
-    if normalize:
-        toks = znorm_array(F.col("tokens"))
     cols = [F.col("doc_id"), *[F.col(c) for c in keep_cols]]
-    cols.append(sampen_udf(toks, F.lit(m), F.lit(float(r))).alias("sampen"))
+    cols.append(
+        sampen_udf(toks, F.lit(m), F.lit(float(r)), F.lit(bool(normalize))).alias(
+            "sampen"
+        )
+    )
     cols.append(
         permen_udf(toks, F.lit(permen_m), F.lit(permen_delay)).alias("permen")
     )

@@ -1,0 +1,137 @@
+"""Retention-cascade rollups (north rule: raw → 1-min → 1-hour tiers).
+
+TimescaleDB-style continuous aggregates re-expressed as Spark batch
+jobs: each tier is computed **from the previous tier**, not from raw,
+so the hourly tier's input is ~60x smaller than raw and the cascade
+cost is dominated by the first rollup.  To make that re-aggregation
+exact, every tier carries decomposable aggregates (count / sum / min /
+max, NaN-aware valid-counts); averages are derived columns.
+
+Tier parity (tests/test_rollup.py): tier N computed through the
+cascade equals tier N computed directly from raw — and is identical
+across parallelism levels (the scaling-efficiency protocol's equality
+leg, BASELINE.md).
+
+Skew: the rollup key is (source, bucket); sources are Zipf-skewed by
+construction.  ``rollup_tier(..., salt=S)`` runs the classic two-phase
+aggregate — partial agg on (source, bucket, salt) then final on
+(source, bucket) — bounding any single reducer's input to ~1/S of the
+hottest key.  With AQE on, Spark also splits skewed partitions at
+runtime; the explicit salt is for the 1000-executor case where one
+source dominates a whole stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eristropy_spark.operators.entropy import compute_entropy
+
+__all__ = ["entropy_points", "rollup_tier", "cascade", "TIER_SPECS"]
+
+# tier name -> truncation unit for date_trunc
+TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
+
+_METRICS = ("sampen", "permen")
+
+
+def entropy_points(
+    tokens_df: DataFrame,
+    m: int = 2,
+    r: float = 0.2,
+    normalize: bool = True,
+    ts_col: str = "first_ts",
+) -> DataFrame:
+    """Raw tier: one entropy point per sequence — (source, ts, sampen, permen)."""
+    pts = compute_entropy(
+        tokens_df, m=m, r=r, normalize=normalize, keep_cols=("source", ts_col)
+    )
+    return pts.withColumnRenamed(ts_col, "ts")
+
+
+def _nan_safe(col: str):
+    c = F.col(col)
+    return F.when(~F.isnan(c), c)
+
+
+def _first_agg_exprs() -> list:
+    """Raw -> first tier aggregates (NaN-aware)."""
+    exprs = [F.count("*").alias("n_seq")]
+    for m in _METRICS:
+        v = _nan_safe(m)
+        exprs += [
+            F.count(v).alias(f"n_{m}"),
+            F.sum(v).alias(f"sum_{m}"),
+            F.min(v).alias(f"min_{m}"),
+            F.max(v).alias(f"max_{m}"),
+        ]
+    return exprs
+
+
+def _merge_agg_exprs() -> list:
+    """Tier N -> tier N+1: merge decomposable aggregates."""
+    exprs = [F.sum("n_seq").alias("n_seq")]
+    for m in _METRICS:
+        exprs += [
+            F.sum(f"n_{m}").alias(f"n_{m}"),
+            F.sum(f"sum_{m}").alias(f"sum_{m}"),
+            F.min(f"min_{m}").alias(f"min_{m}"),
+            F.max(f"max_{m}").alias(f"max_{m}"),
+        ]
+    return exprs
+
+
+def _with_avgs(df: DataFrame) -> DataFrame:
+    for m in _METRICS:
+        df = df.withColumn(
+            f"avg_{m}",
+            F.when(F.col(f"n_{m}") > 0, F.col(f"sum_{m}") / F.col(f"n_{m}")),
+        )
+    return df
+
+
+def rollup_tier(
+    points: DataFrame,
+    unit: str,
+    from_tier: bool = False,
+    ts_col: str = "ts",
+    salt: int | None = None,
+) -> DataFrame:
+    """One tier: group by (source, date_trunc(unit, ts_col)).
+
+    ``from_tier=True`` means the input already carries tier aggregate
+    columns (merge them); otherwise the input is raw entropy points.
+    ``salt`` > 1 enables the two-phase skew-safe aggregation.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    exprs = _merge_agg_exprs() if from_tier else _first_agg_exprs()
+
+    if salt and salt > 1:
+        salt_col = F.pmod(F.xxhash64(F.col("doc_id") if "doc_id" in points.columns else F.rand(7)), F.lit(salt))
+        partial = points.groupBy(
+            F.col("source"), bucket, salt_col.alias("_salt")
+        ).agg(*exprs)
+        out = partial.groupBy("source", "bucket").agg(*_merge_agg_exprs())
+    else:
+        out = points.groupBy(F.col("source"), bucket).agg(*exprs)
+    return _with_avgs(out)
+
+
+def cascade(points: DataFrame, salt: int | None = None) -> dict[str, DataFrame]:
+    """raw → 1-min → 1-hour continuous-aggregate chain.
+
+    Returns {tier_name: DataFrame}; each non-first tier is derived from
+    the previous tier's aggregates (decomposable merge), never from raw.
+    """
+    tiers: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for name, unit in TIER_SPECS:
+        if prev is None:
+            tiers[name] = rollup_tier(points, unit, from_tier=False, salt=salt)
+        else:
+            tiers[name] = rollup_tier(
+                prev, unit, from_tier=True, ts_col="bucket"
+            )
+        prev = tiers[name]
+    return tiers

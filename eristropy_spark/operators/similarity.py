@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact baseline: broadcast the (small)
+  query set against the corpus, dot products via ``zip_with`` +
+  ``aggregate`` (JVM-side), rank per query.  Exact and
+  oracle-checkable; O(|Q|·|corpus|) — fine when |Q| is small or as the
+  per-bucket reranker below.
+* ``cosine_topk_lsh`` — the scale path: random-hyperplane LSH.  A
+  seeded projection matrix (driver NumPy, closure-shipped) maps each
+  vector to a sign-bit bucket; queries only score candidates sharing a
+  bucket across any of ``n_tables`` independent tables.  Recall is
+  probabilistic (tested against brute force on the fixture); cost is
+  O(|Q|·bucket_size·n_tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eristropy_spark.functions.numeric import round6
+from pyspark.sql.types import ArrayType, LongType
+
+__all__ = ["cosine_topk_bruteforce", "cosine_topk_lsh"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos_sim) — exact top-k by cosine.
+
+    Norms are precomputed per side as row columns (one aggregate pass
+    each) so the cross join scores with a single dot product.
+    Ties break by neighbor_id ascending (deterministic).
+    """
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+    ).withColumn("nv", _norm(F.col("v")))
+    queries = (
+        emb.where(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+        .withColumn("nq", _norm(F.col("q")))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            round6(_dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def make_hyperplane_udf(dim: int, n_bits: int, n_tables: int, seed: int = 17):
+    """pandas_udf: embedding -> array of n_tables sign-bucket codes."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim)).astype(np.float64)
+    weights = (2 ** np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_udf(embedding: pd.Series) -> pd.Series:
+        out = []
+        for v in embedding:
+            if v is None:
+                out.append([0] * n_tables)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            signs = (np.einsum("tbd,d->tb", planes, x) > 0).astype(np.int64)
+            out.append([int(s @ weights) for s in signs])
+        return pd.Series(out)
+
+    return bucket_udf
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 17,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidates, exact rerank within."""
+    dim = len(emb.select("embedding").first()[0])
+    bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
+    with_b = emb.select(
+        "vec_id", "embedding", bucket_udf(F.col("embedding")).alias("codes")
+    )
+    tabled = with_b.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("codes").alias("table_id", "bucket"),
+    )
+    corpus = tabled.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+        "table_id",
+        "bucket",
+    )
+    queries = tabled.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        "table_id",
+        "bucket",
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q", "neighbor_id", "v")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cos_sim",
+        round6(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -1,0 +1,170 @@
+"""Stationarity pipeline — Spark-first re-expression of
+``StationarySignals.make_stationary_signals`` (stationarity.py:192-283).
+
+Reference trace (SURVEY.md §3.1) vs this plan:
+
+1. transform dispatch (difference / detrend-lr / detrend-gp)    → one
+   Arrow UDF projection over ``tokens`` (zero shuffle; each row is a
+   whole signal),
+2. ADF p-value per signal (stationarity.py:129-165)             → one
+   more column in the SAME projection (one Python-worker pass),
+3. Holm–Šidák correction across ALL signals
+   (``multipletests(pvalues, alpha)``, stationarity.py:186)      →
+   **distributed step-down**: global sort of p-values by rank is a
+   Spark sort; the first failing rank is a scalar aggregate; rejection
+   is then ``rank < first_fail`` — two narrow jobs, no driver collect,
+   so the correction scales to 10^12 signals (the reference collects
+   to the driver, which cannot),
+4. semi-join filter on survivors (stationarity.py:274-276)       →
+   the reject flag is already a column — a ``where`` clause, no join
+   at all,
+5. optional z-normalization (stationarity.py:278-281)            →
+   JVM-side ``znorm_array`` (ddof=1, hazard 4).
+
+Output schema: (doc_id, tokens: array<double>, n_tok, source,
+pvalue, is_stationary) — filtered to survivors unless
+``keep_all=True``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eristropy_spark.functions.arrays import znormed
+from eristropy_spark.functions.entropy import adf_pvalue_udf
+from eristropy_spark.functions.transforms import (
+    detrend_linreg_udf,
+    difference_udf,
+    make_detrend_gp_udf,
+)
+
+__all__ = ["make_stationary", "holm_sidak_filter", "StationarityResult"]
+
+
+@dataclass
+class StationarityResult:
+    df: DataFrame  # surviving (or all, flagged) signals
+    stationary_frac: float
+    n_signals: int
+
+
+def _global_rank(df: DataFrame, col: str, buckets: int = 1024) -> DataFrame:
+    """Dense 1-based global rank by ``col`` without a single-partition
+    window: value-bucket the column, window-rank *within* each bucket
+    (parallel across buckets), then add driver-computed bucket offsets
+    (``buckets`` rows — tiny) back via broadcast join.
+    """
+    b = F.least(
+        F.greatest(F.floor(F.col(col) * buckets).cast("int"), F.lit(0)),
+        F.lit(buckets - 1),
+    )
+    bucketed = df.withColumn("_bkt", F.when(F.col(col).isNull(), buckets).otherwise(b))
+    counts = bucketed.groupBy("_bkt").count().collect()
+    by_bkt = {int(r["_bkt"]): int(r["count"]) for r in counts}
+    offsets, acc = {}, 0
+    for k in sorted(by_bkt):
+        offsets[k] = acc
+        acc += by_bkt[k]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "_bkt int, _off long"
+    )
+    w = Window.partitionBy("_bkt").orderBy(F.col(col).asc_nulls_last())
+    return (
+        bucketed.join(F.broadcast(off_df), "_bkt")
+        .withColumn("_rank", F.row_number().over(w) + F.col("_off"))
+        .drop("_bkt", "_off")
+    )
+
+
+def holm_sidak_filter(pvalues_df: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Add ``is_stationary`` to a (…, pvalue) DataFrame — distributed
+    Holm–Šidák step-down (statsmodels ``multipletests`` default "hs").
+
+    Sorted p-values p_(i), i = 1..n: reject while
+    ``p_(i) <= 1 - (1-alpha)^(1/(n-i+1))``; the first failure and every
+    larger p fail.  Implemented as: bucketed global rank (parallel — see
+    ``_global_rank``) → per-row criterion → min failing rank (scalar
+    agg, broadcast back).  No driver collect of the p-value table, so
+    the correction holds at 10^12 signals; numerically matches
+    kernels.adf.holm_sidak_reject (equivalence-tested).
+    """
+    n = pvalues_df.count()
+    if n == 0:
+        return pvalues_df.withColumn("is_stationary", F.lit(False))
+    ranked = _global_rank(pvalues_df, "pvalue")
+    crit = 1.0 - F.pow(F.lit(1.0 - alpha), 1.0 / (F.lit(float(n)) - F.col("_rank") + 1.0))
+    flagged = ranked.withColumn(
+        "_fail", F.col("pvalue").isNull() | (F.col("pvalue") > crit)
+    )
+    first_fail = flagged.agg(
+        F.min(F.when(F.col("_fail"), F.col("_rank"))).alias("_first_fail")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(first_fail))
+        .withColumn(
+            "is_stationary",
+            F.col("_first_fail").isNull() | (F.col("_rank") < F.col("_first_fail")),
+        )
+        .drop("_rank", "_fail", "_first_fail")
+    )
+
+
+def make_stationary(
+    tokens_df: DataFrame,
+    method: str = "difference",
+    detrend_type: str = "gp",
+    alpha: float = 0.05,
+    normalize: bool = True,
+    keep_all: bool = False,
+    random_seed: int | None = None,
+    ls_range: tuple[float, float] = (10.0, 100.0),
+    n_searches: int = 10,
+    n_splits: int = 5,
+    eps: float = 1e-6,
+) -> StationarityResult:
+    """Transform → ADF → Holm–Šidák → filter → normalize."""
+    if method not in {"difference", "detrend"}:
+        raise ValueError("method must be one of {'difference', 'detrend'}")
+    if detrend_type not in {"lr", "gp"}:
+        raise ValueError("detrend_type must be one of {'lr', 'gp'}")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    if ls_range[0] <= 0 or ls_range[0] >= ls_range[1]:
+        raise ValueError("ls_range must be a tuple (a, b) with 0 < a < b")
+
+    toks = F.col("tokens").cast("array<double>")
+    if method == "difference":
+        transformed = difference_udf(toks)
+    elif detrend_type == "lr":
+        transformed = detrend_linreg_udf(toks)
+    else:
+        # ls candidates drawn once on the driver, like gp.py:526
+        rng = np.random.RandomState(random_seed)
+        ls_vals = rng.uniform(ls_range[0], ls_range[1], size=n_searches)
+        transformed = make_detrend_gp_udf(ls_vals, n_splits=n_splits, eps=eps)(toks)
+
+    passthrough = [c for c in tokens_df.columns if c not in ("tokens", "n_tok")]
+    base = tokens_df.select(
+        *passthrough,
+        transformed.alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+
+    with_p = base.withColumn("pvalue", adf_pvalue_udf(F.col("tokens")))
+    flagged = holm_sidak_filter(with_p, alpha=alpha)
+
+    frac_row = flagged.agg(
+        F.avg(F.col("is_stationary").cast("double")).alias("frac"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+
+    out = flagged if keep_all else flagged.where(F.col("is_stationary"))
+    if normalize:
+        out = znormed(out, "tokens")
+    return StationarityResult(
+        df=out, stationary_frac=float(frac_row["frac"] or 0.0), n_signals=int(frac_row["n"])
+    )

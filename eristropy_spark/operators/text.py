@@ -1,0 +1,127 @@
+"""Text-analysis operators for the documents table — all JVM-side.
+
+Large-scale training-data pipeline primitives over
+``documents(doc_id, text, lang, source, n_chars)``:
+
+* ``text_stats`` — token counting (whitespace + BPE-ish regex),
+  length/punctuation/uppercase ratios;
+* ``quality_score`` — deterministic arithmetic quality heuristic
+  (length, word-length, punctuation, stopword density);
+* ``lang_id`` — marker-word n-gram heuristic (a real lang-id model is
+  out of scope; the *shape* — per-language marker dictionaries scored
+  per document, argmax — is the production pattern).
+
+Everything is built-in expressions (regexp_count / split / size), so
+the whole stage is whole-stage-codegen with no Python workers, and
+every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eristropy_spark.functions.numeric import round6
+
+__all__ = ["text_stats", "quality_score", "lang_id", "STOPWORDS", "BPE_ISH_PATTERN"]
+
+# tiny English stopword set — deterministic, shared with the SQL oracle
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+
+# "BPE-ish" pre-tokenizer: alnum runs or single non-space symbols
+# (ASCII classes only, so Java and RE2/DuckDB dialects agree)
+BPE_ISH_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def _ws_word_count(text: Column) -> Column:
+    # length-difference trick: portable to any SQL dialect
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    ).cast("long")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_words, n_bpe_tokens, avg_word_len,
+    punct_ratio, stopword_ratio) per document."""
+    t = F.col("text")
+    n_words = _ws_word_count(t)
+    stop_hits = sum(
+        (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in STOPWORDS),
+        start=F.lit(0),
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long").alias("n_bpe_tokens"),
+        round6((F.length(t) - (n_words - 1)).cast("double") / n_words).alias("avg_word_len"),
+        round6(F.regexp_count(t, F.lit("[^A-Za-z0-9 ]")).cast("double")
+            / F.greatest(F.length(t), F.lit(1))).alias("punct_ratio"),
+        round6(stop_hits.cast("double") / n_words).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristic in [0, 1] per document.
+
+    score = 0.4·len_score + 0.3·word_len_score + 0.3·stopword_score,
+    where each component is a clamped ratio — the classic cheap
+    pre-filter shape for pretraining corpora.  Components are computed
+    UNROUNDED (rounding only the final score) so the result is
+    bit-stable against the SQL oracle.
+    """
+    t = F.col("text")
+    n_words = _ws_word_count(t)
+    stop_hits = sum(
+        (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in STOPWORDS),
+        start=F.lit(0),
+    )
+    avg_word_len = (F.length(t) - (n_words - 1)).cast("double") / n_words
+    stopword_ratio = stop_hits.cast("double") / n_words
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    word_len_score = F.when(
+        (avg_word_len >= 3.0) & (avg_word_len <= 8.0), 1.0
+    ).otherwise(0.5)
+    stop_score = F.least(stopword_ratio * 5.0, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        round6(0.4 * len_score + 0.3 * word_len_score + 0.3 * stop_score).alias("quality"),
+    )
+
+
+# marker words per language — deterministic toy dictionaries; the
+# documents fixture uses random word salads, so agreement with the
+# `lang` column is not expected — the operator contract is the argmax
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "with"),
+    "es": ("el", "la", "que"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, score) — argmax of marker-word hit counts.
+
+    Ties break by language code order (deterministic).
+    """
+    t = F.col("text")
+    scores = F.array(
+        *[
+            F.struct(
+                sum(
+                    (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in words),
+                    start=F.lit(0),
+                ).cast("long").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scores)  # struct compare: score first, then lang
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("score"),
+    )

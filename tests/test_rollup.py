@@ -1,0 +1,132 @@
+"""Retention-cascade tier parity + gap-fill tests (north rule)."""
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eristropy_spark.operators.gapfill import gapfill_linear, gapfill_locf
+from eristropy_spark.operators.rollup import cascade, entropy_points, rollup_tier
+
+
+def _points_df(spark):
+    """Synthetic entropy points: 3 sources, irregular timestamps, some NaN."""
+    rng = np.random.default_rng(42)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(500):
+        src = f"src{i % 3}"
+        ts = base + dt.timedelta(seconds=int(rng.integers(0, 7200)))
+        sampen = float("nan") if i % 37 == 0 else float(rng.uniform(0.1, 2.5))
+        rows.append(
+            Row(
+                doc_id=f"d{i}",
+                source=src,
+                ts=ts,
+                sampen=sampen,
+                permen=float(rng.uniform(0, 1)),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def _tier_key(rows):
+    return {
+        (r["source"], r["bucket"]): (
+            r["n_seq"],
+            r["n_sampen"],
+            None if r["sum_sampen"] is None else round(r["sum_sampen"], 9),
+            None if r["min_sampen"] is None else round(r["min_sampen"], 9),
+            None if r["max_sampen"] is None else round(r["max_sampen"], 9),
+            None if r["avg_sampen"] is None else round(r["avg_sampen"], 9),
+        )
+        for r in rows
+    }
+
+
+def test_cascade_tier_parity(spark):
+    """1-hour computed through the cascade == 1-hour computed from raw."""
+    pts = _points_df(spark)
+    tiers = cascade(pts)
+    via_cascade = _tier_key(tiers["1hour"].collect())
+    direct = _tier_key(rollup_tier(pts, "hour", from_tier=False).collect())
+    assert via_cascade == direct
+    # minute tier sanity: sums of n_seq equal the input row count
+    assert sum(r["n_seq"] for r in tiers["1min"].collect()) == 500
+
+
+def test_cascade_salted_equals_unsalted(spark):
+    pts = _points_df(spark)
+    plain = _tier_key(rollup_tier(pts, "minute").collect())
+    salted = _tier_key(rollup_tier(pts, "minute", salt=8).collect())
+    assert plain == salted
+
+
+def test_cascade_parallelism_invariance(spark):
+    """Same rolled-up points at different partitioning (scaling-equality leg)."""
+    pts = _points_df(spark)
+    a = _tier_key(rollup_tier(pts.repartition(1), "hour").collect())
+    b = _tier_key(rollup_tier(pts.repartition(16), "hour").collect())
+    assert a == b
+
+
+def test_entropy_points_schema(spark):
+    rng = np.random.default_rng(17)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            doc_id=f"s{i}",
+            tokens=[float(v) for v in rng.normal(size=80)],
+            n_tok=80,
+            source="srcA",
+            first_ts=base + dt.timedelta(minutes=i),
+        )
+        for i in range(4)
+    ]
+    pts = entropy_points(spark.createDataFrame(rows), m=1, r=0.2)
+    got = pts.collect()
+    assert {"doc_id", "source", "ts", "sampen", "permen"} == set(pts.columns)
+    assert len(got) == 4
+
+
+def _sparse_rollup(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(source="a", bucket=base + dt.timedelta(minutes=0), avg_sampen=1.0),
+        Row(source="a", bucket=base + dt.timedelta(minutes=3), avg_sampen=4.0),
+        Row(source="a", bucket=base + dt.timedelta(minutes=5), avg_sampen=2.0),
+        Row(source="b", bucket=base + dt.timedelta(minutes=1), avg_sampen=7.0),
+    ]
+    return spark.createDataFrame(rows), base
+
+
+def test_gapfill_locf(spark):
+    roll, base = _sparse_rollup(spark)
+    out = gapfill_locf(roll, "1 minute", ("avg_sampen",))
+    got = {
+        (r["source"], r["bucket"]): r["avg_sampen"] for r in out.collect()
+    }
+    # source a: minutes 0..5 dense; 1,2 carry 1.0; 4 carries 4.0
+    assert got[("a", base + dt.timedelta(minutes=1))] == 1.0
+    assert got[("a", base + dt.timedelta(minutes=2))] == 1.0
+    assert got[("a", base + dt.timedelta(minutes=4))] == 4.0
+    assert got[("a", base + dt.timedelta(minutes=5))] == 2.0
+    # source b: single bucket, no fill needed
+    assert got[("b", base + dt.timedelta(minutes=1))] == 7.0
+    assert len(got) == 7
+
+
+def test_gapfill_linear(spark):
+    roll, base = _sparse_rollup(spark)
+    out = gapfill_linear(roll, "1 minute", ("avg_sampen",))
+    got = {
+        (r["source"], r["bucket"]): r["avg_sampen"] for r in out.collect()
+    }
+    # linear between (0 -> 1.0) and (3 -> 4.0): minute 1 = 2.0, minute 2 = 3.0
+    np.testing.assert_almost_equal(got[("a", base + dt.timedelta(minutes=1))], 2.0)
+    np.testing.assert_almost_equal(got[("a", base + dt.timedelta(minutes=2))], 3.0)
+    # between (3 -> 4.0) and (5 -> 2.0): minute 4 = 3.0
+    np.testing.assert_almost_equal(got[("a", base + dt.timedelta(minutes=4))], 3.0)
+    # real points untouched
+    assert got[("a", base + dt.timedelta(minutes=3))] == 4.0
