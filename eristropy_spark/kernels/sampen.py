@@ -22,7 +22,7 @@ this environment).
 
 from __future__ import annotations
 
-import math
+
 
 import numpy as np
 
@@ -65,7 +65,23 @@ def sampen(x: np.ndarray, m: int, r: float) -> float:
 
     if a[mm - 1] == 0.0:
         return float("nan")
-    return -math.log(a[mm - 1] / b[mm - 2])
+    # np.log (not math.log) so the scalar and batched kernels are
+    # bit-identical (they differ by 1 ulp on some inputs)
+    return float(-np.log(a[mm - 1] / b[mm - 2]))
+
+
+def _sampen_rows(X: np.ndarray, m: int, r: float) -> np.ndarray:
+    """SampEn of every row of an equal-length matrix — batch-vectorized
+    (the bootstrap matrix is the ideal batch; lazy import avoids a cycle)."""
+    from eristropy_spark.kernels.sampen_batch import _sampen_matrix
+
+    n = X.shape[1]
+    return _sampen_matrix(
+        np.ascontiguousarray(X, dtype=np.float64),
+        np.full(X.shape[0], n, dtype=np.int64),
+        m,
+        float(r),
+    )
 
 
 def bootstrap_mse(
@@ -84,7 +100,7 @@ def bootstrap_mse(
     partitioning/iteration order (SURVEY.md §7.3 hazard 6).
     """
     X = stationary_bootstrap(x, p, n_boot, rng)
-    shat = np.array([sampen(X[i], m, r) for i in range(n_boot)], dtype=np.float64)
+    shat = _sampen_rows(X, m, r)
     strue = sampen(x, m, r)
     return mean_squared_error(np.full(n_boot, strue), shat)
 
@@ -103,5 +119,5 @@ def sampen_se(
     via ``_standard_error`` (utils.py:25-35).
     """
     X = stationary_bootstrap(x, p, n_boot, rng)
-    shat = np.array([sampen(X[i], m, r) for i in range(n_boot)], dtype=np.float64)
+    shat = _sampen_rows(X, m, r)
     return standard_error(shat)

@@ -17,9 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy import (
-    permen_udf,
+    entropy_struct_udf,
     sampen_se_udf,
-    sampen_udf,
 )
 
 __all__ = ["compute_entropy"]
@@ -50,15 +49,17 @@ def compute_entropy(
     on the raw sequence.
     """
     toks = F.col("tokens").cast("array<double>")
+    ent = entropy_struct_udf(
+        toks,
+        F.lit(m),
+        F.lit(float(r)),
+        F.lit(bool(normalize)),
+        F.lit(permen_m),
+        F.lit(permen_delay),
+    )
     cols = [F.col("doc_id"), *[F.col(c) for c in keep_cols]]
-    cols.append(
-        sampen_udf(toks, F.lit(m), F.lit(float(r)), F.lit(bool(normalize))).alias(
-            "sampen"
-        )
-    )
-    cols.append(
-        permen_udf(toks, F.lit(permen_m), F.lit(permen_delay)).alias("permen")
-    )
+    cols.append(ent["sampen"].alias("sampen"))
+    cols.append(ent["permen"].alias("permen"))
     if estimate_uncertainty:
         cols.append(
             sampen_se_udf(

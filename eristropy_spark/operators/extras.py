@@ -1,0 +1,107 @@
+"""SampEnEfficiency — Lake-et-al. r-selection (reference: eristropy/extras.py).
+
+Spark plan (SURVEY.md §3.3): ``tokens × explode(r_grid)`` → efficiency
+UDF per (sequence, r) cell → exact median per r across signals
+(np.median NaN semantics) → collect the tiny (|grid|-row) table →
+driver-side ``np.interp`` onto the fine grid → ``nanargmin`` → r* →
+one final projection computing (-log cp, s/cp) per sequence.
+
+Unlike the reference's ``_compute_objective``, which re-filters the
+whole DataFrame for every (signal, r) pair (extras.py:232-236 —
+quadratic, hazard 8), every cell here is one row of one distributed
+job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eristropy_spark.functions.efficiency import cp_sampen_se_udf, efficiency_udf
+
+__all__ = ["SampEnEfficiencyOp"]
+
+
+def _nan_poisoning_median(col):
+    return F.when(
+        F.max(F.isnan(col).cast("int")) > 0, F.lit(float("nan"))
+    ).otherwise(F.median(col))
+
+
+class SampEnEfficiencyOp:
+    """r* selection by SampEn efficiency over a token table.
+
+    Parameters mirror extras.py:12-49 (df is a token table).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        m: int,
+        r_range: tuple[float, float],
+        r_step_size: float = 0.05,
+        interpolation_step_size: float = 0.01,
+        p: float = 0.5,
+        n_boot: int = 100,
+        objective: str = "counting",
+        random_seed: int | None = None,
+    ) -> None:
+        if objective not in {"counting", "bootstrap"}:
+            raise ValueError("objective must be 'counting' or 'bootstrap'")
+        self.df = df
+        self.m = m
+        self.p = p
+        self.n_boot = n_boot
+        self.objective = objective
+        self.random_seed = random_seed if random_seed is not None else 0
+        r_low, r_high = r_range
+        # grid construction identical to extras.py:35-42
+        self.rs = np.arange(r_low, r_high + interpolation_step_size, r_step_size)
+        self._pts = np.arange(
+            r_low, r_high + interpolation_step_size, interpolation_step_size
+        )
+        self.r_star_: float | None = None
+        self.obj_: float | None = None
+
+    def _objective_by_r(self) -> np.ndarray:
+        """Median efficiency objective at each grid r (one Spark job)."""
+        toks = F.col("tokens").cast("array<double>")
+        grid = F.explode(F.array(*[F.lit(float(r)) for r in self.rs])).alias("r")
+        cells = self.df.select(F.col("doc_id"), toks.alias("toks"), grid)
+        eff = efficiency_udf(
+            F.col("doc_id"),
+            F.col("toks"),
+            F.col("r"),
+            F.lit(self.m),
+            F.lit(self.objective == "bootstrap"),
+            F.lit(float(self.p)),
+            F.lit(self.n_boot),
+            F.lit(self.random_seed),
+        )
+        rows = (
+            cells.select(F.col("r"), eff.alias("obj"))
+            .groupBy("r")
+            .agg(_nan_poisoning_median(F.col("obj")).alias("med"))
+            .collect()
+        )
+        by_r = {round(float(row["r"]), 12): float(row["med"]) for row in rows}
+        return np.array([by_r[round(float(r), 12)] for r in self.rs])
+
+    def find_rstar(self) -> float:
+        objs = self._objective_by_r()
+        fine = np.interp(self._pts, self.rs, objs)
+        self.r_star_ = float(self._pts[np.nanargmin(fine)])
+        self.obj_ = float(np.nanmin(fine))
+        return self.r_star_
+
+    def compute_all_sampen(self) -> DataFrame:
+        """(doc_id, sampen, se_sampen) at the selected r* (extras.py:255-274)."""
+        if self.r_star_ is None:
+            self.find_rstar()
+        toks = F.col("tokens").cast("array<double>")
+        res = cp_sampen_se_udf(toks, F.lit(self.r_star_), F.lit(self.m))
+        return self.df.select(F.col("doc_id"), res.alias("_r")).select(
+            "doc_id", F.col("_r.sampen").alias("sampen"),
+            F.col("_r.se_sampen").alias("se_sampen"),
+        )

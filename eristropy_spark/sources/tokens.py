@@ -37,33 +37,40 @@ def load_tokens(spark: SparkSession, path: str) -> DataFrame:
 
 
 def events_to_tokens(
-    spark: SparkSession, sf_dir: str, quant_scale: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    quant_scale: int = 100,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Token table derived from the events test table.
 
     One sequence per (user_id, event_type); values ordered by
     (ts, event_id) and quantized ``int32(round(value * quant_scale))``.
     Also carries ``first_ts`` (sequence start) for retention bucketing.
+
+    ``max_tokens`` caps sequence length (keeping the earliest samples).
+    SampEn is O(n²) per sequence, so at scale a cap (with windowed
+    rollup for longer series) bounds worst-case task time and the
+    collect_list state (SURVEY.md §7.3 hazard 9); None preserves the
+    reference's uncapped semantics for parity testing.
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    out = (
         ev.groupBy("user_id", "event_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "value"))
-            ).alias("seq"),
-            F.min("ts").alias("first_ts"),
-        )
-        .select(
-            F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("doc_id"),
-            F.transform(
-                "seq",
-                lambda s: F.round(s["value"] * quant_scale).cast("int"),
-            ).alias("tokens"),
-            F.size("seq").cast("int").alias("n_tok"),
-            F.col("event_type").alias("source"),
-            F.col("first_ts"),
-        )
+        .agg(seq.alias("seq"), F.min("ts").alias("first_ts"))
+    )
+    if max_tokens is not None:
+        out = out.withColumn("seq", F.slice("seq", 1, max_tokens))
+    return out.select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("doc_id"),
+        F.transform(
+            "seq",
+            lambda s: F.round(s["value"] * quant_scale).cast("int"),
+        ).alias("tokens"),
+        F.size("seq").cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.col("first_ts"),
     )
 
 
