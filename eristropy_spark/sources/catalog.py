@@ -1,0 +1,97 @@
+"""Catalog adapter — Iceberg when available, parquet + manifest fallback.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg
+Spark runtime jar (probed at import of the session — see
+``iceberg_available``), so the adapter exposes one API whose fallback
+keeps the same semantics used by the engine:
+
+* ``write_table`` / ``read_table`` — `catalog.db.table` names map to
+  Iceberg ``writeTo(...).createOrReplace()`` when the catalog is
+  configured, else a parquet directory under ``warehouse_root``.
+* ``snapshot_id`` — the Iceberg snapshot id, or the manifest version of
+  the parquet fallback (CheckpointManager-compatible), so checkpoint /
+  resume logic is storage-agnostic (SURVEY.md §7.3 hazard 10).
+
+On a real cluster, enabling Iceberg is config-only:
+    spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<v>
+    spark.sql.catalog.ice=org.apache.iceberg.spark.SparkCatalog
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["iceberg_available", "TableCatalog"]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+class TableCatalog:
+    def __init__(self, spark: SparkSession, warehouse_root: str) -> None:
+        self.spark = spark
+        self.root = warehouse_root
+        self.use_iceberg = iceberg_available(spark)
+        if not self.use_iceberg:
+            os.makedirs(warehouse_root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table.replace(".", "/"))
+
+    def _meta_path(self, table: str) -> str:
+        return self._path(table) + ".tablemeta.json"
+
+    def write_table(self, df: DataFrame, table: str, mode: str = "overwrite") -> int:
+        """Write and return the new snapshot id / manifest version."""
+        if self.use_iceberg:
+            writer = df.writeTo(table)
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            snap = (
+                self.spark.sql(f"SELECT snapshot_id FROM {table}.snapshots "
+                               "ORDER BY committed_at DESC LIMIT 1")
+                .collect()[0][0]
+            )
+            return int(snap)
+
+        path = self._path(table)
+        df.write.mode(mode if mode != "append" else "append").parquet(path)
+        meta = {"version": 1, "path": path, "committed_at": int(time.time())}
+        if os.path.exists(self._meta_path(table)):
+            with open(self._meta_path(table)) as f:
+                meta["version"] = json.load(f)["version"] + 1
+        tmp = self._meta_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(table))
+        return meta["version"]
+
+    def read_table(self, table: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(table)
+        return self.spark.read.parquet(self._path(table))
+
+    def snapshot_id(self, table: str) -> int | None:
+        if self.use_iceberg:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {table}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            return int(rows[0][0]) if rows else None
+        if not os.path.exists(self._meta_path(table)):
+            return None
+        with open(self._meta_path(table)) as f:
+            return json.load(f)["version"]

@@ -201,3 +201,41 @@ def test_sample_entropy_op_min_length_guard(spark):
     sigs = {"a": np.arange(2.0)}
     with pytest.raises(ValueError):
         SampleEntropyOp(_tokens_df(spark, sigs), m_range=(1, 3))
+
+
+def test_make_stationary_detrend_gp(spark):
+    # GP path (W3-W11): heaviest transform; small fixture, seeded ls draws
+    rng = np.random.default_rng(17)
+    sigs = {
+        "noisy": rng.normal(size=40),
+        "trendy": 0.5 * np.arange(40) + rng.normal(scale=0.1, size=40),
+    }
+    res = make_stationary(
+        _tokens_df(spark, sigs),
+        method="detrend",
+        detrend_type="gp",
+        random_seed=17,
+        n_searches=3,
+        n_splits=3,
+        normalize=False,
+        keep_all=True,
+    )
+    rows = {r["doc_id"]: np.array(r["tokens"]) for r in res.df.collect()}
+    assert rows["trendy"].shape == (40,)
+    # the GP trend absorbs the ramp: residuals are near zero-mean and
+    # much smaller than the original trend range (~20)
+    assert abs(rows["trendy"].mean()) < 0.5
+    assert np.abs(rows["trendy"]).max() < 2.0
+    # deterministic under the same seed
+    res2 = make_stationary(
+        _tokens_df(spark, sigs),
+        method="detrend",
+        detrend_type="gp",
+        random_seed=17,
+        n_searches=3,
+        n_splits=3,
+        normalize=False,
+        keep_all=True,
+    )
+    rows2 = {r["doc_id"]: np.array(r["tokens"]) for r in res2.df.collect()}
+    np.testing.assert_array_equal(rows["trendy"], rows2["trendy"])
