@@ -15,8 +15,10 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   rollup_minute     north rule   1-min tier
   rollup_hour_cascade north rule hour tier THROUGH the cascade vs direct SQL
   gapfill_locf      north rule   dense grid + LOCF
+  gapfill_linear    north rule   dense grid + linear interpolation
   gorilla_roundtrip north rule   codec round-trip invariant
   sampen_permen     E1/E16       entropy per sequence (rows-only)
+  sampen_eff        E8-E15       Lake r* selection + (sampen, se) (rows-only)
   stationarity      W13/W14/X5   ADF + Holm-Sidak survivors (rows-only)
   dedup_exact       pipeline     exact text dedup
   text_stats        pipeline     token counting / ratios
@@ -329,6 +331,79 @@ FROM joined
 """
 
 
+def _q_gapfill_linear(spark, sf_dir):
+    """Linear-interp gap-fill on the 1-min avg-value rollup."""
+    from eristropy_spark.operators.gapfill import gapfill_linear
+
+    ev = _events(spark, sf_dir)
+    minute = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("minute", "ts").alias("bucket"),
+    ).agg(F.avg("value").alias("avg_value"))
+    filled = gapfill_linear(minute, "1 minute", ("avg_value",))
+    return filled.select("source", "bucket", _r6("avg_value").alias("avg_value"))
+
+
+# linear interpolation in portable SQL: group-id tricks give each grid row
+# its previous and next real anchors (value + epoch), then interpolate by
+# the time fraction; one-sided gaps degrade to nearest-anchor (LOCF/NOCB)
+_ORACLE_GAPFILL_LINEAR = """
+WITH minute AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS bucket,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT source, min(bucket) AS lo, max(bucket) AS hi FROM minute GROUP BY 1
+), grid AS (
+  SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+  FROM bounds
+), joined AS (
+  SELECT g.source, g.bucket, m.avg_value,
+         epoch(g.bucket) AS t,
+         count(m.avg_value) OVER (PARTITION BY g.source ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bgrp,
+         count(m.avg_value) OVER (PARTITION BY g.source ORDER BY g.bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fgrp
+  FROM grid g LEFT JOIN minute m USING (source, bucket)
+), anch AS (
+  SELECT source, bucket, avg_value, t,
+         max(avg_value) OVER (PARTITION BY source, bgrp) AS prev_v,
+         max(CASE WHEN avg_value IS NOT NULL THEN t END)
+             OVER (PARTITION BY source, bgrp) AS prev_t,
+         max(avg_value) OVER (PARTITION BY source, fgrp) AS next_v,
+         max(CASE WHEN avg_value IS NOT NULL THEN t END)
+             OVER (PARTITION BY source, fgrp) AS next_t
+  FROM joined
+)
+SELECT source, bucket,
+       floor((CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN prev_t IS NULL THEN next_v
+         WHEN next_t IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * ((t - prev_t) / (next_t - prev_t))
+       END) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM anch
+"""
+
+
+def _q_sampen_eff(spark, sf_dir):
+    """E8-E15: Lake-et-al. r* selection + per-sequence (sampen, se) at r*
+    (rows-only: the counting CP estimator is not SQL-expressible;
+    numeric behavior is pinned in tests/test_extras.py)."""
+    from eristropy_spark.operators.extras import SampEnEfficiencyOp
+
+    tokens = events_to_tokens(spark, sf_dir)
+    # normalize so the r grid is on the conventional z-scale
+    from eristropy_spark.functions.arrays import znormed
+
+    tokens = znormed(tokens, "tokens")
+    op = SampEnEfficiencyOp(tokens, m=1, r_range=(0.1, 0.5), random_seed=17)
+    out = op.compute_all_sampen()
+    return out.select(
+        "doc_id", _r6("sampen").alias("sampen"), _r6("se_sampen").alias("se_sampen")
+    )
+
+
 def _q_gorilla_roundtrip(spark, sf_dir):
     """Codec invariant: encode(tokens) → decode == identity, per sequence.
     The oracle asserts the trivially-true expectation; a codec bug makes
@@ -639,8 +714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_minute": _q_rollup_minute,
         "rollup_hour_cascade": _q_rollup_hour_cascade,
         "gapfill_locf": _q_gapfill_locf,
+        "gapfill_linear": _q_gapfill_linear,
         "gorilla_roundtrip": _q_gorilla_roundtrip,
         "sampen_permen": _q_sampen,
+        "sampen_eff": _q_sampen_eff,
         "stationarity": _q_stationarity,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
@@ -667,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_minute": _ORACLE_ROLLUP_MINUTE,
         "rollup_hour_cascade": _ORACLE_ROLLUP_HOUR,
         "gapfill_locf": _ORACLE_GAPFILL_LOCF,
+        "gapfill_linear": _ORACLE_GAPFILL_LINEAR,
         "gorilla_roundtrip": _ORACLE_GORILLA,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "text_stats": _ORACLE_TEXT_STATS,

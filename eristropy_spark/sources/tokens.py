@@ -94,10 +94,12 @@ def synthesize_tokens(
     df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     h = F.xxhash64(F.lit(seed), F.col("id"))
     n_tok = (F.pmod(h, F.lit(max_len - min_len + 1)) + min_len).cast("int")
-    # geometric source split via leading set bits of a second hash
+    # geometric (Zipf-like) source split: src0 gets ~1/2 of rows, src1
+    # ~1/4, ... — floor(log2(u+1)) over a uniform hash grows with u, so
+    # invert it to make index 0 the hot source
     h2 = F.pmod(F.xxhash64(F.lit(seed + 1), F.col("id")), F.lit(2 ** n_sources))
-    src_idx = F.least(
-        F.floor(F.log2(F.pmod(h2, F.lit(2 ** n_sources)) + 1)).cast("int"),
+    src_idx = F.lit(n_sources - 1) - F.least(
+        F.floor(F.log2(h2 + 1)).cast("int"),
         F.lit(n_sources - 1),
     )
     tokens = F.transform(
