@@ -77,3 +77,52 @@ def test_streaming_minute_rollup_matches_batch(spark, tmp_path):
     }
     assert got == want
     q.stop()
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: running per-source stats accumulate across
+    micro-batches (two files -> two triggers via maxFilesPerTrigger)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from eristropy_spark.streaming.stateful import running_source_stats
+
+    rng = np.random.default_rng(5)
+    in_dir = tmp_path / "pts_in"
+    rows1 = [
+        Row(doc_id=f"a{i}", source="s0", sampen=float(rng.uniform(0.5, 1.5)))
+        for i in range(50)
+    ]
+    rows2 = [
+        Row(doc_id=f"b{i}", source="s0", sampen=float(rng.uniform(1.5, 2.5)))
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id string, source string, sampen double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    out = running_source_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = spark.sql("select * from t_running_stats").collect()
+    # final (largest n_seq) row must equal the batch aggregate of ALL data
+    final = max(hist, key=lambda r: r["n_seq"])
+    all_vals = [r.sampen for r in rows1 + rows2]
+    assert final["n_seq"] == 80
+    assert abs(final["avg_sampen"] - sum(all_vals) / 80) < 1e-9
+    assert final["min_sampen"] == min(all_vals)
+    assert final["max_sampen"] == max(all_vals)
+    # state really accumulated across more than one trigger
+    assert len(hist) >= 2
+    q.stop()

@@ -239,3 +239,37 @@ def test_make_stationary_detrend_gp(spark):
     )
     rows2 = {r["doc_id"]: np.array(r["tokens"]) for r in res2.df.collect()}
     np.testing.assert_array_equal(rows["trendy"], rows2["trendy"])
+
+
+def test_entropy_points_arrow_equals_pandas_path(spark):
+    import datetime as dt
+
+    from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
+    from eristropy_spark.operators.rollup import entropy_points
+
+    rng = np.random.default_rng(9)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            doc_id=f"s{i}",
+            tokens=[float(v) for v in rng.normal(size=int(n))],
+            n_tok=int(n),
+            source=f"src{i % 2}",
+            first_ts=base,
+        )
+        for i, n in enumerate(rng.integers(16, 120, size=50))
+    ]
+    df = spark.createDataFrame(rows)
+    a = {
+        r["doc_id"]: (r["sampen"], r["permen"])
+        for r in entropy_points_arrow(df, m=2, r=0.2, normalize=True).collect()
+    }
+    b = {
+        r["doc_id"]: (r["sampen"], r["permen"])
+        for r in entropy_points(df, m=2, r=0.2, normalize=True).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        got = np.array(a[k], dtype=np.float64)  # None -> nan
+        want = np.array(b[k], dtype=np.float64)
+        np.testing.assert_array_equal(got, want)  # NaN-aware, exact
