@@ -705,6 +705,24 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
+def _q_cube_rollup(spark, sf_dir):
+    """§2.8 capability the reference lacks, supplied natively by Spark:
+    GROUP BY ROLLUP over (source, lang) with grand totals."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select("source", "lang", "n_docs", "sum_chars")
+    )
+
+
+_ORACLE_CUBE_ROLLUP = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -732,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "semi_join": _q_semi_join,
+        "cube_rollup": _q_cube_rollup,
     }
 
 
@@ -755,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
         "semi_join": _ORACLE_SEMI_JOIN,
+        "cube_rollup": _ORACLE_CUBE_ROLLUP,
         # rows-only (non-SQL-expressible): sampen_permen, stationarity,
         # minhash_lsh, simhash, similarity_lsh, multimodal_features
     }
