@@ -35,7 +35,12 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the engine importable regardless of the harness's cwd/sys.path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
