@@ -99,12 +99,20 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _utc(spark):
+    """Pin the session timezone: date_trunc/unix_timestamp semantics are
+    session-TZ-dependent in Spark while the DuckDB oracle truncates naive
+    timestamps — UTC makes them agree regardless of the harness's TZ."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------- tokens
