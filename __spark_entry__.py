@@ -72,10 +72,16 @@ def _r6(c):
     float space — they disagree on decimal-half boundaries, which makes
     value-hash comparisons flaky.  Using the identical float expression
     on both sides makes the rounding bit-deterministic across engines.
+
+    NaN/NULL pass through (Spark's floor(double) is BIGINT-valued and
+    maps NaN to 0; DuckDB's floor(NaN) stays NaN — the guard aligns them).
     """
     if isinstance(c, str):
         c = F.col(c)
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    d = c.cast("double")
+    return F.when(F.isnan(d) | d.isNull(), d).otherwise(
+        F.floor(d * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
 
 
 def _nan_avg(col: str):
@@ -100,10 +106,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _utc(spark):
-    """Pin the session timezone: date_trunc/unix_timestamp semantics are
-    session-TZ-dependent in Spark while the DuckDB oracle truncates naive
-    timestamps — UTC makes them agree regardless of the harness's TZ."""
+    """Pin session semantics the driver's own SparkSession may not share:
+    UTC (date_trunc is session-TZ-dependent while the DuckDB oracle
+    truncates naive timestamps) and non-ANSI mode (double/0 → NULL like
+    DuckDB 1.0, instead of DIVIDE_BY_ZERO on degenerate groups)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark
 
 
@@ -119,7 +127,7 @@ def _docs(spark, sf_dir):
 
 
 def _q_tokenize(spark, sf_dir):
-    t = events_to_tokens(spark, sf_dir)
+    t = events_to_tokens(_utc(spark), sf_dir)
     return t.select(
         "doc_id",
         "source",
@@ -405,7 +413,7 @@ def _q_sampen_eff(spark, sf_dir):
     numeric behavior is pinned in tests/test_extras.py)."""
     from eristropy_spark.operators.extras import SampEnEfficiencyOp
 
-    tokens = events_to_tokens(spark, sf_dir)
+    tokens = events_to_tokens(_utc(spark), sf_dir)
     # normalize so the r grid is on the conventional z-scale
     from eristropy_spark.functions.arrays import znormed
 
@@ -423,7 +431,7 @@ def _q_gorilla_roundtrip(spark, sf_dir):
     ``ok`` false and the value-hash mismatch."""
     from eristropy_spark.functions.codec import tokens_roundtrip_ok_udf
 
-    t = events_to_tokens(spark, sf_dir)
+    t = events_to_tokens(_utc(spark), sf_dir)
     return t.select(
         "doc_id", "n_tok", tokens_roundtrip_ok_udf(F.col("tokens")).alias("ok")
     )
@@ -441,7 +449,7 @@ FROM events GROUP BY user_id, event_type
 
 
 def _q_sampen(spark, sf_dir):
-    tokens = events_to_tokens(spark, sf_dir)
+    tokens = events_to_tokens(_utc(spark), sf_dir)
     ent = compute_entropy(tokens, m=1, r=0.2, normalize=True)
     return ent.select(
         "doc_id",
@@ -452,7 +460,7 @@ def _q_sampen(spark, sf_dir):
 
 
 def _q_stationarity(spark, sf_dir):
-    tokens = events_to_tokens(spark, sf_dir)
+    tokens = events_to_tokens(_utc(spark), sf_dir)
     res = make_stationary(tokens, method="difference", normalize=True, keep_all=True)
     return res.df.select(
         "doc_id", _r6("pvalue").alias("pvalue"), "is_stationary"
@@ -591,7 +599,7 @@ _QUERY_VEC_IDS = list(range(10))
 
 
 def _q_similarity_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk_bruteforce(emb, _QUERY_VEC_IDS, k=5)
 
 
@@ -618,7 +626,7 @@ FROM ranked WHERE rank <= 5
 
 
 def _q_similarity_lsh(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk_lsh(emb, _QUERY_VEC_IDS, k=5, n_bits=8, n_tables=8)
 
 
@@ -631,7 +639,7 @@ def _q_multimodal(spark, sf_dir):
 
 
 def _q_tpch_q1(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -665,7 +673,7 @@ GROUP BY l_returnflag, l_linestatus
 def _q_tpch_q3(spark, sf_dir):
     """Join shell: customer ⋈ orders ⋈ lineitem, top-10 revenue orders.
     The customer side is broadcast (small dim)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _utc(spark).read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -700,7 +708,7 @@ LIMIT 10
 
 def _q_semi_join(spark, sf_dir):
     """P3 shape: keep-list semi-join — customers with any high-value order."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _utc(spark).read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     keep = orders.where(F.col("o_totalprice") > 400000).select(
         F.col("o_custkey").alias("c_custkey")
@@ -730,7 +738,8 @@ def _q_cube_rollup(spark, sf_dir):
 
 
 _ORACLE_CUBE_ROLLUP = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY ROLLUP (source, lang)
 """

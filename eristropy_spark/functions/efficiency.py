@@ -14,29 +14,43 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 _SAMPEN_SE_STRUCT = StructType(
     [StructField("sampen", DoubleType()), StructField("se_sampen", DoubleType())]
 )
 
-from eristropy_spark.kernels.lake import cp_mean_sd
+from eristropy_spark.kernels.lake import cp_mean_sd, cp_mean_sd_grid
 from eristropy_spark.kernels.rng import sequence_rng
 from eristropy_spark.kernels.sampen import sampen, sampen_se
 
-__all__ = ["counting_obj", "bootstrap_obj", "efficiency_udf", "cp_sampen_se_udf"]
+__all__ = [
+    "counting_obj",
+    "bootstrap_obj",
+    "efficiency_udf",
+    "make_efficiency_grid_udf",
+    "cp_sampen_se_udf",
+]
 
 
-def counting_obj(x: np.ndarray, m: int, r: float) -> float:
-    """max(s/cp, (s/cp)/SampEn) from the Lake analytic CP (extras.py:193-208)."""
+def _obj_from_cp(cp: float, s_cp: float) -> float:
+    """max(s/cp, (s/cp)/SampEn) given a (CP, SD) pair (extras.py:193-208)."""
     try:
-        cp, s_cp = cp_mean_sd(x, m, r)
         a = s_cp / cp
-    except (ZeroDivisionError, ValueError):
+    except ZeroDivisionError:
         return float("nan")
     if cp == 1.0:
         return max(a, 0.0)
     return max(a, a / (-math.log(cp)))
+
+
+def counting_obj(x: np.ndarray, m: int, r: float) -> float:
+    """Counting objective from the Lake analytic CP (extras.py:193-208)."""
+    try:
+        cp, s_cp = cp_mean_sd(x, m, r)
+    except (ZeroDivisionError, ValueError):
+        return float("nan")
+    return _obj_from_cp(cp, s_cp)
 
 
 def bootstrap_obj(
@@ -76,6 +90,54 @@ def efficiency_udf(
         else:
             out[i] = counting_obj(x, mi, ri)
     return pd.Series(out)
+
+
+def make_efficiency_grid_udf(
+    rs,
+    m: int,
+    use_bootstrap: bool = False,
+    p: float = 0.5,
+    n_boot: int = 100,
+    seed: int = 0,
+):
+    """pandas_udf: (doc_id, tokens) -> array<double> of the efficiency
+    objective at EVERY grid r — one UDF call per sequence.
+
+    Round-1 plan exploded the r grid *before* the UDF, shipping every
+    token array |grid|× across the Arrow boundary and re-deriving the
+    match structure per cell; the grid kernel shares the sheared
+    distance matrix across all r (kernels/lake.cp_mean_sd_grid), so the
+    per-sequence cost is one geometry pass + |grid| cheap compares.
+    RNG keying for the bootstrap objective is unchanged —
+    (seed, doc_id, r) — so results are identical to the per-cell plan.
+    """
+    rs = [float(r) for r in rs]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def efficiency_grid_udf(doc_id: pd.Series, tokens: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(tokens)):
+            seq = tokens.iloc[i]
+            if seq is None:
+                out.append([float("nan")] * len(rs))
+                continue
+            x = np.asarray(seq, dtype=np.float64)
+            if use_bootstrap:
+                vals = []
+                for r in rs:
+                    rng = sequence_rng(seed, f"{doc_id.iloc[i]}|r={r}")
+                    vals.append(bootstrap_obj(x, m, r, p, n_boot, rng))
+                out.append(vals)
+            else:
+                try:
+                    grid = cp_mean_sd_grid(x, m, rs)
+                except ValueError:
+                    out.append([float("nan")] * len(rs))
+                    continue
+                out.append([_obj_from_cp(cp, s_cp) for cp, s_cp in grid])
+        return pd.Series(out)
+
+    return efficiency_grid_udf
 
 
 @F.pandas_udf(_SAMPEN_SE_STRUCT)

@@ -15,6 +15,14 @@ def round6(c: Column) -> Column:
     BigDecimal) while DuckDB rounds in float space; they disagree on
     decimal-half boundaries, which makes cross-engine value comparisons
     flaky.  This explicit float expression is bit-deterministic on both
-    engines.  NaN propagates (floor(NaN) is NaN in Spark SQL).
+    engines.
+
+    NaN/NULL are passed through explicitly: Spark's ``floor(double)``
+    returns BIGINT and maps NaN to 0, which would silently turn NaN into
+    0.0 while DuckDB's floor(NaN) stays NaN — the ``when`` guard keeps
+    the two engines' NaN behavior identical.
     """
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    d = c.cast("double")
+    return F.when(F.isnan(d) | d.isNull(), d).otherwise(
+        F.floor(d * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )

@@ -11,12 +11,13 @@ Four strategies, cheapest to richest (training-data pipeline core):
 * ``minhash_lsh_pairs`` — MinHash signatures (k permutations via
   seeded 64-bit hash mixing, NumPy) banded into LSH buckets; candidate
   pairs are generated ONLY within buckets (self-join per band-bucket),
-  then exact-verified with true Jaccard.  This is the 100 TB design:
-  candidate generation touches each doc b times, never all pairs.
-* ``simhash_pairs`` — 64-bit SimHash; near-dup candidates = equal
-  16-bit SimHash quarters (4-band Hamming pruning, catches distance
-  ≤ 3·16 splits by pigeonhole for hamming ≤ 3), verified by exact
-  Hamming distance.
+  then exact-verified per PAIR via ``array_intersect`` on the two docs'
+  distinct-shingle arrays.  This is the 100 TB design end to end:
+  candidate generation touches each doc b times, verification is
+  O(candidates) — no shingle self-join anywhere after banding.
+* ``simhash_pairs`` — 64-bit SimHash; candidates = equal band among
+  ``max_hamming + 1`` bands (pigeonhole: exact recall at the requested
+  distance), verified by exact Hamming popcount.
 
 Word shingling is done with built-in expressions; only the signature
 computations (minhash/simhash) use an Arrow UDF.
@@ -61,10 +62,18 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams, built-in exprs only."""
     words = F.split(F.lower(F.col("text")), " ")
     count = F.size(words) - (n - 1)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0] (step -1),
+    # whose transform evaluates slice(words, 0, n) and throws
+    # INVALID_PARAMETER_VALUE.START — docs with < n words must yield zero
+    # shingles (matching DuckDB's empty generate_series(1, 0)).  Short-doc
+    # near-dup detection is exact_dedup's job, not the shingle path's.
+    shingles = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
@@ -185,30 +194,30 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification on the candidate set only: restrict the shingle
-    # table to candidate docs, then intersect
-    sh = word_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select("doc_b"))
-        .distinct()
+    # exact verification is O(candidates), NOT a shingle self-join: a hot
+    # shingle shared by every candidate doc would re-create the quadratic
+    # all-pairs blowup the banding just avoided.  Instead each candidate
+    # pair joins to the two docs' distinct-shingle ARRAYS and the
+    # intersection is a JVM-side array_intersect per pair.
+    sh_sets = word_shingles(docs, n).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
     )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id").persist()
-    inter = (
-        sh_c.alias("x")
-        .join(sh_c.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-        .join(cands, ["doc_a", "doc_b"])  # only LSH candidates
+    a_side = sh_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b_side = sh_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cands.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            round6(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))),
+            round6(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -243,11 +252,30 @@ def make_simhash_udf(n: int = 2, seed: int = 17):
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 17) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with SimHash Hamming <= max_hamming.
 
-    Candidate pruning: split the 64-bit hash into 4 16-bit bands; any
-    pair within Hamming 3 shares at least one identical band
-    (pigeonhole).  Verification is an exact popcount on the candidate
-    pairs only.
+    Candidate pruning: split the 64-bit hash into ``max_hamming + 1``
+    bands — ``h`` differing bits can touch at most ``h`` bands, so every
+    pair within Hamming ``h`` shares at least one identical band
+    (pigeonhole, exact recall; round-1 used a fixed 4 bands, which only
+    guarantees h <= 3 and silently dropped distance-4..8 pairs).
+    Verification is an exact popcount on the candidate pairs only.
+
+    Scale note: band width is ``64 // (h+1)`` bits, so large ``h``
+    shrinks the bucket keyspace (h=8 → ~7-bit bands) and fattens
+    buckets; at extreme corpus sizes keep h <= 4 or pre-partition by a
+    cheap content key before banding.  h > 31 would make bands
+    degenerate (< 2 bits) and is rejected.
     """
+    if not (0 <= max_hamming <= 31):
+        raise ValueError("max_hamming must be in [0, 31]")
+    n_bands = max_hamming + 1
+    base_w = 64 // n_bands
+    extra = 64 - base_w * n_bands  # first `extra` bands get one more bit
+    offsets, widths, off = [], [], 0
+    for b in range(n_bands):
+        w = base_w + (1 if b < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
     sig = docs.select("doc_id", make_simhash_udf(2, seed)(F.col("text")).alias("sim"))
     banded = sig.select(
         "doc_id",
@@ -257,9 +285,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 17) -> Data
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                        (
+                            F.col("sim")
+                            if widths[b] >= 64
+                            else F.shiftright("sim", offsets[b]).bitwiseAND(
+                                F.lit((1 << widths[b]) - 1)
+                            )
+                        ).alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -18,7 +18,10 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eristropy_spark.functions.efficiency import cp_sampen_se_udf, efficiency_udf
+from eristropy_spark.functions.efficiency import (
+    cp_sampen_se_udf,
+    make_efficiency_grid_udf,
+)
 
 __all__ = ["SampEnEfficiencyOp"]
 
@@ -65,28 +68,34 @@ class SampEnEfficiencyOp:
         self.obj_: float | None = None
 
     def _objective_by_r(self) -> np.ndarray:
-        """Median efficiency objective at each grid r (one Spark job)."""
+        """Median efficiency objective at each grid r (one Spark job).
+
+        One UDF call per SEQUENCE returns the whole |grid|-length
+        objective vector (the sheared match geometry is shared across r
+        inside kernels/lake.cp_mean_sd_grid), so each token array
+        crosses the Arrow boundary exactly once; only the tiny
+        (grid-position, objective) pairs are exploded for the
+        distributed median.
+        """
         toks = F.col("tokens").cast("array<double>")
-        grid = F.explode(F.array(*[F.lit(float(r)) for r in self.rs])).alias("r")
-        cells = self.df.select(F.col("doc_id"), toks.alias("toks"), grid)
-        eff = efficiency_udf(
-            F.col("doc_id"),
-            F.col("toks"),
-            F.col("r"),
-            F.lit(self.m),
-            F.lit(self.objective == "bootstrap"),
-            F.lit(float(self.p)),
-            F.lit(self.n_boot),
-            F.lit(self.random_seed),
+        eff_grid = make_efficiency_grid_udf(
+            self.rs,
+            self.m,
+            use_bootstrap=(self.objective == "bootstrap"),
+            p=float(self.p),
+            n_boot=self.n_boot,
+            seed=self.random_seed,
         )
+        cells = self.df.select(
+            eff_grid(F.col("doc_id"), toks).alias("objs")
+        ).select(F.posexplode("objs").alias("pos", "obj"))
         rows = (
-            cells.select(F.col("r"), eff.alias("obj"))
-            .groupBy("r")
+            cells.groupBy("pos")
             .agg(_nan_poisoning_median(F.col("obj")).alias("med"))
             .collect()
         )
-        by_r = {round(float(row["r"]), 12): float(row["med"]) for row in rows}
-        return np.array([by_r[round(float(r), 12)] for r in self.rs])
+        by_pos = {int(row["pos"]): float(row["med"]) for row in rows}
+        return np.array([by_pos[i] for i in range(len(self.rs))])
 
     def find_rstar(self) -> float:
         objs = self._objective_by_r()

@@ -77,18 +77,24 @@ def gapfill_linear(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # "next anchor" = last non-null over a DESCENDING running frame.
+    # An ascending (CURRENT ROW, UNBOUNDED FOLLOWING) frame looks
+    # equivalent but Spark's UnboundedFollowing frame re-aggregates the
+    # whole tail per row — O(rows²) per source partition (measured: a
+    # 43k-row source partition burned minutes of CPU); both running
+    # frames here are streaming O(rows).
     fwd = (
         Window.partitionBy("source")
-        .orderBy(bucket_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = joined.withColumn("_t", t)
     for c in value_cols:
         real_t = F.when(F.col(c).isNotNull(), F.col("_t"))
         prev_v = F.last(F.col(c), ignorenulls=True).over(back)
         prev_t = F.last(real_t, ignorenulls=True).over(back)
-        next_v = F.first(F.col(c), ignorenulls=True).over(fwd)
-        next_t = F.first(real_t, ignorenulls=True).over(fwd)
+        next_v = F.last(F.col(c), ignorenulls=True).over(fwd)
+        next_t = F.last(real_t, ignorenulls=True).over(fwd)
         frac = (F.col("_t") - prev_t) / (next_t - prev_t)
         interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
             F.when(prev_t.isNull(), next_v)

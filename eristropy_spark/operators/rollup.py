@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eristropy_spark.operators.entropy import compute_entropy
+from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
 __all__ = ["entropy_points", "rollup_tier", "cascade", "TIER_SPECS"]
 
@@ -43,11 +43,24 @@ def entropy_points(
     normalize: bool = True,
     ts_col: str = "first_ts",
 ) -> DataFrame:
-    """Raw tier: one entropy point per sequence — (source, ts, sampen, permen)."""
-    pts = compute_entropy(
-        tokens_df, m=m, r=r, normalize=normalize, keep_cols=("source", ts_col)
+    """Raw tier: one entropy point per sequence —
+    (doc_id, source, ts, sampen, permen).
+
+    Uses the mapInArrow fast path (functions/entropy_arrow.py): the
+    token list column is consumed as zero-copy views over the Arrow
+    values buffer instead of per-row pandas objects — bit-identical to
+    the pandas-UDF path (equivalence-tested) and the default since
+    round 2 (the pandas conversion was the headline-throughput
+    bottleneck in the round-1 scaling ladder).
+    """
+    return entropy_points_arrow(
+        tokens_df,
+        m=m,
+        r=float(r),
+        normalize=normalize,
+        keep_cols=("doc_id", "source", ts_col),
+        ts_col=ts_col,
     )
-    return pts.withColumnRenamed(ts_col, "ts")
 
 
 def _nan_safe(col: str):

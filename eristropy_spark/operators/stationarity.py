@@ -62,7 +62,13 @@ def _global_rank(df: DataFrame, col: str, buckets: int = 1024) -> DataFrame:
         F.greatest(F.floor(F.col(col) * buckets).cast("int"), F.lit(0)),
         F.lit(buckets - 1),
     )
-    bucketed = df.withColumn("_bkt", F.when(F.col(col).isNull(), buckets).otherwise(b))
+    # NaN must rank LAST like NULL: floor(NaN) casts to bucket 0 but Spark
+    # sorts NaN greatest within a bucket, which would hand a NaN p-value a
+    # small global rank and shift the whole Holm-Šidák step-down cutoff.
+    bucketed = df.withColumn(
+        "_bkt",
+        F.when(F.col(col).isNull() | F.isnan(col), buckets).otherwise(b),
+    )
     counts = bucketed.groupBy("_bkt").count().collect()
     by_bkt = {int(r["_bkt"]): int(r["count"]) for r in counts}
     offsets, acc = {}, 0
@@ -99,7 +105,10 @@ def holm_sidak_filter(pvalues_df: DataFrame, alpha: float = 0.05) -> DataFrame:
     ranked = _global_rank(pvalues_df, "pvalue")
     crit = 1.0 - F.pow(F.lit(1.0 - alpha), 1.0 / (F.lit(float(n)) - F.col("_rank") + 1.0))
     flagged = ranked.withColumn(
-        "_fail", F.col("pvalue").isNull() | (F.col("pvalue") > crit)
+        "_fail",
+        F.col("pvalue").isNull()
+        | F.isnan("pvalue")
+        | (F.col("pvalue") > crit),
     )
     first_fail = flagged.agg(
         F.min(F.when(F.col("_fail"), F.col("_rank"))).alias("_first_fail")
@@ -154,7 +163,15 @@ def make_stationary(
         transformed.alias("tokens"),
     ).withColumn("n_tok", F.size("tokens").cast("int"))
 
-    with_p = base.withColumn("pvalue", adf_pvalue_udf(F.col("tokens")))
+    # The filter + the fraction aggregate below drive ≥3 actions over this
+    # lineage; without a persist the expensive ADF (and possibly GP-detrend)
+    # UDF recomputes once per action — at 10^12 signals that's the whole
+    # pipeline cost times four.  MEMORY_AND_DISK: one UDF pass, period.
+    from pyspark import StorageLevel
+
+    with_p = base.withColumn("pvalue", adf_pvalue_udf(F.col("tokens"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     flagged = holm_sidak_filter(with_p, alpha=alpha)
 
     frac_row = flagged.agg(

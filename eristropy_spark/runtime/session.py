@@ -37,6 +37,11 @@ def get_spark(
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
+        # non-ANSI: double/0 yields NULL (like the DuckDB 1.0 oracle and
+        # the reference's NumPy NaN semantics) instead of throwing
+        # DIVIDE_BY_ZERO on degenerate-but-valid groups (constant signal →
+        # stddev 0, single-event signal → var_pop 0, zero embedding → norm 0)
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -87,6 +87,73 @@ def test_simhash_pairs(spark):
     assert all(h <= 3 for h in got.values())
 
 
+def _simhash_local(text, seed=17, n=2):
+    """Reference brute-force SimHash mirroring make_simhash_udf."""
+    from eristropy_spark.operators.dedup import _mix64, _shingle_hashes
+
+    hashes = _mix64(_shingle_hashes(text, n), seed)
+    bits = (
+        (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64)
+    vote = (2 * bits - 1).sum(axis=0)
+    sim = np.uint64(0)
+    for b in range(64):
+        if vote[b] > 0:
+            sim |= np.uint64(1) << np.uint64(b)
+    return int(sim.astype(np.int64))
+
+
+def test_simhash_exact_recall_at_hamming_4_to_8(spark):
+    """Round-1 bug: fixed 4x16 banding only guaranteed recall at Hamming
+    <= 3; with bands = max_hamming + 1 the candidate stage must find
+    EVERY pair at distance <= 8 (pigeonhole), matching brute force."""
+    rng = np.random.default_rng(5)
+    size = 200  # long docs + small perturbations land pairs at Hamming 2..9
+    base = list(rng.choice(WORDS, size=size))
+    rows = []
+    for i in range(25):
+        words = list(base)
+        for j in rng.choice(size, size=min(i, 12), replace=False):
+            words[j] = WORDS[int(rng.integers(len(WORDS)))]
+        text = " ".join(words)
+        rows.append(Row(doc_id=i, text=text, lang="en", source="s0", n_chars=len(text)))
+    docs = spark.createDataFrame(rows)
+
+    sims = {r.doc_id: _simhash_local(r.text) for r in rows}
+    want = {}
+    for a in sims:
+        for b in sims:
+            if a < b:
+                h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 8:
+                    want[(a, b)] = h
+    # the crafted corpus must actually exercise the 4..8 window
+    assert any(4 <= h <= 8 for h in want.values()), sorted(want.values())
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert got == want
+
+
+def test_short_docs_do_not_crash_shingle_paths(spark):
+    """Docs with < n words used to throw INVALID_PARAMETER_VALUE.START
+    via sequence(1, 0); they must simply contribute no shingles."""
+    rows = [
+        Row(doc_id=0, text="one", lang="en", source="s", n_chars=3),
+        Row(doc_id=1, text="two words", lang="en", source="s", n_chars=9),
+        Row(doc_id=2, text="the quick brown fox jumps", lang="en", source="s", n_chars=25),
+        Row(doc_id=3, text="the quick brown fox leaps", lang="en", source="s", n_chars=25),
+    ]
+    docs = spark.createDataFrame(rows)
+    assert {r["doc_id"] for r in word_shingles(docs, 3).collect()} == {2, 3}
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in jac} == {(2, 3)}
+    lsh = minhash_lsh_pairs(docs, k=64, bands=16, n=3, threshold=0.2).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in lsh} == {(2, 3)}
+
+
 def test_word_shingles_count(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="a b c d e", lang="en", source="s", n_chars=9)]
