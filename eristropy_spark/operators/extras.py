@@ -1,8 +1,10 @@
 """SampEnEfficiency — Lake-et-al. r-selection (reference: eristropy/extras.py).
 
-Spark plan (SURVEY.md §3.3): ``tokens × explode(r_grid)`` → efficiency
-UDF per (sequence, r) cell → exact median per r across signals
-(np.median NaN semantics) → collect the tiny (|grid|-row) table →
+Spark plan (SURVEY.md §3.3): one grid UDF per sequence (array<double>
+of per-r objectives) → posexplode → exact NaN-skipping median per r
+across signals (np.nanmedian; see ``_nan_skipping_median`` for the
+documented deviation from the reference) → collect the tiny
+(|grid|-row) table →
 driver-side ``np.interp`` onto the fine grid → ``nanargmin`` → r* →
 one final projection computing (-log cp, s/cp) per sequence.
 
@@ -26,10 +28,17 @@ from eristropy_spark.functions.efficiency import (
 __all__ = ["SampEnEfficiencyOp"]
 
 
-def _nan_poisoning_median(col):
-    return F.when(
-        F.max(F.isnan(col).cast("int")) > 0, F.lit(float("nan"))
-    ).otherwise(F.median(col))
+def _nan_skipping_median(col):
+    """Median over non-NaN objectives.
+
+    DOCUMENTED DEVIATION from the reference's ``np.median`` (which
+    poisons the whole r-grid if ANY signal's objective is NaN): a
+    sequence too short/degenerate for the CP estimator (e.g. 2 tokens —
+    no order-2 template can match) would otherwise veto r* selection
+    for the entire corpus.  Skipping NaN matches np.nanmedian; for
+    corpora where every objective is finite the two are identical.
+    """
+    return F.median(F.when(~F.isnan(col), col))
 
 
 class SampEnEfficiencyOp:
@@ -91,10 +100,13 @@ class SampEnEfficiencyOp:
         ).select(F.posexplode("objs").alias("pos", "obj"))
         rows = (
             cells.groupBy("pos")
-            .agg(_nan_poisoning_median(F.col("obj")).alias("med"))
+            .agg(_nan_skipping_median(F.col("obj")).alias("med"))
             .collect()
         )
-        by_pos = {int(row["pos"]): float(row["med"]) for row in rows}
+        by_pos = {
+            int(row["pos"]): float("nan") if row["med"] is None else float(row["med"])
+            for row in rows
+        }
         return np.array([by_pos[i] for i in range(len(self.rs))])
 
     def find_rstar(self) -> float:

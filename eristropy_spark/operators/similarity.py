@@ -106,39 +106,52 @@ def cosine_topk_lsh(
     n_bits: int = 8,
     n_tables: int = 8,
     seed: int = 17,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH candidates, exact rerank within."""
-    dim = len(emb.select("embedding").first()[0])
+    """Approximate top-k: hyperplane-LSH candidates, exact rerank within.
+
+    Pass ``dim`` when known (schema metadata / config) to avoid the
+    one-row probe job.  The bucket join and the candidate ``distinct``
+    carry ONLY ids — embedding vectors are re-attached afterwards, one
+    join per side, so no wide payload rides the exploded table stream
+    or the dedup shuffle.
+    """
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
     with_b = emb.select(
-        "vec_id", "embedding", bucket_udf(F.col("embedding")).alias("codes")
+        "vec_id", bucket_udf(F.col("embedding")).alias("codes")
     )
     tabled = with_b.select(
-        "vec_id",
-        "embedding",
-        F.posexplode("codes").alias("table_id", "bucket"),
+        "vec_id", F.posexplode("codes").alias("table_id", "bucket")
     )
-    corpus = tabled.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("v"),
-        "table_id",
-        "bucket",
+    corpus_ids = tabled.select(
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
     )
-    queries = tabled.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        "table_id",
-        "bucket",
+    query_ids_t = tabled.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
-    cands = (
-        corpus.join(F.broadcast(queries), ["table_id", "bucket"])
+    cand_ids = (
+        corpus_ids.join(F.broadcast(query_ids_t), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q", "neighbor_id", "v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cands.withColumn(
-        "cos_sim",
-        round6(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))),
+    corpus_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v")
+    )
+    query_vecs = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        cand_ids.join(corpus_vecs, "neighbor_id")
+        .join(F.broadcast(query_vecs), "query_id")
+        .withColumn(
+            "cos_sim",
+            round6(
+                _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -136,11 +136,25 @@ def make_stationary(
     n_splits: int = 5,
     eps: float = 1e-6,
 ) -> StationarityResult:
-    """Transform → ADF → Holm–Šidák → filter → normalize."""
+    """Transform → ADF → Holm–Šidák → filter → normalize.
+
+    ``detrend_type="gp_sklearn"`` is an interface-compatibility alias
+    for the reference's sklearn GP path (gp.py:70-113): it redirects to
+    the numba-path semantics used by ``"gp"``.  Deliberate deviation:
+    the reference's sklearn branch carries an id-alignment bug
+    (``np.repeat(signal_id, n)`` at gp.py:104 mislabels residuals when
+    signals have unequal lengths), so reproducing it bit-for-bit would
+    reproduce corrupted output; both reference paths share the same GP
+    model, and the numba path is its canonical implementation.
+    """
     if method not in {"difference", "detrend"}:
         raise ValueError("method must be one of {'difference', 'detrend'}")
+    if detrend_type == "gp_sklearn":
+        detrend_type = "gp"
     if detrend_type not in {"lr", "gp"}:
-        raise ValueError("detrend_type must be one of {'lr', 'gp'}")
+        raise ValueError(
+            "detrend_type must be one of {'lr', 'gp', 'gp_sklearn'}"
+        )
     if not (0.0 < alpha < 1.0):
         raise ValueError("alpha must be in (0, 1)")
     if ls_range[0] <= 0 or ls_range[0] >= ls_range[1]:

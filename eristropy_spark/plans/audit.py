@@ -1,0 +1,118 @@
+"""Physical-plan audit helpers — the engine's 100 TB design rules as
+executable checks (SURVEY.md §4.2, PLANS.md).
+
+Each check inspects the EXECUTED plan string for a structural property
+that must hold for the plan to survive a 100x scale-up:
+
+* parquet scans show ReadSchema pruned to the referenced columns,
+* filters reach the scan (PushedFilters),
+* the entropy projection is ONE Python boundary (a single MapInArrow /
+  ArrowEvalPython) with NO Exchange (zero-shuffle),
+* tokenize carries exactly one Exchange (the group-by key),
+* the cascade's hour tier reads the cached minute aggregate — never
+  re-runs the entropy UDF,
+* small dimension sides broadcast (tpch_q3, semi_join).
+
+``tools/plan_audit.py`` is the CLI wrapper; tests may call
+``audit_checks`` directly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+__all__ = ["plan_of", "audit_checks"]
+
+# nodes that mark a Python-worker boundary in an executed plan
+_PY_NODES = ("ArrowEvalPython", "MapInArrow", "PythonMapInArrow", "MapInPandas")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _py_node_count(plan: str) -> int:
+    return sum(plan.count(n) for n in _PY_NODES)
+
+
+def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
+    """Run every plan check; returns (name, passed, plan_text) rows."""
+    import __spark_entry__ as entrymod
+
+    from eristropy_spark.operators.entropy import compute_entropy
+    from eristropy_spark.operators.rollup import cascade, entropy_points
+    from eristropy_spark.sources.tokens import events_to_tokens, synthesize_tokens
+
+    checks: list[tuple[str, bool, str]] = []
+
+    # 1. column pruning + predicate pushdown on a filtered scan
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.where(F.col("event_type") == "click").select("user_id", "value")
+    p = plan_of(q)
+    pushed = (
+        "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in p
+    )
+    pruned = re.search(r"ReadSchema:.*user_id.*value", p) and "props" not in p.split(
+        "ReadSchema"
+    )[1][:200]
+    checks.append(("filter pushed to parquet scan", pushed, p))
+    checks.append(("scan schema pruned to referenced columns", bool(pruned), p))
+
+    # 2a. pandas-UDF entropy projection: one fused ArrowEvalPython, no shuffle
+    tok = synthesize_tokens(spark, 1000, seed=1, partitions=8)
+    pts = compute_entropy(tok, m=2, r=0.2, normalize=True)
+    p = plan_of(pts)
+    checks.append(
+        ("entropy (pandas path): exactly one ArrowEvalPython",
+         p.count("ArrowEvalPython") == 1, p)
+    )
+    checks.append(("entropy (pandas path): zero shuffles", "Exchange" not in p, p))
+
+    # 2b. default entropy_points (mapInArrow): one Python boundary, no shuffle
+    pts_a = entropy_points(tok, m=2, r=0.2)
+    p = plan_of(pts_a)
+    checks.append(
+        ("entropy (arrow path): exactly one Python boundary",
+         _py_node_count(p) == 1, p)
+    )
+    checks.append(("entropy (arrow path): zero shuffles", "Exchange" not in p, p))
+
+    # 3. tokenize: single shuffle on the group key
+    t = events_to_tokens(spark, sf_dir)
+    p = plan_of(t)
+    checks.append(
+        ("tokenize: exactly one Exchange (groupBy key)", p.count("Exchange") == 1, p)
+    )
+
+    # 4. cascade hour tier reads the minute aggregate, not raw points twice
+    pts2 = entropy_points(tok, m=2, r=0.2).persist()
+    pts2.count()
+    tiers = cascade(pts2)
+    p = plan_of(tiers["1hour"])
+    # the UDF may appear textually inside the InMemoryRelation's cached-plan
+    # description; what matters is that execution reads the cache
+    # (InMemoryTableScan) and never re-runs the UDF above it
+    above_cache = p.split("InMemoryRelation")[0]
+    checks.append(
+        ("hour tier: merges minute aggregate from cache, no UDF re-run",
+         p.count("HashAggregate") >= 4
+         and "InMemoryTableScan" in p
+         and _py_node_count(above_cache) == 0, p)
+    )
+    pts2.unpersist()
+
+    # 5. tpch_q3: customer side broadcast
+    q3 = entrymod.queries()["tpch_q3"](spark, sf_dir)
+    p = plan_of(q3)
+    checks.append(
+        ("tpch_q3: BroadcastHashJoin on customer dim", "BroadcastHashJoin" in p, p)
+    )
+
+    # 6. semi-join planned as a (broadcast) left-semi hash join
+    sj = entrymod.queries()["semi_join"](spark, sf_dir)
+    p = plan_of(sj)
+    checks.append(("semi_join: LeftSemi hash join", "LeftSemi" in p, p))
+
+    return checks

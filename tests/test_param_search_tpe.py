@@ -1,0 +1,155 @@
+"""Exercise the Optuna-TPE branch of SampleEntropyOp via a shim module.
+
+optuna is not installed in this environment, so round 1 only ever ran
+the random-search fallback.  A minimal fake ``optuna`` (create_study /
+TPESampler / trial.suggest_*) drives the real ``_optimize_optuna`` code
+path, mirroring the reference's determinism tests
+(reference tests/test_sample_entropy.py:547-593): same seed → identical
+trial sequence and identical (m*, r*, p*).
+"""
+
+import math
+import sys
+import types
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from eristropy_spark.operators.sample_entropy import SampleEntropyOp
+
+
+class _FakeTrial:
+    def __init__(self, rs):
+        self._rs = rs
+
+    def suggest_int(self, name, lo, hi):
+        return int(self._rs.randint(lo, hi + 1))
+
+    def suggest_float(self, name, lo, hi):
+        return float(self._rs.uniform(lo, hi))
+
+
+class _FakeStudy:
+    def __init__(self, sampler):
+        self._sampler = sampler
+        self.n_calls = 0
+
+    def optimize(self, objective, n_trials):
+        rs = np.random.RandomState(self._sampler.seed)
+        for _ in range(n_trials):
+            objective(_FakeTrial(rs))
+            self.n_calls += 1
+
+
+class _FakeTPESampler:
+    def __init__(self, seed=None):
+        self.seed = seed
+
+
+def _install_fake_optuna():
+    optuna = types.ModuleType("optuna")
+    samplers = types.ModuleType("optuna.samplers")
+    samplers.TPESampler = _FakeTPESampler
+    created = []
+
+    def create_study(sampler):
+        st = _FakeStudy(sampler)
+        created.append(st)
+        return st
+
+    optuna.samplers = samplers
+    optuna.create_study = create_study
+    optuna.logging = types.SimpleNamespace(
+        set_verbosity=lambda level: None, ERROR=40
+    )
+    sys.modules["optuna"] = optuna
+    sys.modules["optuna.samplers"] = samplers
+    return created
+
+
+@pytest.fixture
+def fake_optuna():
+    created = _install_fake_optuna()
+    yield created
+    sys.modules.pop("optuna", None)
+    sys.modules.pop("optuna.samplers", None)
+
+
+def _token_df(spark):
+    rng = np.random.default_rng(23)
+    rows = [
+        Row(
+            doc_id=f"s{i}",
+            tokens=[float(v) for v in rng.normal(size=60)],
+            n_tok=60,
+            source="a",
+        )
+        for i in range(4)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_tpe_branch_runs_and_is_deterministic(spark, fake_optuna):
+    df = _token_df(spark)
+
+    def run():
+        op = SampleEntropyOp(
+            df, n_trials=10, n_boot=50, random_seed=7, m_range=(1, 2)
+        )
+        op.find_optimal_params()
+        return op
+
+    a, b = run(), run()
+    # the TPE (shim) branch actually executed — not the random fallback
+    assert len(fake_optuna) == 2
+    assert all(st.n_calls == 10 for st in fake_optuna)
+    # reference determinism contract: same seed → identical trials + stars
+    assert [(t.m, t.r, t.p, t.value) for t in a.trials_] == [
+        (t.m, t.r, t.p, t.value) for t in b.trials_
+    ]
+    assert (a.m_star_, a.r_star_, a.p_star_) == (b.m_star_, b.r_star_, b.p_star_)
+    best = min(
+        (t for t in a.trials_ if not math.isnan(t.value)), key=lambda t: t.value
+    )
+    assert (a.m_star_, a.r_star_, a.p_star_) == (best.m, best.r, best.p)
+
+
+def test_tpe_and_random_fallback_share_interface(spark, fake_optuna):
+    # fixed (m, r, p) short-circuit suggestions in BOTH branches
+    df = _token_df(spark)
+    op = SampleEntropyOp(
+        df, n_trials=10, n_boot=50, random_seed=7, m=1, r=0.3, p=0.5
+    )
+    op.find_optimal_params()
+    assert {(t.m, t.r, t.p) for t in op.trials_} == {(1, 0.3, 0.5)}
+    assert (op.m_star_, op.r_star_, op.p_star_) == (1, 0.3, 0.5)
+
+
+def test_gp_sklearn_alias_dispatches(spark):
+    """W4 parity alias: detrend_type='gp_sklearn' redirects to the numba
+    path semantics (reference gp.py:104 id bug documented, not ported)."""
+    from eristropy_spark.operators.stationarity import make_stationary
+
+    rng = np.random.default_rng(3)
+    rows = [
+        Row(
+            doc_id=f"s{i}",
+            tokens=[float(v) for v in (np.arange(40) * 0.5 + rng.normal(size=40))],
+            n_tok=40,
+            source="a",
+        )
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(
+        method="detrend", alpha=0.05, normalize=False, keep_all=True,
+        random_seed=11, n_searches=2, n_splits=3,
+    )
+    a = make_stationary(df, detrend_type="gp_sklearn", **kw)
+    b = make_stationary(df, detrend_type="gp", **kw)
+    ra = {r["doc_id"]: (r["pvalue"], r["is_stationary"]) for r in a.df.collect()}
+    rb = {r["doc_id"]: (r["pvalue"], r["is_stationary"]) for r in b.df.collect()}
+    assert ra == rb
+    with pytest.raises(ValueError):
+        make_stationary(df, detrend_type="nope", method="detrend")
