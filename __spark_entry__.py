@@ -29,6 +29,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   simhash           pipeline     SimHash near-dup (rows-only)
   similarity_topk   pipeline     brute-force cosine top-k
   similarity_lsh    pipeline     hyperplane-LSH ANN (rows-only)
+  embed_dedup_exact pipeline     embedding-cosine near-dup, exact all-pairs
+  embed_dedup_lsh   pipeline     embedding-cosine near-dup, LSH scale path
   multimodal_features pipeline   binary decode plumbing (rows-only)
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
 """
@@ -635,6 +637,49 @@ def _q_multimodal(spark, sf_dir):
     return extract_features(assets, fake_decode=True).drop("feature")
 
 
+# the synthetic embeddings have no true near-dups (max pairwise cosine
+# ≈0.51 at sf0.01), so the contract threshold sits in the occupied tail
+_EMBED_DUP_THRESHOLD = 0.35
+
+
+def _q_embed_dedup_exact(spark, sf_dir):
+    from eristropy_spark.operators.embed_dedup import embedding_dup_pairs_exact
+
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs_exact(emb, threshold=_EMBED_DUP_THRESHOLD)
+
+
+_ORACLE_EMBED_DEDUP = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000
+      >= {_EMBED_DUP_THRESHOLD}
+"""
+
+
+def _q_embed_dedup_lsh(spark, sf_dir):
+    from eristropy_spark.operators.embed_dedup import embedding_dup_pairs_lsh
+
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the honest 100 TB configuration (high threshold, fine buckets);
+    # the synthetic corpus has no true near-dups so this returns 0 rows
+    # here — value correctness is pinned by the planted-duplicate test
+    # (tests/test_embed_dedup.py), which checks LSH == exact on a corpus
+    # that HAS near-dups
+    return embedding_dup_pairs_lsh(emb, threshold=0.95, n_bits=8, n_tables=8)
+
+
 # ------------------------------------------------------- relational shell
 
 
@@ -768,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
+        "embed_dedup_exact": _q_embed_dedup_exact,
+        "embed_dedup_lsh": _q_embed_dedup_lsh,
         "multimodal_features": _q_multimodal,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -793,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _ORACLE_LANG_ID,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "similarity_topk": _ORACLE_SIMILARITY,
+        "embed_dedup_exact": _ORACLE_EMBED_DEDUP,
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
         "semi_join": _ORACLE_SEMI_JOIN,

@@ -36,12 +36,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", "120000"))
 
-# ngram_jaccard is the documented exact/small-scale path: at sf0.1 the
-# synthetic corpus's tiny vocabulary makes its all-pairs shingle self-join
-# quadratic (~10^8 candidate pairs) — that is the workload minhash_lsh
-# replaces.  minhash_lsh itself IS timed since round 2: its verification
-# stage is O(candidates) (per-pair array_intersect), no self-join left.
-SKIP_AT_BENCH_SF = {"ngram_jaccard"}
+# The documented exact/small-scale paths are skipped at bench sf: their
+# all-pairs cost is the very thing the LSH operators replace.
+# ngram_jaccard: the synthetic corpus's tiny vocabulary makes the shingle
+# self-join quadratic (~10^8 candidate pairs).  embed_dedup_exact: 5k
+# vectors -> 12.5M fold-evaluated 64-dim dot products.  The scale paths
+# (minhash_lsh, embed_dedup_lsh) ARE timed.
+SKIP_AT_BENCH_SF = {"ngram_jaccard", "embed_dedup_exact"}
 
 
 def _phase_headline(cores: int) -> None:
@@ -115,19 +116,24 @@ def _phase_queries(cores: int) -> None:
 
     spark = get_spark(app_name="bench-queries", cores=cores)
     out = {}
-    for name, fn in entrymod.queries().items():
-        if name in SKIP_AT_BENCH_SF:
-            continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        # hash-consume EVERY column: a bare count() lets Catalyst prune
-        # deterministic UDF projections, silently timing only the scan
-        # (round-1 under-measured sampen_permen / gorilla_roundtrip /
-        # multimodal this way)
-        df.select(
-            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
-        ).collect()
-        out[name] = round(time.time() - t0, 3)
+    # best-of-2: neighbor contention on this box swings identical runs
+    # up to 5x (see BASELINE.md methodology); min-of-two is the
+    # least-contended estimate
+    for _rep in range(2):
+        for name, fn in entrymod.queries().items():
+            if name in SKIP_AT_BENCH_SF:
+                continue
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            # hash-consume EVERY column: a bare count() lets Catalyst
+            # prune deterministic UDF projections, silently timing only
+            # the scan (round-1 under-measured sampen_permen /
+            # gorilla_roundtrip / multimodal this way)
+            df.select(
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+            ).collect()
+            dt = round(time.time() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
     print(json.dumps(out))
     spark.stop()
 

@@ -110,6 +110,13 @@ class SampEnEfficiencyOp:
         return np.array([by_pos[i] for i in range(len(self.rs))])
 
     def find_rstar(self) -> float:
+        # the r* search and the final (sampen, se) pass are two actions
+        # over the same token lineage (scan + sequence assembly + z-norm);
+        # persist so the upstream shuffle runs once, like the reference
+        # reuses its in-memory frame across both passes
+        from pyspark import StorageLevel
+
+        self.df = self.df.persist(StorageLevel.MEMORY_AND_DISK)
         objs = self._objective_by_r()
         fine = np.interp(self._pts, self.rs, objs)
         self.r_star_ = float(self._pts[np.nanargmin(fine)])

@@ -28,8 +28,6 @@ pvalue, is_stationary) — filtered to survivors unless
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -45,18 +43,52 @@ from eristropy_spark.functions.transforms import (
 __all__ = ["make_stationary", "holm_sidak_filter", "StationarityResult"]
 
 
-@dataclass
 class StationarityResult:
-    df: DataFrame  # surviving (or all, flagged) signals
-    stationary_frac: float
-    n_signals: int
+    """Pipeline output: ``df`` plus lazily-computed summary stats.
+
+    ``stationary_frac`` / ``n_signals`` trigger ONE aggregate job on
+    first access (cached after) — consumers that only read ``df`` (the
+    common case) never pay for it.
+    """
+
+    def __init__(self, df: DataFrame, flagged: DataFrame) -> None:
+        self.df = df
+        self._flagged = flagged
+        self._frac: float | None = None
+        self._n: int | None = None
+
+    def _summarize(self) -> None:
+        row = self._flagged.agg(
+            F.avg(F.col("is_stationary").cast("double")).alias("frac"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        self._frac = float(row["frac"] or 0.0)
+        self._n = int(row["n"])
+
+    @property
+    def stationary_frac(self) -> float:
+        if self._frac is None:
+            self._summarize()
+        return self._frac
+
+    @property
+    def n_signals(self) -> int:
+        if self._n is None:
+            self._summarize()
+        return self._n
 
 
-def _global_rank(df: DataFrame, col: str, buckets: int = 1024) -> DataFrame:
+def _global_rank(
+    df: DataFrame, col: str, buckets: int = 1024
+) -> tuple[DataFrame, int]:
     """Dense 1-based global rank by ``col`` without a single-partition
     window: value-bucket the column, window-rank *within* each bucket
     (parallel across buckets), then add driver-computed bucket offsets
     (``buckets`` rows — tiny) back via broadcast join.
+
+    Returns ``(ranked_df, total_rows)`` — the total falls out of the
+    bucket-count collect, so callers never run a separate count() job
+    over the (possibly expensive) input lineage.
     """
     b = F.least(
         F.greatest(F.floor(F.col(col) * buckets).cast("int"), F.lit(0)),
@@ -80,11 +112,12 @@ def _global_rank(df: DataFrame, col: str, buckets: int = 1024) -> DataFrame:
         [(k, v) for k, v in offsets.items()], "_bkt int, _off long"
     )
     w = Window.partitionBy("_bkt").orderBy(F.col(col).asc_nulls_last())
-    return (
+    ranked = (
         bucketed.join(F.broadcast(off_df), "_bkt")
         .withColumn("_rank", F.row_number().over(w) + F.col("_off"))
         .drop("_bkt", "_off")
     )
+    return ranked, acc
 
 
 def holm_sidak_filter(pvalues_df: DataFrame, alpha: float = 0.05) -> DataFrame:
@@ -99,10 +132,9 @@ def holm_sidak_filter(pvalues_df: DataFrame, alpha: float = 0.05) -> DataFrame:
     the correction holds at 10^12 signals; numerically matches
     kernels.adf.holm_sidak_reject (equivalence-tested).
     """
-    n = pvalues_df.count()
+    ranked, n = _global_rank(pvalues_df, "pvalue")
     if n == 0:
         return pvalues_df.withColumn("is_stationary", F.lit(False))
-    ranked = _global_rank(pvalues_df, "pvalue")
     crit = 1.0 - F.pow(F.lit(1.0 - alpha), 1.0 / (F.lit(float(n)) - F.col("_rank") + 1.0))
     flagged = ranked.withColumn(
         "_fail",
@@ -188,14 +220,7 @@ def make_stationary(
     )
     flagged = holm_sidak_filter(with_p, alpha=alpha)
 
-    frac_row = flagged.agg(
-        F.avg(F.col("is_stationary").cast("double")).alias("frac"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-
     out = flagged if keep_all else flagged.where(F.col("is_stationary"))
     if normalize:
         out = znormed(out, "tokens")
-    return StationarityResult(
-        df=out, stationary_frac=float(frac_row["frac"] or 0.0), n_signals=int(frac_row["n"])
-    )
+    return StationarityResult(df=out, flagged=flagged)
