@@ -225,8 +225,10 @@ def main() -> None:
     # is reported as auxiliary evidence.
     lo_cores = int(os.environ.get("BENCH_LO_CORES", "2"))
     hi_cores = lo_cores * 4
-    lo = _best_of("headline", lo_cores)
-    hi = _best_of("headline", hi_cores)
+    # 4 reps on the ladder levels: neighbor contention can halve a
+    # single 8-core run (observed 4.0k-12.3k seq/s for identical work)
+    lo = _best_of("headline", lo_cores, reps=4)
+    hi = _best_of("headline", hi_cores, reps=4)
     aux = _best_of("headline", CPUS) if CPUS > hi_cores else hi
     eff = (hi["seq_per_sec"] / lo["seq_per_sec"]) / (hi_cores / lo_cores)
     kernel_ladder = _run_sub("kernel", 0)

@@ -30,11 +30,14 @@ def _token_views(col: pa.ChunkedArray | pa.Array) -> list[np.ndarray | None]:
     out: list[np.ndarray | None] = []
     for chunk in chunks:
         if isinstance(chunk, pa.ListArray):
-            # slice offsets relative to the (possibly offset) chunk
+            # slice offsets relative to the (possibly offset) chunk.
+            # The flat values buffer keeps its NATIVE dtype (int32 for
+            # token tables): the kernels cast per sequence into small
+            # L2-resident float64 blocks, so the 2x-wider float64 image
+            # of the whole batch never hits DRAM — this matters on the
+            # bandwidth-bound high-core runs of the scaling ladder.
             offsets = chunk.offsets.to_numpy()
-            values = chunk.values.to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
+            values = chunk.values.to_numpy(zero_copy_only=False)
             valid = chunk.is_valid().to_numpy(zero_copy_only=False)
             for i in range(len(chunk)):
                 if not valid[i]:
