@@ -40,6 +40,7 @@ __all__ = [
     "sampen_se_udf",
     "bootstrap_mse_udf",
     "adf_pvalue_udf",
+    "make_transform_adf_udf",
 ]
 
 
@@ -200,3 +201,50 @@ def adf_pvalue_udf(tokens: pd.Series) -> pd.Series:
         except (ValueError, np.linalg.LinAlgError):
             out[i] = 1.0
     return pd.Series(out)
+
+
+from pyspark.sql.types import ArrayType
+
+_TRANSFORM_ADF_STRUCT = StructType(
+    [
+        StructField("tokens", ArrayType(DoubleType())),
+        StructField("pvalue", DoubleType()),
+    ]
+)
+
+
+def make_transform_adf_udf(transform_fn):
+    """Fused (stationarity transform → ADF p-value) struct UDF.
+
+    The unfused plan crossed the Arrow boundary twice — transform UDF,
+    then ADF UDF over the transformed array (token arrays serialized
+    JVM→Python→JVM→Python).  One struct UDF halves the boundary traffic
+    of the stationarity pipeline's expensive pass.  Failure semantics
+    match the unfused path exactly: transform ValueError → (None, 1.0);
+    ADF estimation failure → p=1.0 (reference stationarity.py:158-163).
+    """
+
+    @F.pandas_udf(_TRANSFORM_ADF_STRUCT)
+    def transform_adf_udf(tokens: pd.Series) -> pd.DataFrame:
+        toks_out: list = []
+        p_out: list = []
+        for seq in tokens:
+            if seq is None:
+                toks_out.append(None)
+                p_out.append(1.0)
+                continue
+            x = np.asarray(seq, dtype=np.float64)
+            try:
+                t = transform_fn(x)
+            except ValueError:
+                toks_out.append(None)
+                p_out.append(1.0)
+                continue
+            toks_out.append(t)
+            try:
+                p_out.append(adf_kernel.adfuller(t)[1])
+            except (ValueError, np.linalg.LinAlgError):
+                p_out.append(1.0)
+        return pd.DataFrame({"tokens": toks_out, "pvalue": p_out})
+
+    return transform_adf_udf

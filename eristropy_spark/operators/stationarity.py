@@ -33,12 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eristropy_spark.functions.arrays import znormed
-from eristropy_spark.functions.entropy import adf_pvalue_udf
-from eristropy_spark.functions.transforms import (
-    detrend_linreg_udf,
-    difference_udf,
-    make_detrend_gp_udf,
-)
+from eristropy_spark.functions.entropy import make_transform_adf_udf
 
 __all__ = ["make_stationary", "holm_sidak_filter", "StationarityResult"]
 
@@ -192,32 +187,45 @@ def make_stationary(
     if ls_range[0] <= 0 or ls_range[0] >= ls_range[1]:
         raise ValueError("ls_range must be a tuple (a, b) with 0 < a < b")
 
-    toks = F.col("tokens").cast("array<double>")
+    from eristropy_spark.kernels.gp import detrend_gp
+    from eristropy_spark.kernels.transforms import (
+        detrend_linreg as detrend_linreg_kernel,
+    )
+    from eristropy_spark.kernels.transforms import difference as difference_kernel
+
     if method == "difference":
-        transformed = difference_udf(toks)
+        transform_fn = difference_kernel
     elif detrend_type == "lr":
-        transformed = detrend_linreg_udf(toks)
+        transform_fn = lambda x: detrend_linreg_kernel(  # noqa: E731
+            np.arange(x.size, dtype=np.float64), x
+        )
     else:
         # ls candidates drawn once on the driver, like gp.py:526
         rng = np.random.RandomState(random_seed)
         ls_vals = rng.uniform(ls_range[0], ls_range[1], size=n_searches)
-        transformed = make_detrend_gp_udf(ls_vals, n_splits=n_splits, eps=eps)(toks)
+        transform_fn = lambda x: detrend_gp(  # noqa: E731
+            x, ls_vals, n_splits=n_splits, eps=eps
+        )
 
+    # transform and ADF fused into ONE struct UDF: the unfused plan
+    # serialized every token array across the Arrow boundary twice
+    fused = make_transform_adf_udf(transform_fn)(
+        F.col("tokens").cast("array<double>")
+    )
     passthrough = [c for c in tokens_df.columns if c not in ("tokens", "n_tok")]
-    base = tokens_df.select(
+    base = tokens_df.select(*passthrough, fused.alias("_ta")).select(
         *passthrough,
-        transformed.alias("tokens"),
+        F.col("_ta.tokens").alias("tokens"),
+        F.col("_ta.pvalue").alias("pvalue"),
     ).withColumn("n_tok", F.size("tokens").cast("int"))
 
-    # The filter + the fraction aggregate below drive ≥3 actions over this
-    # lineage; without a persist the expensive ADF (and possibly GP-detrend)
-    # UDF recomputes once per action — at 10^12 signals that's the whole
-    # pipeline cost times four.  MEMORY_AND_DISK: one UDF pass, period.
+    # The filter + the lazy fraction aggregate drive ≥2 actions over this
+    # lineage; without a persist the expensive fused UDF recomputes once
+    # per action — at 10^12 signals that's the whole pipeline cost times
+    # the action count.  MEMORY_AND_DISK: one UDF pass, period.
     from pyspark import StorageLevel
 
-    with_p = base.withColumn("pvalue", adf_pvalue_udf(F.col("tokens"))).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    with_p = base.persist(StorageLevel.MEMORY_AND_DISK)
     flagged = holm_sidak_filter(with_p, alpha=alpha)
 
     out = flagged if keep_all else flagged.where(F.col("is_stationary"))
