@@ -29,6 +29,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   simhash           pipeline     SimHash near-dup (rows-only)
   similarity_topk   pipeline     brute-force cosine top-k
   similarity_lsh    pipeline     hyperplane-LSH ANN (rows-only)
+  similarity_ivf    pipeline     IVF coarse-quantizer ANN (rows-only)
   embed_dedup_exact pipeline     embedding-cosine near-dup, exact all-pairs
   embed_dedup_lsh   pipeline     embedding-cosine near-dup, LSH scale path
   multimodal_features pipeline   binary decode plumbing (rows-only)
@@ -632,6 +633,15 @@ def _q_similarity_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, _QUERY_VEC_IDS, k=5, n_bits=8, n_tables=8)
 
 
+def _q_similarity_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only; recall pinned vs brute force
+    in tests/test_ivf.py, full-probe ≡ brute force equality there too)."""
+    from eristropy_spark.operators.ivf import cosine_topk_ivf
+
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(emb, _QUERY_VEC_IDS, k=5, n_cells=16, nprobe=4)
+
+
 def _q_multimodal(spark, sf_dir):
     assets = documents_to_assets(_docs(spark, sf_dir))
     return extract_features(assets, fake_decode=True).drop("feature")
@@ -813,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
+        "similarity_ivf": _q_similarity_ivf,
         "embed_dedup_exact": _q_embed_dedup_exact,
         "embed_dedup_lsh": _q_embed_dedup_lsh,
         "multimodal_features": _q_multimodal,
