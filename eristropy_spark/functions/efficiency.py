@@ -1,10 +1,12 @@
 """Arrow UDFs for the SampEn-efficiency r-selection (reference extras.py).
 
-One UDF evaluates the per-(sequence, r) efficiency objective so the
-r-grid can be exploded into rows and aggregated with a median — the
-Spark plan is ``tokens × explode(r_grid) → eff_udf → groupBy(r).median``
-(SURVEY.md §3.3) instead of the reference's quadratic re-filtering loop
-(extras.py:232-236, hazard 8).
+One grid UDF per SEQUENCE returns the whole |r-grid| objective vector
+(the sheared match geometry is shared across the grid inside
+kernels/lake.cp_mean_sd_grid); the Spark plan is
+``tokens → grid_udf → posexplode → groupBy(pos).median`` — each token
+array crosses the Arrow boundary once, vs the reference's quadratic
+re-filtering loop (extras.py:232-236, hazard 8) and the round-1
+explode-before-UDF plan that shipped each array |grid| times.
 """
 
 from __future__ import annotations
@@ -27,7 +29,6 @@ from eristropy_spark.kernels.sampen import sampen, sampen_se
 __all__ = [
     "counting_obj",
     "bootstrap_obj",
-    "efficiency_udf",
     "make_efficiency_grid_udf",
     "cp_sampen_se_udf",
 ]
@@ -60,36 +61,6 @@ def bootstrap_obj(
     se = sampen_se(x, m, r, p, n_boot, rng)
     s = sampen(x, m, r)
     return max(se, se / s)
-
-
-@F.pandas_udf(DoubleType())
-def efficiency_udf(
-    doc_id: pd.Series,
-    tokens: pd.Series,
-    r: pd.Series,
-    m: pd.Series,
-    use_bootstrap: pd.Series,
-    p: pd.Series,
-    n_boot: pd.Series,
-    seed: pd.Series,
-) -> pd.Series:
-    out = np.full(len(tokens), np.nan, dtype=np.float64)
-    for i in range(len(tokens)):
-        seq = tokens.iloc[i]
-        if seq is None:
-            continue
-        x = np.asarray(seq, dtype=np.float64)
-        ri, mi = float(r.iloc[i]), int(m.iloc[i])
-        if bool(use_bootstrap.iloc[i]):
-            # RNG keyed by (seed, doc_id, r) so every grid cell draws an
-            # independent, partition-order-free stream
-            rng = sequence_rng(int(seed.iloc[i]), f"{doc_id.iloc[i]}|r={ri}")
-            out[i] = bootstrap_obj(
-                x, mi, ri, float(p.iloc[i]), int(n_boot.iloc[i]), rng
-            )
-        else:
-            out[i] = counting_obj(x, mi, ri)
-    return pd.Series(out)
 
 
 def make_efficiency_grid_udf(
