@@ -108,9 +108,13 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _mix64(h: np.ndarray, seed: int) -> np.ndarray:
-    """Cheap xorshift-multiply mixer — k permutations from one base hash."""
-    x = h ^ np.uint64(seed)
+def _mix64(h: np.ndarray, seed) -> np.ndarray:
+    """Cheap xorshift-multiply mixer — k permutations from one base hash.
+
+    ``seed`` may be a scalar or an array (broadcasts: (k,1) seeds against
+    (1,n) hashes give the whole (k, n) permutation matrix in one shot).
+    """
+    x = h ^ np.asarray(seed, dtype=np.uint64)
     x ^= x >> np.uint64(33)
     x *= np.uint64(0xFF51AFD7ED558CCD)
     x ^= x >> np.uint64(33)
@@ -146,7 +150,13 @@ def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 17):
                 out.append([0] * k)
                 continue
             base = _shingle_hashes(t, n)
-            sig = [int(_mix64(base, int(s)).min().astype(np.int64)) for s in seeds]
+            # all k permutations at once: (k, n_shingles) mix -> row min
+            sig = (
+                _mix64(base[None, :], seeds[:, None])
+                .min(axis=1)
+                .astype(np.int64)
+                .tolist()
+            )
             out.append(sig)
         return pd.Series(out)
 
