@@ -95,3 +95,45 @@ class TableCatalog:
             return None
         with open(self._meta_path(table)) as f:
             return json.load(f)["version"]
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        buckets: int = 32,
+        sort: bool = True,
+        mode: str = "overwrite",
+    ) -> str:
+        """Bucketed (and bucket-sorted) table write — the pre-shuffled
+        layout for CO-LOCATED joins: two tables bucketed on the same key
+        with the same bucket count join with NO Exchange on either side
+        (and no Sort when ``sort=True``) — the shuffle is paid once at
+        write time instead of per join, which is the difference between
+        re-shuffling 100 TB per query and never.
+
+        Returns the registered table name (``spark.table(name)`` reads
+        it with bucket metadata; a plain parquet read of the path would
+        lose it).  Iceberg path uses the bucket partition transform —
+        note Spark only eliminates the join shuffle there with
+        storage-partitioned-join configs, so the parquet/native path is
+        the one plan-asserted in tests/test_bucketed_join.py.
+        """
+        if self.use_iceberg:
+            from pyspark.sql import functions as F
+
+            df.writeTo(table).partitionedBy(
+                F.bucket(buckets, F.col(key))
+            ).createOrReplace()
+            return table
+        name = table.replace(".", "_")
+        writer = (
+            df.write.format("parquet")
+            .mode(mode)
+            .option("path", self._path(table))
+            .bucketBy(buckets, key)
+        )
+        if sort:
+            writer = writer.sortBy(key)
+        writer.saveAsTable(name)
+        return name
