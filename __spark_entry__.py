@@ -20,6 +20,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   sampen_permen     E1/E16       entropy per sequence (rows-only)
   sampen_eff        E8-E15       Lake r* selection + (sampen, se) (rows-only)
   stationarity      W13/W14/X5   ADF + Holm-Sidak survivors (rows-only)
+  windowed_entropy  scale path   bounded-compute entropy over fixed windows
   dedup_exact       pipeline     exact text dedup
   text_stats        pipeline     token counting / ratios
   quality_score     pipeline     quality heuristic
@@ -470,6 +471,24 @@ def _q_stationarity(spark, sf_dir):
     )
 
 
+def _q_windowed_entropy(spark, sf_dir):
+    """Bounded-compute entropy for long sequences: fixed windows sliced
+    JVM-side, one entropy point per (doc, window) (rows-only; window
+    slicing + kernel parity pinned in tests/test_windowed.py)."""
+    from eristropy_spark.operators.windowed import windowed_entropy
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    out = windowed_entropy(tokens, window=8, stride=8, min_window=4, m=1, r=0.2)
+    return out.select(
+        "doc_id",
+        "window_id",
+        "n_tok",
+        "source",
+        _r6("sampen").alias("sampen"),
+        _r6("permen").alias("permen"),
+    )
+
+
 # ---------------------------------------------------------------- text
 
 
@@ -814,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampen_permen": _q_sampen,
         "sampen_eff": _q_sampen_eff,
         "stationarity": _q_stationarity,
+        "windowed_entropy": _q_windowed_entropy,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
