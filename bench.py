@@ -138,6 +138,11 @@ def _phase_queries(cores: int) -> None:
             ).collect()
             dt = round(time.time() - t0, 3)
             out[name] = min(out.get(name, dt), dt)
+            # several operators persist internally and never unpersist
+            # (their result DataFrames stay lazily consumable); dropping
+            # the cache between queries keeps timings independent and
+            # the block manager lean across 27x2 query runs
+            spark.catalog.clearCache()
     print(json.dumps(out))
     spark.stop()
 
