@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # split input files so a scan task's rows (plus its Arrow batch
+        # and Python-worker copies) stay well inside executor memory even
+        # for token-array rows; at 100 TB this also sets the scan-stage
+        # task count to data/64MB, independent of file layout
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
