@@ -44,7 +44,47 @@ import sys
 from collections.abc import Callable
 
 # make the engine importable regardless of the harness's cwd/sys.path
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_PYFILES_SENT = False
+
+
+def _ensure_pkg_on_executors(spark) -> None:
+    """Ship the package to executor Python workers (the programmatic
+    form of ``spark-submit --py-files``).
+
+    The driver's ``sys.path`` patch above does not reach executor
+    Python workers — with a harness whose cwd is elsewhere, the first
+    UDF would die with ModuleNotFoundError.  A zip of the package added
+    via ``addPyFile`` lands on every worker's import path, for local
+    AND real cluster masters alike.
+    """
+    global _PYFILES_SENT
+    if _PYFILES_SENT:
+        return
+    import zipfile
+
+    zip_path = os.path.join("/tmp", "eristropy_spark_pyfiles.zip")
+    pkg_root = os.path.join(_REPO, "eristropy_spark")
+    srcs = [
+        os.path.join(dirpath, f)
+        for dirpath, _dirs, files in os.walk(pkg_root)
+        for f in files
+        if f.endswith(".py")
+    ]
+    newest = max(os.path.getmtime(f) for f in srcs)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full in srcs:
+                zf.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass
+    _PYFILES_SENT = True
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -96,7 +136,7 @@ def _nan_avg(col: str):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tokenize events → z-norm → SampEn+PermEn → per-source rollup."""
-    tokens = events_to_tokens(spark, "/root/testdata/sf0.001")
+    tokens = events_to_tokens(_utc(spark), "/root/testdata/sf0.001")
     ent = compute_entropy(tokens, m=1, r=0.2, normalize=True)
     return (
         ent.groupBy("source")
@@ -113,9 +153,11 @@ def _utc(spark):
     """Pin session semantics the driver's own SparkSession may not share:
     UTC (date_trunc is session-TZ-dependent while the DuckDB oracle
     truncates naive timestamps) and non-ANSI mode (double/0 → NULL like
-    DuckDB 1.0, instead of DIVIDE_BY_ZERO on degenerate groups)."""
+    DuckDB 1.0, instead of DIVIDE_BY_ZERO on degenerate groups); also
+    ships the package zip to executor workers (--py-files equivalent)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    _ensure_pkg_on_executors(spark)
     return spark
 
 
