@@ -1,5 +1,5 @@
-"""Streaming LOCF gap-fill — dense, filled tiers emitted as event time
-advances.
+"""Streaming gap-fill (LOCF + linear) — dense, filled tiers emitted as
+event time advances.
 
 Batch gap-fill (operators/gapfill.py) joins a generated grid; a stream
 has no "end of data" to build a grid against, so the dense series is
@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["streaming_gapfill_locf"]
+__all__ = ["streaming_gapfill_locf", "streaming_gapfill_linear"]
 
 _OUT_SCHEMA = StructType(
     [
@@ -142,6 +142,108 @@ def streaming_gapfill_locf(
         .groupBy("source")
         .applyInPandasWithState(
             _make_update(interval_ms),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _make_linear_update(interval_ms: int):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pend_ms, pend_val, next_ms, _unused = state.get
+            pend = dict(zip(pend_ms, pend_val))
+        else:
+            pend, next_ms = {}, None
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, v in zip(pdf["bucket"], pdf["avg_value"]):
+                    ms = int(pd.Timestamp(ts).value // 1_000_000)
+                    pend[ms] = float(v)
+                    if next_ms is None or ms < next_ms:
+                        # the cursor starts at the earliest anchor; it can
+                        # only move back while that anchor is unemitted
+                        # (emitted anchors stay in pend as the left edge,
+                        # so min(pend) never exceeds the cursor afterwards)
+                        next_ms = min(ms, next_ms) if next_ms is not None else ms
+
+        wm = state.getCurrentWatermarkMs()
+        out_rows = []
+        if next_ms is not None:
+            cutoff = wm - interval_ms
+            finals = sorted(k for k in pend if k <= cutoff)
+            if finals:
+                # interpolate across consecutive FINAL anchor pairs; the
+                # last final anchor is emitted and kept as the open
+                # interval's left edge (never re-emitted: the cursor is
+                # already past it on the next invocation)
+                for a, b in zip(finals, finals[1:]):
+                    va, vb = pend[a], pend[b]
+                    ms = max(next_ms, a)
+                    while ms < b:
+                        frac = (ms - a) / (b - a)
+                        out_rows.append((ms, va + (vb - va) * frac))
+                        ms += interval_ms
+                    next_ms = max(next_ms, b)
+                last = finals[-1]
+                if next_ms <= last:
+                    out_rows.append((last, pend[last]))
+                    next_ms = last + interval_ms
+                pend = {
+                    k: v for k, v in pend.items() if k > cutoff or k == last
+                }
+        state.update(
+            (list(pend.keys()), [pend[k] for k in pend.keys()], next_ms, None)
+        )
+        state.setTimeoutTimestamp(max(wm, 0) + interval_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]] * len(out_rows),
+                    "bucket": [pd.Timestamp(ms, unit="ms") for ms, _ in out_rows],
+                    "avg_value": [v for _, v in out_rows],
+                }
+            )
+
+    return _update
+
+
+def streaming_gapfill_linear(
+    rollup_stream: DataFrame,
+    interval: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(source, bucket, avg_value) — dense linear-interpolated streaming tier.
+
+    Interior gap buckets are emitted when BOTH surrounding real anchors
+    are watermark-final (exact linear interpolation, matching the batch
+    ``gapfill_linear``); the open-ended gap after the latest anchor
+    stays pending until its closing anchor arrives (a stream cannot
+    interpolate toward an unknown future value — the semantic difference
+    from LOCF, which always carries forward).  The grid starts at each
+    source's first observed anchor, as in batch, so there is no leading
+    gap to fill.
+    """
+    num, unit = interval.split()
+    unit_ms = {
+        "second": 1_000,
+        "seconds": 1_000,
+        "minute": 60_000,
+        "minutes": 60_000,
+        "hour": 3_600_000,
+        "hours": 3_600_000,
+    }
+    interval_ms = int(num) * unit_ms[unit]
+    stream = rollup_stream.withColumn("bucket", F.col("bucket").cast("timestamp"))
+    return (
+        stream.withWatermark("bucket", watermark)
+        .groupBy("source")
+        .applyInPandasWithState(
+            _make_linear_update(interval_ms),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
