@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="none")
     p.add_argument("--salt", type=int, default=0,
                    help="salt buckets for skewed sources (0 = rely on AQE)")
+    p.add_argument("--window", type=int, default=0,
+                   help="windowed entropy: split sequences into fixed "
+                        "windows of this many tokens (bounds per-task "
+                        "cost for long sequences; 0 = whole-sequence)")
     p.add_argument("--gapfill", choices=["none", "locf", "linear"], default="locf")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--force", action="store_true", help="ignore checkpoints")
@@ -68,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     run_fp = (
         f"v1|in={args.input or f'synth:{args.synthesize}'}|m={args.m}|r={args.r}"
         f"|seed={args.seed}|st={args.stationarity}|salt={args.salt}"
+        f"|win={args.window}"
         + ("|force" if args.force else "")
     )
 
@@ -84,10 +89,22 @@ def main(argv: list[str] | None = None) -> int:
         tokens = res.df
         print(f"stationary fraction: {res.stationary_frac:.3f}", file=sys.stderr)
 
-    pts = cm.run_stage(
-        spark, "points", run_fp,
-        lambda: entropy_points(tokens, m=args.m, r=args.r, normalize=True),
-    )
+    if args.window:
+        # windowed raw tier: token sequences are positional, so every
+        # window inherits its sequence's start timestamp for bucketing
+        from eristropy_spark.operators.windowed import windowed_entropy
+
+        def _points():
+            return windowed_entropy(
+                tokens, window=args.window, m=args.m, r=args.r,
+                normalize=True, keep_cols=("source", "first_ts"),
+            ).withColumnRenamed("first_ts", "ts")
+
+    else:
+        def _points():
+            return entropy_points(tokens, m=args.m, r=args.r, normalize=True)
+
+    pts = cm.run_stage(spark, "points", run_fp, _points)
 
     tiers = cascade(pts, salt=args.salt or None)
     tier_dfs = {}
