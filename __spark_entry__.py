@@ -47,7 +47,10 @@ from collections.abc import Callable
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-_PYFILES_SENT = False
+# applicationIds already shipped the zip — keyed per SparkContext, not a
+# process-global bool, so a later different context in the same process
+# still gets its addPyFile call
+_PYFILES_SENT: set[str] = set()
 
 
 def _ensure_pkg_on_executors(spark) -> None:
@@ -60,12 +63,18 @@ def _ensure_pkg_on_executors(spark) -> None:
     via ``addPyFile`` lands on every worker's import path, for local
     AND real cluster masters alike.
     """
-    global _PYFILES_SENT
-    if _PYFILES_SENT:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SENT:
         return
+    import tempfile
     import zipfile
 
-    zip_path = os.path.join("/tmp", "eristropy_spark_pyfiles.zip")
+    # per-user name under the platform tmpdir: a stale world-shared
+    # /tmp file owned by another user would make os.replace fail
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"eristropy_spark_pyfiles_{uid}.zip"
+    )
     pkg_root = os.path.join(_REPO, "eristropy_spark")
     srcs = [
         os.path.join(dirpath, f)
@@ -84,7 +93,7 @@ def _ensure_pkg_on_executors(spark) -> None:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 — already added in this context
         pass
-    _PYFILES_SENT = True
+    _PYFILES_SENT.add(app_id)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

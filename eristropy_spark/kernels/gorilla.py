@@ -66,8 +66,12 @@ def _pack_fields(values: np.ndarray, widths: np.ndarray) -> bytes:
     if bool((widths == w0).all()):
         vals = values.astype(_U64)
         if w0 == 64:
-            # byte-aligned: the section IS the big-endian byte image
-            return vals.byteswap().tobytes() if vals.dtype.byteorder != ">" else vals.tobytes()
+            # byte-aligned: the section IS the big-endian byte image.
+            # astype(">u8") is explicit about byte order — astype(uint64)
+            # reports byteorder "=" (native), so a "!= '>'" guard would
+            # byteswap on big-endian hosts and corrupt the round-trip
+            # (decode always reads ">u8"); this form is host-independent.
+            return vals.astype(">u8").tobytes()
         shifts = np.arange(w0 - 1, -1, -1, dtype=_U64)
         bits = ((vals[:, None] >> shifts[None, :]) & _U64(1)).astype(np.uint8)
         return np.packbits(bits.ravel()).tobytes()

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from eristropy_spark.functions.numeric import round6
-from eristropy_spark.operators.similarity import _dot, _norm, make_hyperplane_udf
+from eristropy_spark.operators.similarity import (
+    _dot,
+    _norm,
+    make_hyperplane_udf,
+    probe_dim,
+)
 
 __all__ = ["embedding_dup_pairs_exact", "embedding_dup_pairs_lsh"]
 
@@ -69,7 +74,7 @@ def embedding_dup_pairs_lsh(
     recall is near-total for the default 8×8 configuration.
     """
     if dim is None:
-        dim = len(emb.select("embedding").first()[0])
+        dim = probe_dim(emb)
     bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
     tabled = emb.select(
         "vec_id", bucket_udf(F.col("embedding")).alias("codes")

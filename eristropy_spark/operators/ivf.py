@@ -40,21 +40,29 @@ __all__ = ["train_ivf_centroids", "ivf_assign", "cosine_topk_ivf"]
 
 def _make_assign_udf(centroids: np.ndarray):
     """pandas_udf: embedding -> nearest-centroid id (L2 on normalized
-    vectors ≈ cosine order)."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    vectors ≈ cosine order).
+
+    The whole Arrow batch is stacked into one (n, dim) matrix and scored
+    with a single (n, dim) @ (dim, k) matmul — no per-row Python loop
+    (a null embedding becomes the zero vector, whose argmax ties break
+    to cell 0, matching the old per-row default)."""
+    cn = (centroids / np.linalg.norm(centroids, axis=1, keepdims=True)).T  # (dim, k)
+    dim = cn.shape[0]
 
     @F.pandas_udf(IntegerType())
     def assign_udf(embedding: pd.Series) -> pd.Series:
-        out = np.zeros(len(embedding), dtype=np.int32)
-        for i, v in enumerate(embedding):
-            if v is None:
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            n = np.linalg.norm(x)
-            if n > 0:
-                x = x / n
-            out[i] = int(np.argmax(cn @ x))
-        return pd.Series(out)
+        if len(embedding) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        vals = [
+            np.zeros(dim, dtype=np.float64)
+            if v is None
+            else np.asarray(v, dtype=np.float64)
+            for v in embedding
+        ]
+        X = np.stack(vals)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        np.divide(X, norms, out=X, where=norms > 0)
+        return pd.Series(np.argmax(X @ cn, axis=1).astype(np.int32))
 
     return assign_udf
 
@@ -77,34 +85,42 @@ def train_ivf_centroids(
         .limit(k * sample_per_cell)
         .collect()
     )
+    if not init:
+        raise ValueError("cannot train IVF centroids: embeddings table is empty")
     rng = np.random.RandomState(seed)
     X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init])
+    if len(X) < k:
+        # corpus smaller than the requested cell count: every vector can
+        # be its own cell; clamping beats rng.choice's opaque ValueError
+        k = len(X)
     centroids = X[rng.choice(len(X), size=k, replace=False)]
+    dim = centroids.shape[1]
 
     for _ in range(n_iter):
         assign = _make_assign_udf(centroids)
+        # per-cell vector sums WITHOUT a dim-wide aggregate row: explode
+        # (cell, embedding) to (cell, pos, x) and group by (cell, pos) —
+        # map-side partial aggregation still applies, the shuffle carries
+        # k*dim groups, and the collect is k*dim rows regardless of dim
+        # (a 768-dim table needs no 768-column agg)
         sums = (
             emb.select(assign(F.col("embedding")).alias("cell"), "embedding")
-            .groupBy("cell")
+            .select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
             .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
                 F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("embedding", i + 1).cast("double")).alias(
-                        f"s{i}"
-                    )
-                    for i in range(centroids.shape[1])
-                ],
             )
             .collect()
         )
         new = centroids.copy()
+        acc = np.zeros((k, dim), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
         for row in sums:
-            c = int(row["cell"])
-            n = int(row["n"])
-            if n > 0:
-                new[c] = np.array(
-                    [row[f"s{i}"] for i in range(centroids.shape[1])]
-                ) / n
+            acc[int(row["cell"]), int(row["pos"])] = float(row["s"])
+            cnt[int(row["cell"])] = int(row["n"])
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
         # quantize: float sums across shuffle partitions are combined in
         # nondeterministic fetch order (~1e-12 relative jitter); rounding
         # to 6 dp makes the trained index bit-stable across partitionings

@@ -23,7 +23,20 @@ from pyspark.sql import functions as F
 from eristropy_spark.functions.numeric import round6
 from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["cosine_topk_bruteforce", "cosine_topk_lsh"]
+__all__ = ["cosine_topk_bruteforce", "cosine_topk_lsh", "probe_dim"]
+
+
+def probe_dim(emb: DataFrame) -> int:
+    """Embedding width from a one-row probe, with a clear error on an
+    empty table (``first()`` returns None there, which would otherwise
+    surface as an opaque ``TypeError: 'NoneType' is not subscriptable``)."""
+    row = emb.select("embedding").first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "cannot infer embedding dim: embeddings table is empty "
+            "(pass dim= explicitly if the schema is known)"
+        )
+    return len(row[0])
 
 
 def _dot(a, b):
@@ -117,7 +130,7 @@ def cosine_topk_lsh(
     or the dedup shuffle.
     """
     if dim is None:
-        dim = len(emb.select("embedding").first()[0])
+        dim = probe_dim(emb)
     bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
     with_b = emb.select(
         "vec_id", bucket_udf(F.col("embedding")).alias("codes")

@@ -84,3 +84,29 @@ def test_ivf_deterministic(spark):
         map(tuple, cosine_topk_ivf(emb.repartition(5), [0, 1], k=3, n_cells=4, seed=7).collect())
     )
     assert a == b
+
+
+def test_ivf_empty_table_raises_clear_error(spark):
+    import pytest
+
+    empty = _emb_df(spark).where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        train_ivf_centroids(empty, k=4, n_iter=1, seed=17)
+
+
+def test_ivf_k_clamped_to_corpus_size(spark):
+    tiny = _emb_df(spark, n=3)
+    centroids = train_ivf_centroids(tiny, k=16, n_iter=1, seed=17)
+    assert centroids.shape == (3, 16)  # clamped, not rng.choice ValueError
+    cells = ivf_assign(tiny, centroids).collect()
+    assert all(0 <= r["cell"] < 3 for r in cells)
+
+
+def test_probe_dim_empty_table_raises(spark):
+    import pytest
+
+    from eristropy_spark.operators.similarity import probe_dim
+
+    empty = _emb_df(spark).where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        probe_dim(empty)
