@@ -752,12 +752,16 @@ def _q_embed_dedup_lsh(spark, sf_dir):
     from eristropy_spark.operators.embed_dedup import embedding_dup_pairs_lsh
 
     emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
-    # the honest 100 TB configuration (high threshold, fine buckets);
-    # the synthetic corpus has no true near-dups so this returns 0 rows
-    # here — value correctness is pinned by the planted-duplicate test
-    # (tests/test_embed_dedup.py), which checks LSH == exact on a corpus
-    # that HAS near-dups
-    return embedding_dup_pairs_lsh(emb, threshold=0.95, n_bits=8, n_tables=8)
+    # threshold sits in the corpus's occupied cosine tail (same 0.35 as
+    # embed_dedup_exact) so the contract row carries real evidence: the
+    # seeded LSH output here is deterministic, value-pinned by the
+    # golden test (tests/test_golden_rowsonly.test_golden_embed_dedup_lsh
+    # recomputes the exact pair set locally and asserts LSH ⊆ exact).
+    # Production would run threshold≈0.95; the planted-duplicate test
+    # (tests/test_embed_dedup.py) covers that regime (LSH == exact).
+    return embedding_dup_pairs_lsh(
+        emb, threshold=_EMBED_DUP_THRESHOLD, n_bits=8, n_tables=8, seed=17
+    )
 
 
 # ------------------------------------------------------- relational shell

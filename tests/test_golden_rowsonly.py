@@ -284,3 +284,48 @@ def test_golden_multimodal(spark):
         d = decode_payload(bytes(a["payload"]), a["kind"], fake_decode=True)
         want = (a["kind"], d["n_bytes"], d["width"], d["height"], d["n_frames"])
         assert got[a["asset_id"]] == want, (a["asset_id"], got[a["asset_id"]], want)
+
+
+def test_golden_embed_dedup_lsh(spark):
+    """The contract configuration itself (threshold 0.35, 8x8 tables,
+    seed 17) value-checked: the seeded LSH pair set equals a local
+    replication, and is a subset of the exact all-pairs set."""
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in entry._q_embed_dedup_lsh(spark, SF_DIR).collect()
+    }
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    dim = len(next(iter(vecs.values())))
+    n_bits, n_tables, seed, thr = 8, 8, 17, 0.35
+    planes = np.random.RandomState(seed).normal(size=(n_tables, n_bits, dim))
+    weights = (2 ** np.arange(n_bits)).astype(np.int64)
+    codes = {
+        vid: [
+            int(s @ weights)
+            for s in (np.einsum("tbd,d->tb", planes, v) > 0).astype(np.int64)
+        ]
+        for vid, v in vecs.items()
+    }
+
+    def _cos(a, b):
+        dot = _fold_sum(float(x) * float(y) for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(_fold_sum(float(x) * float(x) for x in vecs[a]))
+        nb = math.sqrt(_fold_sum(float(x) * float(x) for x in vecs[b]))
+        return _r6(dot / (na * nb))
+
+    ids = sorted(vecs)
+    want, exact = {}, set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = _cos(a, b)
+            if c >= thr:
+                exact.add((a, b))
+                if any(codes[a][t] == codes[b][t] for t in range(n_tables)):
+                    want[(a, b)] = c
+    assert len(got) > 0  # non-vacuous: the threshold sits in occupied tail
+    assert got == want
+    assert set(got) <= exact  # LSH never invents a pair the exact path lacks
