@@ -25,8 +25,6 @@ computations (minhash/simhash) use an Arrow UDF.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -123,18 +121,65 @@ def _mix64(h: np.ndarray, seed) -> np.ndarray:
     return x
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    words = text.lower().split(" ")
-    if len(words) < n:
-        grams = [" ".join(words)]
-    else:
-        grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = np.frombuffer(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), dtype=np.uint64
-        )[0]
+# per-position salts make the n-gram combiner order-sensitive
+# ("a b c" != "c b a"); fixed constants so signatures are stable
+_GRAM_SALTS = _mix64(
+    np.arange(1, 65, dtype=np.uint64), np.uint64(0x9E3779B97F4A7C15)
+)
+
+
+def _combine_grams(word_hashes: np.ndarray, n: int) -> np.ndarray:
+    """Distinct n-gram hashes from per-word hashes, fully vectorized:
+    the j-th word of each sliding window is mixed with a per-position
+    salt and XOR-combined, so each window costs n vector ops total.
+    Docs shorter than n words yield one gram over all their words
+    (mirroring the round-2 whole-text fallback)."""
+    L = word_hashes.size
+    if L == 0:
+        return word_hashes
+    g = min(n, L)
+    n_win = L - g + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    for j in range(g):
+        acc ^= _mix64(word_hashes[j : j + n_win], _GRAM_SALTS[j])
+    return np.unique(acc)
+
+
+def _shingle_hashes_batch(texts, n: int) -> list[np.ndarray]:
+    """Distinct shingle hashes for a whole Arrow batch of docs.
+
+    Round 2 called ``hashlib.blake2b`` once per shingle per doc inside
+    the UDF loop — the dominant per-doc cost of the 100 TB dedup path.
+    Now EVERY word of EVERY doc in the batch is hashed by a single
+    vectorized ``pd.util.hash_array`` call (SipHash in C, fixed key —
+    deterministic across processes/platforms, independent of
+    PYTHONHASHSEED), and shingle hashes are order-sensitive numpy
+    combinations of the word hashes: zero per-shingle Python.
+    """
+    words_lists = [t.lower().split(" ") if t else [] for t in texts]
+    lens = np.fromiter(
+        (len(w) for w in words_lists), dtype=np.int64, count=len(words_lists)
+    )
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in words_lists:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    word_h = (
+        pd.util.hash_array(flat) if total else np.empty(0, dtype=np.uint64)
+    )
+    out, pos = [], 0
+    for L in lens:
+        out.append(_combine_grams(word_h[pos : pos + int(L)], n))
+        pos += int(L)
     return out
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct shingle hashes of one doc — the batch path's unit case
+    (golden tests replicate the LSH pipelines locally through this)."""
+    return _shingle_hashes_batch([text], n)[0]
 
 
 def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 17):
@@ -144,20 +189,19 @@ def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 17):
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
+        bases = _shingle_hashes_batch(text.tolist(), n)  # one C hash pass
         out = []
-        for t in text:
-            if not t:
+        for base in bases:
+            if base.size == 0:
                 out.append([0] * k)
                 continue
-            base = _shingle_hashes(t, n)
             # all k permutations at once: (k, n_shingles) mix -> row min
-            sig = (
+            out.append(
                 _mix64(base[None, :], seeds[:, None])
                 .min(axis=1)
                 .astype(np.int64)
                 .tolist()
             )
-            out.append(sig)
         return pd.Series(out)
 
     return minhash_udf
@@ -239,20 +283,18 @@ def make_simhash_udf(n: int = 2, seed: int = 17):
 
     @F.pandas_udf(LongType())
     def simhash_udf(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            if not t:
-                out[i] = 0
+        bases = _shingle_hashes_batch(text.tolist(), n)  # one C hash pass
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(bases), dtype=np.int64)
+        for i, base in enumerate(bases):
+            if base.size == 0:
                 continue
-            hashes = _mix64(_shingle_hashes(t, n), seed)
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            vote = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for b in range(64):
-                if vote[b] > 0:
-                    sim |= np.uint64(1) << np.uint64(b)
+            hashes = _mix64(base, seed)
+            # per-bit votes and the winning bitmask are pure vector ops
+            # (round 2 assembled the hash with a 64-iteration Python loop)
+            ones = ((hashes[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            vote = 2 * ones.astype(np.int64) - base.size
+            sim = ((vote > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
             out[i] = sim.astype(np.int64)
         return pd.Series(out)
 
@@ -277,6 +319,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 17) -> Data
     """
     if not (0 <= max_hamming <= 31):
         raise ValueError("max_hamming must be in [0, 31]")
+    if max_hamming > 4:
+        import warnings
+
+        warnings.warn(
+            f"simhash_pairs(max_hamming={max_hamming}) bands the 64-bit "
+            f"hash into {max_hamming + 1} pieces of ~"
+            f"{64 // (max_hamming + 1)} bits — a small bucket keyspace "
+            "that fattens candidate buckets at large corpus sizes; keep "
+            "max_hamming <= 4 at scale or pre-partition by a cheap "
+            "content key before banding",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     n_bands = max_hamming + 1
     base_w = 64 // n_bands
     extra = 64 - base_w * n_bands  # first `extra` bands get one more bit

@@ -263,3 +263,45 @@ def test_multimodal_real_decode_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_payload(b"bytes", "image", fake_decode=False)
+
+
+def test_simhash_large_h_warns_small_h_does_not(spark, docs_df=None):
+    import warnings
+
+    import pytest
+
+    from eristropy_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e f"), ("d2", "a b c d e g")], ["doc_id", "text"]
+    )
+    with pytest.warns(RuntimeWarning, match="max_hamming"):
+        simhash_pairs(docs, max_hamming=8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        simhash_pairs(docs, max_hamming=3)  # plan-build only; no warning
+
+
+def test_shingle_hashes_batch_matches_single():
+    import numpy as np
+
+    from eristropy_spark.operators.dedup import (
+        _shingle_hashes,
+        _shingle_hashes_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",
+        "solo",
+        "",
+        "the quick brown fox",
+    ]
+    batch = _shingle_hashes_batch(texts, 3)
+    for t, got in zip(texts, batch):
+        want = _shingle_hashes(t, 3) if t else np.empty(0, dtype=np.uint64)
+        assert np.array_equal(got, want), t
+    # order-sensitivity: reversed word order is a different shingle set
+    a = _shingle_hashes("a b c", 3)
+    b = _shingle_hashes("c b a", 3)
+    assert not np.array_equal(a, b)
