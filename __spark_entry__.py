@@ -524,15 +524,21 @@ def _q_stationarity(spark, sf_dir):
 
 def _q_windowed_entropy(spark, sf_dir):
     """Bounded-compute entropy for long sequences: fixed windows sliced
-    JVM-side, one entropy point per (doc, window) (rows-only; window
-    slicing + kernel parity pinned in tests/test_windowed.py)."""
+    JVM-side, one entropy point per (doc, window), each stamped with its
+    REAL time (first_ts + window_id·stride·dt) so long signals spread
+    across retention buckets (rows-only; window slicing + kernel parity
+    + multi-bucket tier parity pinned in tests/test_windowed.py)."""
     from eristropy_spark.operators.windowed import windowed_entropy
 
     tokens = events_to_tokens(_utc(spark), sf_dir)
-    out = windowed_entropy(tokens, window=8, stride=8, min_window=4, m=1, r=0.2)
+    out = windowed_entropy(
+        tokens, window=8, stride=8, min_window=4, m=1, r=0.2,
+        ts_col="first_ts", dt=1.0,
+    )
     return out.select(
         "doc_id",
         "window_id",
+        F.col("ts").cast("string").alias("ts"),
         "n_tok",
         "source",
         _r6("sampen").alias("sampen"),

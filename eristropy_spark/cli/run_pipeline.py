@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="windowed entropy: split sequences into fixed "
                         "windows of this many tokens (bounds per-task "
                         "cost for long sequences; 0 = whole-sequence)")
+    p.add_argument("--dt", type=float, default=1.0,
+                   help="seconds per token for windowed mode: window w "
+                        "is stamped first_ts + w*window*dt so long "
+                        "sequences spread across retention buckets")
     p.add_argument("--gapfill", choices=["none", "locf", "linear"], default="locf")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--force", action="store_true", help="ignore checkpoints")
@@ -72,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     run_fp = (
         f"v1|in={args.input or f'synth:{args.synthesize}'}|m={args.m}|r={args.r}"
         f"|seed={args.seed}|st={args.stationarity}|salt={args.salt}"
-        f"|win={args.window}"
+        f"|win={args.window}|dt={args.dt}"
         + ("|force" if args.force else "")
     )
 
@@ -90,15 +94,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"stationary fraction: {res.stationary_frac:.3f}", file=sys.stderr)
 
     if args.window:
-        # windowed raw tier: token sequences are positional, so every
-        # window inherits its sequence's start timestamp for bucketing
+        # windowed raw tier: each window carries its REAL timestamp
+        # (first_ts + window_id*window*dt), so a long sequence's points
+        # land across retention buckets instead of stacking in one
         from eristropy_spark.operators.windowed import windowed_entropy
 
         def _points():
             return windowed_entropy(
                 tokens, window=args.window, m=args.m, r=args.r,
-                normalize=True, keep_cols=("source", "first_ts"),
-            ).withColumnRenamed("first_ts", "ts")
+                normalize=True, keep_cols=("source",),
+                ts_col="first_ts", dt=args.dt,
+            )
 
     else:
         def _points():

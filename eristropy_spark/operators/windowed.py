@@ -7,10 +7,13 @@ each sequence into fixed-size windows JVM-side (``slice`` over a
 standard zero-shuffle entropy projection runs per (doc, window) row:
 
 * worst-case task cost is O(window²) regardless of sequence length,
-* each window becomes its own entropy point (ts = sequence start; the
-  window index is carried for downstream bucketing), so long signals
-  contribute a SERIES of points to the retention cascade instead of
-  one giant quadratic job,
+* each window becomes its own entropy point; when the token table
+  carries a start timestamp (``ts_col``) and a known sample interval
+  (``dt`` seconds/token), each window's point is stamped
+  ``ts = start + window_id·stride·dt`` — so a long signal's points
+  SPREAD across retention buckets instead of stacking in the one
+  bucket of its start time (round-2 gap: all windows inherited the
+  sequence timestamp),
 * windows are rows, so a single long sequence parallelizes ACROSS the
   cluster instead of serializing on one core.
 
@@ -39,12 +42,20 @@ def windowed_entropy(
     permen_delay: int = 1,
     normalize: bool = True,
     keep_cols: tuple[str, ...] = ("source",),
+    ts_col: str | None = None,
+    dt: float = 1.0,
 ) -> DataFrame:
-    """(doc_id, window_id, n_tok, [keep_cols...,] sampen, permen).
+    """(doc_id, window_id, [ts,] n_tok, [keep_cols...,] sampen, permen).
 
     ``stride`` defaults to ``window`` (tumbling); pass a smaller stride
     for overlapping (sliding) windows.  Trailing fragments shorter than
     ``min_window`` are dropped (too short for a stable estimate).
+
+    ``ts_col`` names the sequence-start timestamp column; with ``dt``
+    (seconds per token) each window emits its own real timestamp
+    ``ts = ts_col + window_id·stride·dt`` (JVM-side epoch arithmetic),
+    so the retention cascade buckets a long signal over its actual time
+    span.  ``ts_col=None`` keeps the positional-only schema.
     """
     if stride is None:
         stride = window
@@ -52,7 +63,10 @@ def windowed_entropy(
         raise ValueError("window must be >= 2 and stride >= 1")
     if not (0 < min_window <= window):
         raise ValueError("min_window must be in (0, window]")
+    if ts_col is not None and dt <= 0:
+        raise ValueError("dt (seconds per token) must be > 0")
 
+    passthrough = (ts_col,) + tuple(keep_cols) if ts_col else tuple(keep_cols)
     n = F.size("tokens")
     # window start positions (1-based for slice): 1, 1+stride, ...
     n_win = F.when(
@@ -64,7 +78,7 @@ def windowed_entropy(
     ).otherwise(F.array().cast("array<int>"))
     win = tokens_df.select(
         "doc_id",
-        *keep_cols,
+        *passthrough,
         F.posexplode(
             F.transform(
                 starts,
@@ -81,9 +95,24 @@ def windowed_entropy(
         F.lit(permen_m),
         F.lit(permen_delay),
     )
+    ts_cols = []
+    if ts_col is not None:
+        # epoch-seconds arithmetic keeps sub-second precision and stays
+        # whole-stage-codegen'd; window w of a stride-s sequence starts
+        # s·w tokens (= s·w·dt seconds) after the sequence start.  The
+        # leading cast("timestamp") lifts TIMESTAMP_NTZ columns (parquet
+        # default for naive timestamps) into the session-UTC timeline —
+        # NTZ cannot cast to double directly
+        ts_cols = [
+            F.timestamp_seconds(
+                F.col(ts_col).cast("timestamp").cast("double")
+                + F.col("window_id").cast("double") * F.lit(float(stride) * dt)
+            ).alias("ts")
+        ]
     return win.select(
         "doc_id",
         "window_id",
+        *ts_cols,
         F.size("wtokens").cast("int").alias("n_tok"),
         *keep_cols,
         ent["sampen"].alias("sampen"),

@@ -70,3 +70,54 @@ def test_bounded_task_cost_shape(spark):
     rows = out.collect()
     assert len(rows) >= 19
     assert max(r["n_tok"] for r in rows) == 256
+
+
+def test_window_timestamps_spread_across_tiers(spark):
+    """A long windowed signal lands in MULTIPLE retention buckets when
+    the token table carries real timestamps (round-2 gap: every window
+    inherited the sequence start, stacking in one bucket)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from eristropy_spark.operators.rollup import rollup_tier
+
+    start = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rng = np.random.default_rng(5)
+    rows = [
+        Row(
+            doc_id="long0",
+            tokens=[int(v) for v in rng.integers(0, 200, size=2000)],
+            n_tok=2000,
+            source="a",
+            first_ts=start,
+        )
+    ]
+    df = spark.createDataFrame(rows)
+    # window=100, dt=1 s/token -> one point every 100 s: 20 windows
+    # spanning ~33 minutes
+    pts = windowed_entropy(
+        df, window=100, stride=100, m=1, r=0.2, ts_col="first_ts", dt=1.0
+    )
+    got = pts.select("window_id", "ts").collect()
+    assert len(got) == 20
+    by_w = {r["window_id"]: r["ts"] for r in got}
+    assert by_w[0] == start
+    assert by_w[3] == start + datetime.timedelta(seconds=300)
+    # tier parity: minute buckets cover the span, and every window lands
+    # in its own minute (100 s stride > 60 s bucket -> >1 bucket, here 20)
+    tier = rollup_tier(pts, "minute", from_tier=False)
+    buckets = tier.agg(
+        F.countDistinct("bucket").alias("nb"), F.sum("n_seq").alias("total")
+    ).collect()[0]
+    assert buckets["nb"] == 20 > 1
+    assert buckets["total"] == 20
+
+
+def test_window_ts_requires_positive_dt(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = _df(spark, [100]).withColumn("first_ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="dt"):
+        windowed_entropy(df, window=50, ts_col="first_ts", dt=0.0)
