@@ -2,12 +2,23 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata;
 all Spark-side plumbing (schema, batched mapInPandas, partition-size
-control) is real, while the actual media decode is stubbed:
-the decode libs (PIL/ffmpeg/torchaudio) are not in this container, so
-``decode_payload`` raises ``NotImplementedError`` unless
-``fake_decode=True``, which produces a *deterministic* fake decode
-(seeded by the payload hash) with the same shapes a real decoder would
-emit.  Tests pin the plumbing: schema, batch shapes, determinism.
+control) is real.  The media decode itself is PROBED at decode time:
+
+* image — real decode through PIL when importable (width/height/
+  frame count + a 16-bin grayscale-histogram feature); PIL is absent
+  in this container, so the probe returns None here and tests exercise
+  the real path through a monkeypatched PIL-shaped stub.
+* audio — real decode through the stdlib ``wave`` module (always
+  available): frame count + a 16-bin 16-bit-sample histogram feature.
+* video — no decoder in any environment we target; stays an honest
+  ``NotImplementedError`` stub.
+
+``fake_decode=True`` (the sandbox/test default) produces a
+*deterministic* fake decode (seeded by the payload hash) with the same
+shapes a real decoder would emit; ``mode="auto"`` in
+``extract_features`` picks real-per-kind when the lib is present and
+falls back to the fake otherwise.  Tests pin the plumbing (schema,
+batch shapes, determinism) plus both probe outcomes per kind.
 
 Design notes for 100 TB: assets flow through ``mapInPandas`` so one
 task streams many Arrow batches without materializing the partition;
@@ -74,12 +85,84 @@ def documents_to_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _probe_image_lib():
+    """PIL.Image if importable, else None (monkeypatch point for tests)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _probe_audio_lib():
+    """stdlib ``wave`` module (monkeypatch point for tests)."""
+    import wave  # noqa: PLC0415
+
+    return wave
+
+
+def _hist_feature(samples: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Deterministic fixed-width feature: normalized FEATURE_DIM-bin
+    histogram of the decoded sample values."""
+    hist, _ = np.histogram(samples, bins=FEATURE_DIM, range=(lo, hi))
+    total = hist.sum()
+    return (hist / total if total else hist).astype(np.float32)
+
+
+def _decode_image_real(payload: bytes, image_mod) -> dict:
+    import io
+
+    img = image_mod.open(io.BytesIO(payload))
+    w, h = img.size
+    frames = int(getattr(img, "n_frames", 1))
+    gray = np.frombuffer(img.convert("L").tobytes(), dtype=np.uint8)
+    return {
+        "n_bytes": len(payload),
+        "width": int(w),
+        "height": int(h),
+        "n_frames": frames,
+        "feature": _hist_feature(gray.astype(np.float64), 0.0, 256.0),
+    }
+
+
+def _decode_audio_real(payload: bytes, wave_mod) -> dict:
+    import io
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as wf:
+        n_frames = int(wf.getnframes())
+        data = wf.readframes(n_frames)
+    samples = np.frombuffer(data, dtype=np.int16).astype(np.float64)
+    return {
+        "n_bytes": len(payload),
+        "width": 0,
+        "height": 0,
+        "n_frames": n_frames,
+        "feature": _hist_feature(samples, -32768.0, 32768.0),
+    }
+
+
 def decode_payload(payload: bytes, kind: str, fake_decode: bool) -> dict:
-    """Decode one asset.  REAL decode is stubbed (no media libs in this
-    environment); the fake path is deterministic in the payload bytes."""
+    """Decode one asset.
+
+    ``fake_decode=False`` runs the REAL decoder for the kind when its
+    library probe succeeds (PIL for images; stdlib ``wave`` for audio)
+    and raises ``NotImplementedError`` otherwise — video always raises
+    (no decoder targeted).  ``fake_decode=True`` is the deterministic
+    payload-hash-seeded test double with real decoder output shapes."""
     if not fake_decode:
+        if kind == "image":
+            image_mod = _probe_image_lib()
+            if image_mod is None:
+                raise NotImplementedError(
+                    "real image decode requires PIL, not importable here; "
+                    "pass fake_decode=True for the deterministic test double"
+                )
+            return _decode_image_real(payload, image_mod)
+        if kind == "audio":
+            return _decode_audio_real(payload, _probe_audio_lib())
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg, not available here; "
+            "real video decode requires ffmpeg bindings, not available; "
             "pass fake_decode=True for the deterministic test double"
         )
     digest = hashlib.blake2b(payload, digest_size=8).digest()
@@ -103,16 +186,37 @@ def decode_payload(payload: bytes, kind: str, fake_decode: bool) -> dict:
     }
 
 
-def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads."""
+def extract_features(
+    assets: DataFrame, fake_decode: bool = True, mode: str | None = None
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    ``mode`` overrides ``fake_decode``: ``"fake"`` / ``"real"`` force a
+    path; ``"auto"`` probes each kind's decoder ONCE at UDF init (on the
+    worker) and uses the real decoder where present, the deterministic
+    fake otherwise — the production-shaped default for a cluster whose
+    images ARE real bytes and whose workers have PIL installed."""
+    if mode is None:
+        mode = "fake" if fake_decode else "real"
+    if mode not in {"fake", "real", "auto"}:
+        raise ValueError("mode must be one of {'fake', 'real', 'auto'}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mode == "auto":
+            # one probe per task, on the worker where decode runs
+            fake_for = {
+                "image": _probe_image_lib() is None,
+                "audio": _probe_audio_lib() is None,
+                "video": True,
+            }
+        else:
+            fake_for = dict.fromkeys(("image", "audio", "video"), mode == "fake")
         for pdf in batches:
             rows = []
             for asset_id, kind, payload in zip(
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
-                d = decode_payload(bytes(payload), kind, fake_decode)
+                d = decode_payload(bytes(payload), kind, fake_for[kind])
                 rows.append(
                     {
                         "asset_id": asset_id,
