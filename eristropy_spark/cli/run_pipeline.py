@@ -85,13 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     else:
         tokens = load_tokens(spark, args.input)
 
+    stat_res = None
     if args.stationarity != "none":
         method = "difference" if args.stationarity == "difference" else "detrend"
-        res = make_stationary(
+        stat_res = make_stationary(
             tokens, method=method, detrend_type="lr", random_seed=args.seed
         )
-        tokens = res.df
-        print(f"stationary fraction: {res.stationary_frac:.3f}", file=sys.stderr)
+        tokens = stat_res.df
+        print(f"stationary fraction: {stat_res.stationary_frac:.3f}", file=sys.stderr)
 
     if args.window:
         # windowed raw tier: each window carries its REAL timestamp
@@ -111,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
             return entropy_points(tokens, m=args.m, r=args.r, normalize=True)
 
     pts = cm.run_stage(spark, "points", run_fp, _points)
+    if stat_res is not None:
+        # the points stage is published to parquet (run_stage reads it
+        # back), so the fused transform+ADF cache is no longer needed
+        stat_res.release()
 
     tiers = cascade(pts, salt=args.salt or None)
     tier_dfs = {}

@@ -75,6 +75,18 @@ class SampEnEfficiencyOp:
         )
         self.r_star_: float | None = None
         self.obj_: float | None = None
+        self._persisted: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the token-lineage cache created by ``find_rstar``.
+
+        Results returned by ``compute_all_sampen`` stay *correct* after
+        release (the lineage recomputes), just uncached; call once the
+        output has been written/collected so a long-lived session does
+        not accumulate blocks."""
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
 
     def _objective_by_r(self) -> np.ndarray:
         """Median efficiency objective at each grid r (one Spark job).
@@ -113,10 +125,13 @@ class SampEnEfficiencyOp:
         # the r* search and the final (sampen, se) pass are two actions
         # over the same token lineage (scan + sequence assembly + z-norm);
         # persist so the upstream shuffle runs once, like the reference
-        # reuses its in-memory frame across both passes
+        # reuses its in-memory frame across both passes.  Caller owns the
+        # cache lifetime: call release() once results are consumed.
         from pyspark import StorageLevel
 
-        self.df = self.df.persist(StorageLevel.MEMORY_AND_DISK)
+        if self._persisted is None:
+            self.df = self.df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted = self.df
         objs = self._objective_by_r()
         fine = np.interp(self._pts, self.rs, objs)
         self.r_star_ = float(self._pts[np.nanargmin(fine)])

@@ -46,11 +46,27 @@ class StationarityResult:
     common case) never pay for it.
     """
 
-    def __init__(self, df: DataFrame, flagged: DataFrame) -> None:
+    def __init__(
+        self, df: DataFrame, flagged: DataFrame, cached: DataFrame | None = None
+    ) -> None:
         self.df = df
         self._flagged = flagged
+        self._cached = cached
         self._frac: float | None = None
         self._n: int | None = None
+
+    def release(self) -> None:
+        """Unpersist the internal fused-UDF lineage cache.
+
+        ``make_stationary`` persists the transform+ADF projection so the
+        survivor filter and the summary aggregate don't recompute the
+        expensive UDF pass; the blocks stay referenced for as long as
+        ``df`` is consumable.  Call this once downstream consumption is
+        done — a long-lived session otherwise accumulates cached blocks
+        run after run."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
     def _summarize(self) -> None:
         row = self._flagged.agg(
@@ -231,4 +247,4 @@ def make_stationary(
     out = flagged if keep_all else flagged.where(F.col("is_stationary"))
     if normalize:
         out = znormed(out, "tokens")
-    return StationarityResult(df=out, flagged=flagged)
+    return StationarityResult(df=out, flagged=flagged, cached=with_p)

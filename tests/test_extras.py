@@ -82,3 +82,38 @@ def test_efficiency_op_grid_matches_reference_shape():
 def test_efficiency_op_validates_objective():
     with pytest.raises(ValueError):
         SampEnEfficiencyOp(_FakeDF(), m=1, r_range=(0.1, 0.5), objective="zzz")
+
+
+def test_release_leaves_no_cached_rdds(spark):
+    """Full pipeline consumption + release() -> empty block manager
+    (round-2 hygiene gap: the internal persists were never released)."""
+    from pyspark.sql import functions as F
+
+    from eristropy_spark.operators.stationarity import make_stationary
+    from eristropy_spark.sources.tokens import synthesize_tokens
+
+    from eristropy_spark.functions.arrays import znormed
+
+    spark.catalog.clearCache()
+    tokens = znormed(
+        synthesize_tokens(spark, 40, seed=3, min_len=32, max_len=64), "tokens"
+    )
+
+    op = SampEnEfficiencyOp(tokens, m=1, r_range=(0.1, 0.5), r_step_size=0.1)
+    out = op.compute_all_sampen()
+    out.select(F.count("*")).collect()  # consume
+
+    res = make_stationary(tokens, method="difference")
+    res.df.select(F.count("*")).collect()  # consume
+    _ = res.stationary_frac
+
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() >= 2  # both internal caches live
+
+    op.release()
+    res.release()
+    assert jsc.getPersistentRDDs().size() == 0
+    # results stay consumable (lineage recompute), release is idempotent
+    assert out.count() > 0
+    op.release()
+    res.release()
