@@ -209,12 +209,63 @@ def _run_sub(phase: str, cores: int) -> dict:
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def _best_of(phase: str, cores: int, reps: int = 3) -> dict:
     """Max-throughput of ``reps`` runs — the sandbox shares a memory bus
     with neighbors, so single runs at high thread counts are noisy; the
-    best run is the least-contended estimate of machine capability."""
+    best run is the least-contended estimate of machine capability.
+    The median rate of the reps is recorded alongside (key
+    ``seq_per_sec_median``) so the artifact shows the typical-contention
+    number next to the best-case one."""
     runs = [_run_sub(phase, cores) for _ in range(reps)]
-    return max(runs, key=lambda r: r["seq_per_sec"])
+    best = max(runs, key=lambda r: r["seq_per_sec"])
+    return {
+        **best,
+        "seq_per_sec_median": round(_median([r["seq_per_sec"] for r in runs]), 1),
+    }
+
+
+def _ladder(lo_cores: int, hi_cores: int, pairs: int = 3) -> dict:
+    """Scaling ladder measured in back-to-back (lo, hi) PAIRS.
+
+    Neighbor-contention waves on this box last minutes and hit the
+    multi-core level hardest (it demands more of the shared memory
+    bus), so an efficiency computed from independently-collected bests
+    mixes different contention regimes.  Running the two levels
+    back-to-back gives each pair ONE regime; the best pair is the
+    least-contended estimate of true N→4N scaling and the median pair
+    is the typical-contention one.  Both are recorded, plus the raw
+    per-pair ratios, plus the legacy best/best ratio for continuity."""
+    factor = hi_cores / lo_cores
+    los, his, effs = [], [], []
+    for _ in range(pairs):
+        lo = _run_sub("headline", lo_cores)
+        hi = _run_sub("headline", hi_cores)
+        los.append(lo)
+        his.append(hi)
+        effs.append((hi["seq_per_sec"] / lo["seq_per_sec"]) / factor)
+    best_lo = max(los, key=lambda r: r["seq_per_sec"])
+    best_hi = max(his, key=lambda r: r["seq_per_sec"])
+    return {
+        "lo": best_lo,
+        "hi": best_hi,
+        "lo_median": round(_median([r["seq_per_sec"] for r in los]), 1),
+        "hi_median": round(_median([r["seq_per_sec"] for r in his]), 1),
+        "pair_efficiencies": [round(e, 3) for e in effs],
+        "eff_best_pair": round(max(effs), 3),
+        "eff_median_pair": round(_median(effs), 3),
+        "eff_of_bests": round(
+            (best_hi["seq_per_sec"] / best_lo["seq_per_sec"]) / factor, 3
+        ),
+        "tiers_equal": all(
+            r["tiers"] == los[0]["tiers"] for r in los + his
+        ),
+    }
 
 
 def main() -> None:
@@ -233,13 +284,13 @@ def main() -> None:
     # ceiling.  The 2->8 ladder (whose top level saturates the bus) and
     # the full-CPU run are reported as auxiliary evidence; reps guard
     # against neighbor contention (observed halving identical runs).
-    lo = _best_of("headline", 1, reps=3)
-    hi = _best_of("headline", 4, reps=3)
-    lo2 = _best_of("headline", 2, reps=2)
-    hi2 = _best_of("headline", 8, reps=2)
+    # primary 1→4 ladder in back-to-back pairs (contention-matched);
+    # aux 2→8 ladder likewise (its round-2 recording caught a wave:
+    # 0.634 recorded vs 0.803 clean)
+    primary = _ladder(1, 4, pairs=3)
+    aux2_8 = _ladder(2, 8, pairs=3)
     aux = _best_of("headline", CPUS, reps=2)
-    eff = (hi["seq_per_sec"] / lo["seq_per_sec"]) / 4
-    eff2 = (hi2["seq_per_sec"] / lo2["seq_per_sec"]) / 4
+    lo, hi = primary["lo"], primary["hi"]
     kernel_ladder = _run_sub("kernel", 0)
     queries = _run_sub("queries", CPUS)
 
@@ -254,13 +305,27 @@ def main() -> None:
             "n_seq": hi["n_seq"],
             "seq_per_sec_loN": lo["seq_per_sec"],
             "seq_per_sec_hiN": hi["seq_per_sec"],
+            "seq_per_sec_loN_median": primary["lo_median"],
+            "seq_per_sec_hiN_median": primary["hi_median"],
             "cores_loN": lo["cores"],
             "cores_hiN": hi["cores"],
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": primary["eff_best_pair"],
+            "scaling_efficiency_median": primary["eff_median_pair"],
+            "scaling_efficiency_of_bests": primary["eff_of_bests"],
+            "pair_efficiencies": primary["pair_efficiencies"],
+            "ladder_note": (
+                "efficiencies are per back-to-back (lo,hi) pair so both "
+                "levels share one contention regime; best pair = least-"
+                "contended estimate, median pair = typical"
+            ),
             "ladder_2_to_8": {
-                "seq_per_sec_2": lo2["seq_per_sec"],
-                "seq_per_sec_8": hi2["seq_per_sec"],
-                "scaling_efficiency": round(eff2, 3),
+                "seq_per_sec_2": aux2_8["lo"]["seq_per_sec"],
+                "seq_per_sec_8": aux2_8["hi"]["seq_per_sec"],
+                "seq_per_sec_2_median": aux2_8["lo_median"],
+                "seq_per_sec_8_median": aux2_8["hi_median"],
+                "scaling_efficiency": aux2_8["eff_best_pair"],
+                "scaling_efficiency_median": aux2_8["eff_median_pair"],
+                "pair_efficiencies": aux2_8["pair_efficiencies"],
                 "note": "top level saturates the shared bus (~8 cores of bandwidth); aux evidence",
             },
             "entropy_sec_loN": lo["entropy_sec"],
@@ -269,7 +334,9 @@ def main() -> None:
             "seq_per_sec_maxcores": aux["seq_per_sec"],
             "cores_max": aux["cores"],
             "tiers_equal_across_parallelism": (
-                lo["tiers"] == hi["tiers"] == lo2["tiers"] == hi2["tiers"] == aux["tiers"]
+                primary["tiers_equal"]
+                and aux2_8["tiers_equal"]
+                and lo["tiers"] == aux2_8["lo"]["tiers"] == aux["tiers"]
             ),
             "kernel_mp_ladder": kernel_ladder,
         },
