@@ -35,6 +35,11 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   embed_dedup_lsh   pipeline     embedding-cosine near-dup, LSH scale path
   multimodal_features pipeline   binary decode plumbing (rows-only)
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
+  asof_join         timeseries   backward as-of join (union+window plan
+                                 vs DuckDB's NATIVE ASOF JOIN oracle)
+  sessionize        timeseries   gap-based sessionization
+  tfidf_topk        pipeline     top-k TF-IDF terms per doc
+  md5_sample        pipeline     deterministic partition-invariant sample
 """
 
 from __future__ import annotations
@@ -880,6 +885,144 @@ GROUP BY ROLLUP (source, lang)
 """
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (backward, inclusive): each click event gets the most
+    recent prior purchase value for its user.  Spark-first plan: union +
+    one running window — one shuffle, no range join (operators/temporal
+    docstring); the oracle is DuckDB's NATIVE ASOF JOIN, a genuinely
+    independent implementation of the same semantics."""
+    from eristropy_spark.operators.temporal import asof_join
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # one row per (user, ts): ASOF tie-order among equal right timestamps
+    # is unspecified in both engines, so the contract pre-aggregates
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["pval"], suffix="_last",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_last").alias("purchase_ts"),
+        _r6("pval_last").alias("last_purchase_value"),
+    )
+
+
+_ORACLE_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts,
+       floor((p.pval) * 1000000 + 0.5) / 1000000 AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): per-user session
+    summaries.  One window + one aggregate — two narrow shuffles."""
+    from eristropy_spark.operators.temporal import sessionize
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    with_sess = sessionize(
+        ev, "user_id", ts_col="ts", gap_sec=1800.0, tiebreak="event_id"
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        _r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smooth idf, deterministic
+    tie-break on the rounded score) — all JVM expressions."""
+    from eristropy_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+_ORACLE_TFIDF = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), idf AS (
+  SELECT word,
+         ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + count(*))) + 1.0
+           AS idf
+  FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         floor((tf.tf * idf.idf) * 1000000 + 0.5) / 1000000 AS score
+  FROM tf JOIN idf USING (word)
+), ranked AS (
+  SELECT doc_id, word, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_md5_sample(spark, sf_dir):
+    """Deterministic 13/256 (~5%) corpus sample keyed on doc_id —
+    partition-invariant, engine-portable (md5 prefix filter, pure
+    pushed-down predicate)."""
+    from eristropy_spark.operators.sampling import md5_sample
+
+    return md5_sample(_docs(spark, sf_dir), "doc_id", rate_num=13).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_ORACLE_MD5_SAMPLE = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -912,6 +1055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "semi_join": _q_semi_join,
         "cube_rollup": _q_cube_rollup,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "tfidf_topk": _q_tfidf_topk,
+        "md5_sample": _q_md5_sample,
     }
 
 
@@ -937,6 +1084,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _ORACLE_TPCH_Q3,
         "semi_join": _ORACLE_SEMI_JOIN,
         "cube_rollup": _ORACLE_CUBE_ROLLUP,
+        "asof_join": _ORACLE_ASOF_JOIN,
+        "sessionize": _ORACLE_SESSIONIZE,
+        "tfidf_topk": _ORACLE_TFIDF,
+        "md5_sample": _ORACLE_MD5_SAMPLE,
         # rows-only (non-SQL-expressible): sampen_permen, stationarity,
         # minhash_lsh, simhash, similarity_lsh, multimodal_features
     }

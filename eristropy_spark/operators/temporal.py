@@ -1,0 +1,151 @@
+"""Temporal relational operators — as-of join and sessionization.
+
+Spark has no native AS OF join (the classic timeseries "attach the most
+recent reading" operator).  The naive formulations do not survive scale:
+a range self-join explodes (every left row × every earlier right row
+before aggregation), and a per-row probe is a driver loop.  The
+scalable shape used here is the UNION + RUNNING-WINDOW plan:
+
+1. tag left rows side=1 and right rows side=0 into ONE frame on the
+   shared key + timestamp,
+2. one window partitioned by key, ordered by (ts, side) — right rows
+   sort before left rows at equal timestamps, giving the inclusive
+   ``left.ts >= right.ts`` match,
+3. ``last(value, ignorenulls=True)`` over a running frame carries each
+   right value forward to every later left row,
+4. filter back to side=1.
+
+Cost: ONE shuffle (the window partitioning), zero joins, O(rows) per
+partition — at 10¹² rows this is a single sort-based exchange, the same
+plan a native ASOF operator would pick.  DuckDB's native ``ASOF JOIN``
+is the independent oracle.
+
+``sessionize`` is the standard gap-based session assignment (lag +
+running sum of new-session flags) — one window over the same
+partitioning, also one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest ``right_ts <= left_ts`` for its key (inclusive), or nulls.
+
+    ``value_cols`` are the right columns to carry (default: all
+    non-key, non-ts).  ``tolerance_sec`` drops matches older than the
+    given age.  Output = all left columns + ``<right_ts><suffix>`` (the
+    matched timestamp) + ``<v><suffix>`` per value column.
+
+    Right rows that tie on (key, ts) are carried in an unspecified
+    order — pre-aggregate the right side to one row per (key, ts) when
+    that matters (DuckDB's ASOF JOIN has the same ambiguity).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in set(keys) | {right_ts}
+        ]
+    carried = [f"{v}{suffix}" for v in value_cols]
+    ts_out = f"{right_ts}{suffix}"
+    left_payload = [c for c in left.columns if c not in set(keys) | {left_ts}]
+
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast(
+            right.schema[right_ts].dataType.simpleString()
+        ).alias(ts_out),
+        *[
+            F.lit(None).cast(right.schema[v].dataType.simpleString()).alias(a)
+            for v, a in zip(value_cols, carried)
+        ],
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType.simpleString()).alias(c)
+          for c in left_payload],
+        F.col(right_ts).alias(ts_out),
+        *[F.col(v).alias(a) for v, a in zip(value_cols, carried)],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        *keys,
+        "_ts",
+        "_side",
+        *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [ts_out, *carried]],
+    )
+    out = filled.where(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        fresh = (
+            F.col("_ts").cast("timestamp").cast("double")
+            - F.col(ts_out).cast("timestamp").cast("double")
+        ) <= F.lit(float(tolerance_sec))
+        out = out.select(
+            *keys,
+            "_ts",
+            *left_payload,
+            *[
+                F.when(fresh, F.col(c)).alias(c)
+                for c in [ts_out, *carried]
+            ],
+        )
+    return out.select(
+        *keys, F.col("_ts").alias(left_ts), *left_payload, ts_out, *carried
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str = "ts",
+    gap_sec: float = 1800.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    to the previous event of the same key exceeds ``gap_sec`` (strict).
+
+    Adds ``session_id`` (0-based per key, ordered by time).  One window
+    over one shuffle; ``tiebreak`` breaks timestamp ties deterministically
+    (session ids are tie-order-invariant — equal timestamps have gap 0 —
+    but downstream per-row consumers may care).
+    """
+    if gap_sec <= 0:
+        raise ValueError("gap_sec must be > 0")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_d = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(ts_d).over(w)
+    new_sess = (
+        prev.isNull() | ((ts_d - prev) > F.lit(float(gap_sec)))
+    ).cast("long")
+    return events.withColumn(
+        "session_id", (F.sum(new_sess).over(run) - F.lit(1)).cast("long")
+    )

@@ -18,12 +18,19 @@ every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eristropy_spark.functions.numeric import round6
 
-__all__ = ["text_stats", "quality_score", "lang_id", "STOPWORDS", "BPE_ISH_PATTERN"]
+__all__ = [
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "tfidf_topk",
+    "STOPWORDS",
+    "BPE_ISH_PATTERN",
+]
 
 # tiny English stopword set — deterministic, shared with the SQL oracle
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
@@ -124,4 +131,47 @@ def lang_id(docs: DataFrame) -> DataFrame:
         "doc_id",
         best["lang"].alias("pred_lang"),
         best["score"].alias("score"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, word, tf, score, rank) — top-k words per doc by TF-IDF.
+
+    Smooth-idf variant (sklearn's formula): ``idf = ln((1+N)/(1+df))+1``,
+    ``score = tf * idf`` rounded to 6 dp (engine-portable); ranking
+    orders by (rounded score desc, word asc) so ties are deterministic
+    across engines.
+
+    Plan shape at scale: tf is a (doc, word) groupBy (map-side
+    combined); df is a groupBy over tf's output (already one row per
+    (doc, word), so count(*) IS the document frequency); the idf
+    re-attach joins on word — the dictionary side is orders of magnitude
+    smaller than the corpus and AQE broadcasts it when it fits.  No
+    Python anywhere.
+    """
+    n_docs = docs.count()  # one tiny scalar action; the corpus row count
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("word").agg(
+        (
+            F.log(
+                (F.lit(1.0) + F.lit(float(n_docs)))
+                / (F.lit(1.0) + F.count("*"))
+            )
+            + F.lit(1.0)
+        ).alias("idf")
+    )
+    scored = tf.join(idf, "word").withColumn(
+        "score", round6(F.col("tf") * F.col("idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "score", "rank")
     )

@@ -1,0 +1,172 @@
+"""as-of join / sessionization / TF-IDF / deterministic sampling tests."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eristropy_spark.operators.sampling import md5_bucket, md5_sample
+from eristropy_spark.operators.temporal import asof_join, sessionize
+from eristropy_spark.operators.text import tfidf_topk
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(0), lid="a"),   # before any right -> null
+            Row(k=1, ts=_ts(5), lid="b"),   # equal ts -> inclusive match
+            Row(k=1, ts=_ts(9), lid="c"),   # between -> 5-min reading
+            Row(k=2, ts=_ts(7), lid="d"),   # other key
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(5), v=50.0),
+            Row(k=1, ts=_ts(10), v=100.0),
+            Row(k=2, ts=_ts(6), v=60.0),
+        ]
+    )
+    out = {
+        r["lid"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+    assert out["a"] == (None, None)
+    assert out["b"] == (_ts(5), 50.0)
+    assert out["c"] == (_ts(5), 50.0)
+    assert out["d"] == (_ts(6), 60.0)
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([Row(k=1, ts=_ts(30), lid="x")])
+    right = spark.createDataFrame([Row(k=1, ts=_ts(0), v=1.0)])
+    fresh = asof_join(
+        left, right, on="k", value_cols=["v"], tolerance_sec=3600
+    ).collect()[0]
+    stale = asof_join(
+        left, right, on="k", value_cols=["v"], tolerance_sec=60
+    ).collect()[0]
+    assert fresh["v_asof"] == 1.0
+    assert stale["v_asof"] is None and stale["ts_asof"] is None
+
+
+def test_asof_join_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    left = spark.createDataFrame(
+        [Row(k=int(i % 5), ts=_ts(int(i % 50), int(i % 60)), lid=i)
+         for i in range(200)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=int(rng.integers(0, 5)), ts=_ts(int(rng.integers(0, 50))),
+             v=float(round(rng.normal(), 3)))
+         for i in range(60)]
+    ).groupBy("k", "ts").agg(F.max("v").alias("v"))
+    a = sorted(
+        map(tuple, asof_join(left, right, on="k", value_cols=["v"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            asof_join(
+                left.repartition(13), right.repartition(3), on="k",
+                value_cols=["v"],
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_sessionize_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts=_ts(0), eid=0),
+            Row(u=1, ts=_ts(10), eid=1),   # 600 s gap, same session
+            Row(u=1, ts=_ts(45), eid=2),   # 2100 s > 1800 -> new session
+            Row(u=1, ts=_ts(46), eid=3),
+            Row(u=2, ts=_ts(0), eid=4),    # other user starts at 0
+        ]
+    )
+    out = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(ev, "u", ts_col="ts", gap_sec=1800,
+                            tiebreak="eid").collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    ev = spark.createDataFrame(
+        [Row(u=1, ts=_ts(0), eid=0), Row(u=1, ts=_ts(30), eid=1)]
+    )
+    out = sessionize(ev, "u", gap_sec=1800.0, tiebreak="eid").collect()
+    assert {r["session_id"] for r in out} == {0}  # 1800 s is NOT > 1800
+    with pytest.raises(ValueError, match="gap_sec"):
+        sessionize(ev, "u", gap_sec=0)
+
+
+def test_tfidf_topk_manual(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="d1", text="apple banana apple"),
+            Row(doc_id="d2", text="banana cherry"),
+            Row(doc_id="d3", text="cherry cherry durian"),
+        ]
+    )
+    out = {
+        (r["doc_id"], r["word"]): (r["tf"], r["score"], r["rank"])
+        for r in tfidf_topk(docs, k=2).collect()
+    }
+
+    def idf(df_count):
+        return math.log((1 + 3) / (1 + df_count)) + 1
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # d1: apple tf=2 df=1; banana tf=1 df=2
+    assert out[("d1", "apple")] == (2, r6(2 * idf(1)), 1)
+    assert out[("d1", "banana")] == (1, r6(1 * idf(2)), 2)
+    # d3: cherry tf=2 df=2 beats durian tf=1 df=1
+    assert out[("d3", "cherry")][2] == 1
+    assert out[("d3", "durian")] == (1, r6(idf(1)), 2)
+    assert len(out) == 6  # 2 per doc
+
+
+def test_md5_sample_deterministic_and_pure_subset(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload")
+    )
+    a = sorted(r["doc_id"] for r in md5_sample(docs, "doc_id", 13).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in md5_sample(docs.repartition(17), "doc_id", 13).collect()
+    )
+    assert a == b  # partition-invariant
+    assert 0 < len(a) < 2000
+    assert abs(len(a) / 2000 - 13 / 256) < 0.02  # near the nominal rate
+    with pytest.raises(ValueError, match="rate_num"):
+        md5_sample(docs, "doc_id", 256)
+    with pytest.raises(ValueError, match="rate_den"):
+        md5_sample(docs, "doc_id", 13, rate_den=100)
+
+
+def test_md5_bucket_matches_hashlib(spark):
+    import hashlib
+
+    docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", md5_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    for i in range(50):
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+        assert got[i] == want
