@@ -1023,6 +1023,76 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
 """
 
 
+def _q_interval_join(spark, sf_dir):
+    """Range join (bucketed): error events attached to the session
+    interval that contains them.  Intervals explode into covered time
+    buckets, points map to ONE bucket, so the range predicate becomes an
+    equi-join + residual filter — no per-key cross product
+    (operators/temporal.interval_join docstring)."""
+    from eristropy_spark.operators.temporal import interval_join, sessionize
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    sessions = (
+        sessionize(ev, "user_id", ts_col="ts", gap_sec=1800.0,
+                   tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        errors, sessions, on="user_id", bucket_sec=3600.0
+    ).select("event_id", "user_id", "ts", "session_id")
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+), intervals AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT ev.event_id, ev.user_id, ev.ts, i.session_id
+FROM events ev JOIN intervals i
+  ON ev.user_id = i.user_id AND ev.ts >= i.s AND ev.ts <= i.e
+WHERE ev.event_type = 'error'
+"""
+
+
+def _q_percentile_rollup(spark, sf_dir):
+    """Per-(source, hour) exact interpolated percentiles of event value
+    — the continuous-aggregate shape for distribution metrics; Spark's
+    percentile() and DuckDB's quantile_cont() are bit-identical."""
+    from eristropy_spark.operators.rollup import percentile_rollup
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", F.col("event_type").alias("source"), "value"
+    )
+    return percentile_rollup(ev, "hour", "value", probs=(0.5, 0.95, 0.99))
+
+
+_ORACLE_PERCENTILE_ROLLUP = """
+SELECT event_type AS source, date_trunc('hour', ts) AS bucket,
+       floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p5,
+       floor((quantile_cont(value, 0.95)) * 1000000 + 0.5) / 1000000 AS p95,
+       floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -1057,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": _q_cube_rollup,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
+        "interval_join": _q_interval_join,
+        "percentile_rollup": _q_percentile_rollup,
         "tfidf_topk": _q_tfidf_topk,
         "md5_sample": _q_md5_sample,
     }
@@ -1086,6 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_rollup": _ORACLE_CUBE_ROLLUP,
         "asof_join": _ORACLE_ASOF_JOIN,
         "sessionize": _ORACLE_SESSIONIZE,
+        "interval_join": _ORACLE_INTERVAL_JOIN,
+        "percentile_rollup": _ORACLE_PERCENTILE_ROLLUP,
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,
         # rows-only (non-SQL-expressible): sampen_permen, stationarity,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
-__all__ = ["entropy_points", "rollup_tier", "cascade", "TIER_SPECS"]
+__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "TIER_SPECS"]
 
 # tier name -> truncation unit for date_trunc
 TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
@@ -148,3 +148,43 @@ def cascade(points: DataFrame, salt: int | None = None) -> dict[str, DataFrame]:
             )
         prev = tiers[name]
     return tiers
+
+
+def percentile_rollup(
+    points: DataFrame,
+    unit: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    source_col: str = "source",
+    ts_col: str = "ts",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-(source, time-bucket) percentiles of a value column —
+    the continuous-aggregate shape for latency/size distributions.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile``
+    (linear interpolation, identical to DuckDB's ``quantile_cont`` —
+    verified bit-for-bit): it buffers each group's values, which is
+    bounded here because a (source, bucket) group only holds one
+    bucket's worth of points.  For unbounded groups pass ``exact=False``
+    for ``approx_percentile`` (t-digest-style sketch, mergeable,
+    constant memory — the 100 TB default when buckets are huge).
+    """
+    from eristropy_spark.functions.numeric import round6
+
+    fn = F.percentile if exact else F.approx_percentile
+    aggs = [
+        round6(
+            fn(F.col(value_col), F.lit(float(p)))
+            if exact
+            else fn(F.col(value_col), F.lit(float(p)), F.lit(10000))
+        ).alias(f"p{str(p).replace('0.', '')}")
+        for p in probs
+    ]
+    return (
+        points.groupBy(
+            F.col(source_col).alias("source"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(*aggs, F.count("*").alias("n"))
+    )

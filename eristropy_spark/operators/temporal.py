@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "interval_join"]
 
 
 def asof_join(
@@ -115,6 +115,61 @@ def asof_join(
         )
     return out.select(
         *keys, F.col("_ts").alias(left_ts), *left_payload, ts_out, *carried
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_sec: float = 3600.0,
+) -> DataFrame:
+    """Range join: each point row × every interval (same key) with
+    ``start <= ts <= end`` (inclusive both ends).
+
+    The naive formulation is a cartesian-per-key range predicate —
+    Spark executes it as BroadcastNestedLoopJoin or a per-key cross
+    product, both fatal at scale.  This is the BUCKETED range join
+    instead: intervals explode into the ``bucket_sec``-wide time buckets
+    they cover (explode factor = interval length / bucket width, bounded
+    by construction), each point maps to exactly ONE bucket, and the
+    join becomes an equi-join on (key, bucket) + a residual range
+    filter.  Because a point has a single bucket, no dedup step is
+    needed — each qualifying (point, interval) pair is produced exactly
+    once.  Pick ``bucket_sec`` near the typical interval length: wider
+    buckets fatten the residual filter, narrower ones fatten the
+    interval explode.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = float(bucket_sec)
+    if b <= 0:
+        raise ValueError("bucket_sec must be > 0")
+
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start_col) / b).cast("long"),
+                F.floor(_epoch(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bucket", F.floor(_epoch(point_ts) / b).cast("long")
+    )
+    return (
+        pts.join(ivals, [*keys, "_bucket"])
+        .where(
+            (_epoch(point_ts) >= _epoch(start_col))
+            & (_epoch(point_ts) <= _epoch(end_col))
+        )
+        .drop("_bucket")
     )
 
 

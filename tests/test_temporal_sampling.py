@@ -170,3 +170,90 @@ def test_md5_bucket_matches_hashlib(spark):
     for i in range(50):
         want = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
         assert got[i] == want
+
+
+def test_interval_join_semantics(spark):
+    from eristropy_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(5), pid="in-a"),
+            Row(k=1, ts=_ts(10), pid="edge-end-a"),   # inclusive end
+            Row(k=1, ts=_ts(11), pid="outside"),
+            Row(k=1, ts=_ts(20), pid="edge-start-b"),  # inclusive start
+            Row(k=2, ts=_ts(5), pid="wrong-key"),
+        ]
+    )
+    ivals = spark.createDataFrame(
+        [
+            Row(k=1, start=_ts(0), end=_ts(10), name="a"),
+            Row(k=1, start=_ts(20), end=_ts(30), name="b"),
+        ]
+    )
+    out = {
+        r["pid"]: r["name"]
+        for r in interval_join(pts, ivals, on="k", bucket_sec=120).collect()
+    }
+    assert out == {"in-a": "a", "edge-end-a": "a", "edge-start-b": "b"}
+
+
+def test_interval_join_bucket_width_invariant(spark):
+    """The bucket width is a physical knob only — results identical."""
+    from eristropy_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [Row(k=int(i % 3), ts=_ts(int(i % 55)), pid=i) for i in range(120)]
+    )
+    ivals = spark.createDataFrame(
+        [
+            Row(k=kk, start=_ts(s), end=_ts(s + 7), iid=f"{kk}:{s}")
+            for kk in range(3)
+            for s in (0, 10, 30, 50)
+        ]
+    )
+    outs = [
+        sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(pts, ivals, on="k", bucket_sec=w).collect()
+        )
+        for w in (60.0, 300.0, 3600.0)
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+
+def test_percentile_rollup_exact_and_approx(spark):
+    import numpy as np
+
+    from eristropy_spark.operators.rollup import percentile_rollup
+
+    rng = np.random.default_rng(3)
+    rows = [
+        Row(
+            ts=_ts(int(i % 50)),
+            source="s" + str(i % 2),
+            value=float(round(rng.normal(100, 20), 4)),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["source"], r["bucket"]): (r["p5"], r["p95"], r["n"])
+        for r in percentile_rollup(df, "hour", "value").collect()
+    }
+    # independent recomputation (numpy linear interpolation == Spark's)
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[(r.source, r.ts.replace(minute=0))].append(r.value)
+    for k, vals in groups.items():
+        p5 = math.floor(float(np.percentile(vals, 50)) * 1e6 + 0.5) / 1e6
+        p95 = math.floor(float(np.percentile(vals, 95)) * 1e6 + 0.5) / 1e6
+        assert out[k] == (p5, p95, len(vals)), k
+    # the approx path runs and lands near the exact one
+    approx = {
+        (r["source"], r["bucket"]): r["p5"]
+        for r in percentile_rollup(df, "hour", "value", exact=False).collect()
+    }
+    for k in out:
+        assert abs(approx[k] - out[k][0]) < 5.0
