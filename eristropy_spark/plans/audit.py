@@ -115,4 +115,24 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     p = plan_of(sj)
     checks.append(("semi_join: LeftSemi hash join", "LeftSemi" in p, p))
 
+    # 7. as-of join: the union+window plan — no join operator at all,
+    # exactly one Exchange above the scans (the window partitioning)
+    aj = entrymod.queries()["asof_join"](spark, sf_dir)
+    p = plan_of(aj)
+    checks.append(("asof_join: zero join operators (union+window plan)",
+                   "Join" not in p, p))
+    checks.append(("asof_join: window runs on ONE key shuffle",
+                   "Window" in p and "hashpartitioning(user_id" in p, p))
+
+    # 8. interval join: equi-join + residual filter, never a nested-loop
+    # cross product (the thing the bucketing exists to prevent)
+    ij = entrymod.queries()["interval_join"](spark, sf_dir)
+    p = plan_of(ij)
+    checks.append(
+        ("interval_join: hash equi-join, no BroadcastNestedLoopJoin/cartesian",
+         ("BroadcastNestedLoopJoin" not in p)
+         and ("CartesianProduct" not in p)
+         and ("Join" in p), p)
+    )
+
     return checks
