@@ -1093,6 +1093,60 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate CLUSTERS via distributed connected
+    components (min-label propagation, O(diameter) rounds).  Every doc
+    appears; cluster_id = min doc_id of its component.  The oracle
+    computes the transitive closure with a recursive CTE — a completely
+    different algorithm."""
+    from eristropy_spark.operators.cluster import dedup_clusters
+    from eristropy_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup_clusters(docs, pairs)
+
+
+# pair CTE identical to _ORACLE_NGRAM_JACCARD (already hash-verified);
+# the closure is a recursive CTE — a different algorithm than the
+# Spark side's iterative label propagation
+_ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+  WITH w AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+  ), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS shingle
+    FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i)
+  ), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+  ), inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh x JOIN sh y USING (shingle)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes a ON a.doc_id = doc_a
+  JOIN sizes b ON b.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
+), comp AS (
+  SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -1129,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
         "percentile_rollup": _q_percentile_rollup,
+        "dedup_clusters": _q_dedup_clusters,
         "tfidf_topk": _q_tfidf_topk,
         "md5_sample": _q_md5_sample,
     }
@@ -1160,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "percentile_rollup": _ORACLE_PERCENTILE_ROLLUP,
+        "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,
         # rows-only (non-SQL-expressible): sampen_permen, stationarity,

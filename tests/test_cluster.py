@@ -1,0 +1,69 @@
+"""Connected components / duplicate-cluster resolution tests."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eristropy_spark.operators.cluster import connected_components, dedup_clusters
+
+
+def _cc(spark, n, edge_list):
+    verts = spark.range(n).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in edge_list], "a long, b long"
+    )
+    return {
+        r["id"]: r["comp"]
+        for r in connected_components(verts, edges).collect()
+    }
+
+
+def test_cc_basic_components(spark):
+    # {0,1,2} via chain, {3,4} pair, {5} isolated
+    got = _cc(spark, 6, [(0, 1), (1, 2), (3, 4)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_cc_transitive_chain(spark):
+    """A long chain needs multiple propagation rounds."""
+    got = _cc(spark, 12, [(i, i + 1) for i in range(11)])
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_cc_result_reusable_after_return(spark):
+    """The returned frame must be consumable repeatedly (checkpointed
+    lineage — no exponential recompute of the iteration cascade)."""
+    verts = spark.range(50).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [Row(a=i, b=i + 1) for i in range(0, 48, 2)], "a long, b long"
+    )
+    out = connected_components(verts, edges)
+    assert out.count() == 50
+    assert out.where(F.col("comp") == F.col("id") - 1).count() == 24
+
+
+def test_cc_nonconvergence_guard(spark):
+    verts = spark.range(8).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [Row(a=i, b=i + 1) for i in range(7)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(verts, edges, max_iter=2)
+
+
+def test_dedup_clusters_shapes(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(10)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=3, j=1.0), Row(doc_a=3, doc_b=7, j=1.0),
+         Row(doc_a=5, doc_b=6, j=1.0)]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out[0] == (0, 3) and out[3] == (0, 3) and out[7] == (0, 3)
+    assert out[5] == (5, 2) and out[6] == (5, 2)
+    assert out[1] == (1, 1)  # singleton
+    assert len(out) == 10

@@ -257,3 +257,38 @@ def test_percentile_rollup_exact_and_approx(spark):
     }
     for k in out:
         assert abs(approx[k] - out[k][0]) < 5.0
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Cross-implementation check: the window-based sessionize agrees
+    with Spark's native session_window aggregation (independent
+    implementations of gap-based sessions; both merge at gap == G and
+    split at gap > G)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows, t = [], 0.0
+    for eid in range(600):
+        u = int(rng.integers(0, 7))
+        t += float(rng.exponential(900))  # mean 15 min between ANY events
+        rows.append(
+            Row(u=u, ts=datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(seconds=t), eid=eid)
+        )
+    ev = spark.createDataFrame(rows)
+    native = {
+        (r["u"], r["lo"]): (r["n"], r["hi"])
+        for r in ev.groupBy("u", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.min("ts").alias("lo"),
+             F.max("ts").alias("hi"))
+        .collect()
+    }
+    mine = {
+        (r["u"], r["lo"]): (r["n"], r["hi"])
+        for r in sessionize(ev, "u", gap_sec=1800.0, tiebreak="eid")
+        .groupBy("u", "session_id")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("lo"),
+             F.max("ts").alias("hi"))
+        .collect()
+    }
+    assert native == mine and len(native) > 20
