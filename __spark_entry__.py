@@ -1147,6 +1147,20 @@ FROM comp
 """
 
 
+def _q_dedup_clusters_lsh(spark, sf_dir):
+    """The 100 TB clustering path: connected components over
+    MinHash-LSH near-dup pairs (banded candidates, O(candidates)
+    verification) instead of the exact all-pairs edge set.  Rows-only
+    (the LSH edge set is not SQL-expressible); the golden test pins
+    that at sf0.01 it produces EXACTLY the same clusters as the
+    oracle-verified exact path."""
+    from eristropy_spark.operators.cluster import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=64, bands=16, n=3, threshold=0.2)
+    return dedup_clusters(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -1184,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "percentile_rollup": _q_percentile_rollup,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "tfidf_topk": _q_tfidf_topk,
         "md5_sample": _q_md5_sample,
     }

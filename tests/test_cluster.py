@@ -67,3 +67,15 @@ def test_dedup_clusters_shapes(spark):
     assert out[5] == (5, 2) and out[6] == (5, 2)
     assert out[1] == (1, 1)  # singleton
     assert len(out) == 10
+
+
+def test_clusters_lsh_path_equals_exact_path(spark):
+    """At sf0.01 the LSH edge set equals the exact Jaccard edge set
+    (each pair golden-verified separately), so the two clustering
+    contract queries must produce identical clusters."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    exact = sorted(map(tuple, entry._q_dedup_clusters(spark, sf).collect()))
+    lsh = sorted(map(tuple, entry._q_dedup_clusters_lsh(spark, sf).collect()))
+    assert exact == lsh and len(exact) == 500
