@@ -107,12 +107,19 @@ def test_release_leaves_no_cached_rdds(spark):
     res.df.select(F.count("*")).collect()  # consume
     _ = res.stationary_frac
 
+    # delta-based: other tests in the session may hold localCheckpoint
+    # blocks (released by GC, not clearCache), so assert THESE two ops'
+    # caches appear and then disappear
     jsc = spark.sparkContext._jsc
-    assert jsc.getPersistentRDDs().size() >= 2  # both internal caches live
+    import gc
+
+    gc.collect()
+    live = jsc.getPersistentRDDs().size()
+    assert live >= 2  # both internal caches among the live blocks
 
     op.release()
     res.release()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == live - 2
     # results stay consumable (lineage recompute), release is idempotent
     assert out.count() > 0
     op.release()
