@@ -543,7 +543,7 @@ def _q_windowed_entropy(spark, sf_dir):
     return out.select(
         "doc_id",
         "window_id",
-        F.col("ts").cast("string").alias("ts"),
+        "ts",
         "n_tok",
         "source",
         _r6("sampen").alias("sampen"),

@@ -44,9 +44,14 @@ def connected_components(
     own singleton component); ``edges`` are undirected (symmetrized
     internally, so (a,b) with a<b once is enough).
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # the symmetrized edge set joins into EVERY propagation round — left
+    # lazy it would re-execute the whole upstream edge pipeline (e.g. a
+    # full MinHash-LSH pass) once per round; checkpoint it once
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
     # eager localCheckpoint per round: truncates the iterative lineage
     # (without it, consuming round k re-executes every earlier round —
     # an exponentially-branching recompute tree) and materializes the
@@ -83,8 +88,10 @@ def connected_components(
         if changed == 0:
             # backed by the final checkpoint's blocks; tiny (2 columns),
             # released when the DataFrame is garbage collected
+            sym.unpersist()
             return labels.select(F.col("u").alias(vid), "comp")
     ckpt.unpersist()
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(pathological chain graph? use a larger max_iter or the "

@@ -329,3 +329,46 @@ def test_golden_embed_dedup_lsh(spark):
     assert len(got) > 0  # non-vacuous: the threshold sits in occupied tail
     assert got == want
     assert set(got) <= exact  # LSH never invents a pair the exact path lacks
+
+
+def test_golden_windowed_entropy(spark):
+    """The windowed_entropy contract configuration (window=8, stride=8,
+    min_window=4, m=1, r=0.2, ts=first_ts + w*8s) value-checked against
+    a local slice-by-slice recomputation."""
+    import datetime
+
+    got = {
+        (r["doc_id"], r["window_id"]): (
+            r["ts"], r["n_tok"], _nullable(r["sampen"]), _nullable(r["permen"])
+        )
+        for r in entry._q_windowed_entropy(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    seqs = con.sql(
+        f"""
+        SELECT user_id || ':' || event_type AS doc_id,
+               list(CAST(round(value * 100) AS INT) ORDER BY ts, event_id)
+                 AS tokens,
+               min(ts) AS first_ts
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        GROUP BY user_id, event_type
+        """
+    ).df()
+    want = {}
+    for r in seqs.itertuples():
+        toks = np.asarray(r.tokens, dtype=np.float64)
+        n = toks.size
+        if n < 4:
+            continue
+        n_win = (n - 4) // 8 + 1
+        for w in range(n_win):
+            seg = toks[w * 8 : w * 8 + 8]
+            if seg.size < 4:
+                continue
+            s = float(sampen_many([seg], 1, 0.2, normalize=True)[0])
+            p = permen(seg, 3, 1, normalize=True)
+            ts = r.first_ts.to_pydatetime() + datetime.timedelta(seconds=8 * w)
+            want[(r.doc_id, w)] = (
+                ts, seg.size, _nullable(_r6(s)), _nullable(_r6(p))
+            )
+    assert got == want and len(got) > 1000
