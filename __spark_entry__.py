@@ -971,6 +971,27 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _q_cardinality_rollup(spark, sf_dir):
+    """Per-(source, hour) event + distinct-user counts — the exact path
+    (two-phase distinct aggregate); approx_count_distinct (HLL++) is the
+    100 TB variant, accuracy-pinned in tests."""
+    from eristropy_spark.operators.rollup import cardinality_rollup
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", F.col("event_type").alias("source"), "user_id"
+    )
+    return cardinality_rollup(ev, "hour", "user_id", exact=True)
+
+
+_ORACLE_CARDINALITY_ROLLUP = """
+SELECT event_type AS source, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Top-3 TF-IDF terms per document (smooth idf, deterministic
     tie-break on the rounded score) — all JVM expressions."""
@@ -1197,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
         "percentile_rollup": _q_percentile_rollup,
+        "cardinality_rollup": _q_cardinality_rollup,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "tfidf_topk": _q_tfidf_topk,
@@ -1230,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "percentile_rollup": _ORACLE_PERCENTILE_ROLLUP,
+        "cardinality_rollup": _ORACLE_CARDINALITY_ROLLUP,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
-__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "TIER_SPECS"]
+__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "TIER_SPECS"]
 
 # tier name -> truncation unit for date_trunc
 TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
@@ -148,6 +148,37 @@ def cascade(points: DataFrame, salt: int | None = None) -> dict[str, DataFrame]:
             )
         prev = tiers[name]
     return tiers
+
+
+def cardinality_rollup(
+    points: DataFrame,
+    unit: str,
+    id_col: str,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    exact: bool = True,
+) -> DataFrame:
+    """(source, bucket, n_events, n_distinct) — distinct-entity counts
+    per retention bucket (active users / unique docs per window).
+
+    ``exact=True`` is a two-phase distinct aggregate (Spark plans it as
+    partial-dedup before the shuffle); correct but state ∝ distinct
+    keys per group.  ``exact=False`` switches to
+    ``approx_count_distinct`` (HyperLogLog++, fixed ~kB sketch per
+    group, mergeable across tiers) — the 100 TB default, with the exact
+    path as the small-scale oracle."""
+    count_expr = (
+        F.countDistinct(F.col(id_col))
+        if exact
+        else F.approx_count_distinct(F.col(id_col))
+    )
+    return points.groupBy(
+        F.col(source_col).alias("source"),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        count_expr.cast("long").alias("n_distinct"),
+    )
 
 
 def percentile_rollup(

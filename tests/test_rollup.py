@@ -130,3 +130,45 @@ def test_gapfill_linear(spark):
     np.testing.assert_almost_equal(got[("a", base + dt.timedelta(minutes=4))], 3.0)
     # real points untouched
     assert got[("a", base + dt.timedelta(minutes=3))] == 4.0
+
+
+def test_cardinality_rollup_exact_and_hll(spark):
+    """Exact distinct counts match a local recomputation; the HLL++
+    approx path lands within its published ~2-4% error band."""
+    import collections
+    import datetime
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from eristropy_spark.operators.rollup import cardinality_rollup
+
+    rng = np.random.default_rng(5)
+    rows = [
+        Row(
+            ts=datetime.datetime(2024, 1, 1, int(i % 3)),
+            source="s" + str(i % 2),
+            user_id=int(rng.integers(0, 200)),
+        )
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["source"], r["bucket"]): (r["n_events"], r["n_distinct"])
+        for r in cardinality_rollup(df, "hour", "user_id").collect()
+    }
+    groups = collections.defaultdict(set)
+    counts = collections.Counter()
+    for r in rows:
+        k = (r.source, r.ts.replace(minute=0))
+        groups[k].add(r.user_id)
+        counts[k] += 1
+    assert got == {k: (counts[k], len(v)) for k, v in groups.items()}
+    approx = {
+        (r["source"], r["bucket"]): r["n_distinct"]
+        for r in cardinality_rollup(
+            df, "hour", "user_id", exact=False
+        ).collect()
+    }
+    for k, (_, exact_n) in got.items():
+        assert abs(approx[k] - exact_n) / exact_n < 0.1
