@@ -674,7 +674,10 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    # h=8 on the tiny sf corpus exercises the wide-distance banding; the
+    # explicit opt-in acknowledges the documented fat-bucket hazard that
+    # the guard warns about at real corpus sizes
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8, allow_large_h=True)
 
 
 # ------------------------------------------------------------ similarity

@@ -30,6 +30,23 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_clusters"]
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's blocks NOW.
+
+    ``DataFrame.unpersist`` only touches CacheManager entries, not the
+    checkpoint RDD's blocks (verified: getPersistentRDDs keeps the
+    entry after it) — blocks otherwise live until driver GC +
+    ContextCleaner.  The checkpointed plan is a LogicalRDD whose
+    ``rdd()`` IS the persisted RDD; unpersisting that frees the blocks
+    immediately (and makes the frame unreadable — only call on frames
+    that are done).  Best-effort: falls back to GC-release on any
+    internal-API mismatch."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — GC will release eventually
+        pass
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -82,16 +99,18 @@ def connected_components(
             .alias("_chg"),
         ).localCheckpoint(eager=True)
         changed = new.agg(F.sum("_chg")).collect()[0][0] or 0
-        ckpt.unpersist()  # previous round's blocks — next round is eager
+        # previous round's blocks freed NOW (next round is already
+        # materialized) — at most two rounds of label blocks ever live
+        _release_local_checkpoint(ckpt)
         ckpt = new
         labels = new.select("u", "comp")
         if changed == 0:
-            # backed by the final checkpoint's blocks; tiny (2 columns),
-            # released when the DataFrame is garbage collected
-            sym.unpersist()
+            # the FINAL checkpoint's blocks stay (the returned frame
+            # reads them); released when the frame is GC'd
+            _release_local_checkpoint(sym)
             return labels.select(F.col("u").alias(vid), "comp")
-    ckpt.unpersist()
-    sym.unpersist()
+    _release_local_checkpoint(ckpt)
+    _release_local_checkpoint(sym)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(pathological chain graph? use a larger max_iter or the "

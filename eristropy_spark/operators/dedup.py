@@ -134,6 +134,10 @@ def _combine_grams(word_hashes: np.ndarray, n: int) -> np.ndarray:
     salt and XOR-combined, so each window costs n vector ops total.
     Docs shorter than n words yield one gram over all their words
     (mirroring the round-2 whole-text fallback)."""
+    if not 1 <= n <= _GRAM_SALTS.size:
+        raise ValueError(
+            f"shingle width n must be in [1, {_GRAM_SALTS.size}] (got {n})"
+        )
     L = word_hashes.size
     if L == 0:
         return word_hashes
@@ -184,7 +188,10 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 17):
     """pandas_udf: text -> array<long> of k minhash values."""
-
+    if not 1 <= n <= _GRAM_SALTS.size:
+        raise ValueError(
+            f"shingle width n must be in [1, {_GRAM_SALTS.size}] (got {n})"
+        )
     seeds = np.random.RandomState(seed).randint(1, 2**31, size=k).astype(np.uint64)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -280,6 +287,10 @@ def minhash_lsh_pairs(
 
 def make_simhash_udf(n: int = 2, seed: int = 17):
     """pandas_udf: text -> 64-bit SimHash (as signed long)."""
+    if not 1 <= n <= _GRAM_SALTS.size:
+        raise ValueError(
+            f"shingle width n must be in [1, {_GRAM_SALTS.size}] (got {n})"
+        )
 
     @F.pandas_udf(LongType())
     def simhash_udf(text: pd.Series) -> pd.Series:
@@ -301,7 +312,12 @@ def make_simhash_udf(n: int = 2, seed: int = 17):
     return simhash_udf
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 17) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    seed: int = 17,
+    allow_large_h: bool = False,
+) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with SimHash Hamming <= max_hamming.
 
     Candidate pruning: split the 64-bit hash into ``max_hamming + 1``
@@ -319,7 +335,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 17) -> Data
     """
     if not (0 <= max_hamming <= 31):
         raise ValueError("max_hamming must be in [0, 31]")
-    if max_hamming > 4:
+    if max_hamming > 4 and not allow_large_h:
+        # allow_large_h=True is the explicit opt-in for small corpora
+        # (e.g. the sf0.01 contract demo) where fat buckets are harmless
         import warnings
 
         warnings.warn(

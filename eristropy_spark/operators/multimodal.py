@@ -162,8 +162,9 @@ def decode_payload(payload: bytes, kind: str, fake_decode: bool) -> dict:
         if kind == "audio":
             return _decode_audio_real(payload, _probe_audio_lib())
         raise NotImplementedError(
-            "real video decode requires ffmpeg bindings, not available; "
-            "pass fake_decode=True for the deterministic test double"
+            f"no real decoder targeted for kind={kind!r} (video requires "
+            "ffmpeg bindings, not available); pass fake_decode=True for "
+            "the deterministic test double"
         )
     digest = hashlib.blake2b(payload, digest_size=8).digest()
     seed = int.from_bytes(digest, "big")
@@ -194,8 +195,12 @@ def extract_features(
     ``mode`` overrides ``fake_decode``: ``"fake"`` / ``"real"`` force a
     path; ``"auto"`` probes each kind's decoder ONCE at UDF init (on the
     worker) and uses the real decoder where present, the deterministic
-    fake otherwise — the production-shaped default for a cluster whose
-    images ARE real bytes and whose workers have PIL installed."""
+    fake otherwise — and if a real decode of an individual payload
+    FAILS (corrupt/mislabeled bytes — guaranteed to occur somewhere in
+    a 100 TB corpus), that payload falls back to the fake decode instead
+    of killing the job.  ``mode="real"`` keeps the raise (explicit
+    strictness).  Kinds without a known decoder decode fake except in
+    ``"real"`` mode, where they raise clearly."""
     if mode is None:
         mode = "fake" if fake_decode else "real"
     if mode not in {"fake", "real", "auto"}:
@@ -211,12 +216,24 @@ def extract_features(
             }
         else:
             fake_for = dict.fromkeys(("image", "audio", "video"), mode == "fake")
+
+        def _decode(payload: bytes, kind: str) -> dict:
+            # unknown kinds: fake path (it handles any kind) unless the
+            # caller demanded real decode
+            fake = fake_for.get(kind, mode != "real")
+            if mode == "auto" and not fake:
+                try:
+                    return decode_payload(payload, kind, False)
+                except Exception:  # noqa: BLE001 — corrupt payload
+                    return decode_payload(payload, kind, True)
+            return decode_payload(payload, kind, fake)
+
         for pdf in batches:
             rows = []
             for asset_id, kind, payload in zip(
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
-                d = decode_payload(bytes(payload), kind, fake_for[kind])
+                d = _decode(bytes(payload), kind)
                 rows.append(
                     {
                         "asset_id": asset_id,

@@ -66,7 +66,11 @@ def windowed_entropy(
     if ts_col is not None and dt <= 0:
         raise ValueError("dt (seconds per token) must be > 0")
 
-    passthrough = (ts_col,) + tuple(keep_cols) if ts_col else tuple(keep_cols)
+    # ts_col may also appear in keep_cols (the round-2 call shape passed
+    # first_ts through keep_cols) — dedupe or the double selection makes
+    # every later F.col(ts_col) reference ambiguous
+    keep_cols = tuple(c for c in keep_cols if c != ts_col)
+    passthrough = (ts_col,) + keep_cols if ts_col else keep_cols
     n = F.size("tokens")
     # window start positions (1-based for slice): 1, 1+stride, ...
     n_win = F.when(

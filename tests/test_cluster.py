@@ -79,3 +79,21 @@ def test_clusters_lsh_path_equals_exact_path(spark):
     exact = sorted(map(tuple, entry._q_dedup_clusters(spark, sf).collect()))
     lsh = sorted(map(tuple, entry._q_dedup_clusters_lsh(spark, sf).collect()))
     assert exact == lsh and len(exact) == 500
+
+
+def test_cc_frees_intermediate_checkpoint_blocks(spark):
+    """Only the FINAL round's label blocks survive the call — per-round
+    checkpoints and the edge checkpoint are freed eagerly, not left for
+    GC (a long chain would otherwise stack O(rounds) block sets)."""
+    import gc
+
+    gc.collect()
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    verts = spark.range(40).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [Row(a=i, b=i + 1) for i in range(0, 19)], "a long, b long"
+    )
+    out = connected_components(verts, edges)  # 20-chain: ~19 rounds
+    assert out.count() == 40
+    assert jsc.getPersistentRDDs().size() <= before + 1  # final labels only

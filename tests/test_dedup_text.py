@@ -280,6 +280,8 @@ def test_simhash_large_h_warns_small_h_does_not(spark, docs_df=None):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         simhash_pairs(docs, max_hamming=3)  # plan-build only; no warning
+        # explicit opt-in silences the guard (the contract's sf0.01 h=8)
+        simhash_pairs(docs, max_hamming=8, allow_large_h=True)
 
 
 def test_shingle_hashes_batch_matches_single():
@@ -383,17 +385,43 @@ def test_multimodal_video_real_always_stubbed():
 
 
 def test_multimodal_auto_mode_falls_back_to_fake(spark, monkeypatch):
-    """mode='auto' with no real decoders == the fake path exactly.
-
-    The probes run inside executor Python workers, so monkeypatching the
-    driver module is not enough — instead this pins that in THIS sandbox
-    (no PIL) auto-mode image/video rows equal fake-mode rows; audio rows
-    would go real-or-crash on non-WAV payloads, so restrict to images."""
+    """mode='auto' degrades gracefully everywhere in THIS sandbox: no
+    PIL -> image/video probe to fake; audio probes real (stdlib wave)
+    but every synthetic payload is non-WAV, so each one falls back to
+    fake per-payload instead of killing the job — auto == fake exactly."""
     docs = _docs_df(spark, with_dups=False)
-    assets = documents_to_assets(docs).where("kind = 'image'")
+    assets = documents_to_assets(docs)
     auto = extract_features(assets, mode="auto").orderBy("asset_id").collect()
     fake = extract_features(assets, mode="fake").orderBy("asset_id").collect()
     assert auto == fake
+    assert {r["kind"] for r in auto} == {"image", "audio", "video"}
+
+
+def test_multimodal_unknown_kind(spark):
+    """Kinds without a decoder: fake/auto produce fake features (the
+    pre-round-3 behavior); real mode raises clearly."""
+    from pyspark.sql import functions as F
+
+    assets = documents_to_assets(_docs_df(spark, with_dups=False)).limit(
+        3
+    ).withColumn("kind", F.lit("pdf"))
+    for mode in ("fake", "auto"):
+        rows = extract_features(assets, mode=mode).collect()
+        assert len(rows) == 3 and all(len(r["feature"]) == 16 for r in rows)
+    with pytest.raises(Exception, match="kind='pdf'"):
+        extract_features(assets, mode="real").collect()
+
+
+def test_shingle_width_validated():
+    from eristropy_spark.operators.dedup import (
+        make_minhash_udf,
+        make_simhash_udf,
+    )
+
+    with pytest.raises(ValueError, match="shingle width"):
+        make_minhash_udf(n=65)
+    with pytest.raises(ValueError, match="shingle width"):
+        make_simhash_udf(n=0)
 
 
 def test_multimodal_mode_validation(spark):

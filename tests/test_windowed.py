@@ -121,3 +121,22 @@ def test_window_ts_requires_positive_dt(spark):
     df = _df(spark, [100]).withColumn("first_ts", F.current_timestamp())
     with pytest.raises(ValueError, match="dt"):
         windowed_entropy(df, window=50, ts_col="first_ts", dt=0.0)
+
+
+def test_window_ts_col_also_in_keep_cols(spark):
+    """The round-2 CLI call shape passed first_ts through keep_cols;
+    with ts_col set too the column must not be selected twice."""
+    import datetime
+
+    df = _df(spark, [100]).withColumn(
+        "first_ts",
+        __import__("pyspark").sql.functions.lit(
+            datetime.datetime(2024, 1, 1)
+        ).cast("timestamp"),
+    )
+    out = windowed_entropy(
+        df, window=50, m=1, r=0.2,
+        keep_cols=("source", "first_ts"), ts_col="first_ts",
+    )
+    rows = out.collect()
+    assert out.columns.count("ts") == 1 and len(rows) == 2
