@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "connected_components_twophase", "dedup_clusters"]
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -118,13 +118,118 @@ def connected_components(
     )
 
 
+def connected_components_twophase(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vid: str = "id",
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — O(log² n) rounds regardless of graph DIAMETER, where
+    plain min-label propagation needs O(diameter) rounds (a chain of
+    10⁶ duplicate docs would defeat it).
+
+    Each round is two edge rewrites, each one groupBy + join:
+
+    * large-star: every node u connects its strictly-LARGER neighbors
+      to m(u) = min(N(u) ∪ {u}) — long tails hook onto small ids,
+    * small-star: every node u connects its smaller-or-equal neighbors
+      to m(u) — stars flatten.
+
+    The edge set monotonically contracts toward (v, root) stars;
+    fixpoint when a round leaves the canonical edge set unchanged
+    (checked by size + commutative hash).  Output matches
+    ``connected_components`` exactly (equivalence-tested).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        nbrs = sym.where(F.col("v") > F.col("u")) if large else sym.where(
+            F.col("v") <= F.col("u")
+        )
+        out = nbrs.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        if not large:
+            # small-star also links each node to its own min (the
+            # paper's (v, m) self edge) — without it a star's root-ward
+            # edges vanish and components dissolve into singletons
+            out = out.union(m.select(F.col("u"), F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def _fingerprint(cur: DataFrame):
+        row = cur.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))).alias("h"),
+        ).collect()[0]
+        return (int(row["n"]), int(row["h"] or 0))
+
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        nxt = _star(_star(e, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        nfp = _fingerprint(nxt)
+        _release_local_checkpoint(e)
+        e = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        _release_local_checkpoint(e)
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{max_iter} rounds"
+        )
+
+    # fixpoint edges are (node -> its component root); every remaining
+    # u maps to v = root, roots/isolated vertices map to themselves
+    # (min-agg guards the mapping's uniqueness per node)
+    mapping = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("comp"))
+        .select(F.col("u").alias(vid), "comp")
+    )
+    out = vertices.select(F.col(vid)).join(mapping, vid, "left").select(
+        F.col(vid), F.coalesce("comp", F.col(vid)).alias("comp")
+    )
+    return out
+
+
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) over near-dup ``pairs``
     (columns doc_a/doc_b).  cluster_id = min doc_id of the component;
-    every document appears (singletons cluster with themselves)."""
-    comp = connected_components(
+    every document appears (singletons cluster with themselves).
+
+    ``algorithm="propagation"`` (default — near-dup clusters are dense,
+    diameter 2-3) or ``"twophase"`` (diameter-independent; pick it when
+    chains are possible, e.g. transitive similarity at a loose
+    threshold)."""
+    if algorithm not in {"propagation", "twophase"}:
+        raise ValueError("algorithm must be 'propagation' or 'twophase'")
+    cc = (
+        connected_components
+        if algorithm == "propagation"
+        else connected_components_twophase
+    )
+    comp = cc(
         docs.select(id_col),
         pairs.select("doc_a", "doc_b"),
         vid=id_col,

@@ -97,3 +97,57 @@ def test_cc_frees_intermediate_checkpoint_blocks(spark):
     out = connected_components(verts, edges)  # 20-chain: ~19 rounds
     assert out.count() == 40
     assert jsc.getPersistentRDDs().size() <= before + 1  # final labels only
+
+
+def test_twophase_matches_propagation_on_random_graphs(spark):
+    import numpy as np
+
+    from eristropy_spark.operators.cluster import connected_components_twophase
+
+    rng = np.random.default_rng(23)
+    verts = spark.range(120).select(F.col("id"))
+    edge_rows = [
+        Row(a=int(a), b=int(b))
+        for a, b in rng.integers(0, 120, size=(90, 2))
+        if a != b
+    ]
+    edges = spark.createDataFrame(edge_rows, "a long, b long")
+    prop = sorted(map(tuple, connected_components(verts, edges).collect()))
+    two = sorted(
+        map(tuple, connected_components_twophase(verts, edges).collect())
+    )
+    assert prop == two
+
+
+def test_twophase_handles_long_chain(spark):
+    """The O(diameter) weakness of min propagation: a 151-node chain
+    defeats max_iter=25 propagation (guard raises) but the alternating
+    algorithm contracts it in O(log^2 n) rounds."""
+    from eristropy_spark.operators.cluster import connected_components_twophase
+
+    verts = spark.range(160).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [Row(a=i, b=i + 1) for i in range(150)], "a long, b long"
+    )
+    out = {
+        r["id"]: r["comp"]
+        for r in connected_components_twophase(verts, edges).collect()
+    }
+    assert all(out[i] == 0 for i in range(151))
+    assert all(out[i] == i for i in range(151, 160))
+
+
+def test_dedup_clusters_twophase_equivalent(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
+    pairs = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=3, j=1.0), Row(doc_a=3, doc_b=7, j=1.0)]
+    )
+    a = sorted(map(tuple, dedup_clusters(docs, pairs).collect()))
+    b = sorted(
+        map(tuple, dedup_clusters(docs, pairs, algorithm="twophase").collect())
+    )
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_clusters(docs, pairs, algorithm="bogus")
