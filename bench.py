@@ -124,10 +124,10 @@ def _phase_queries(cores: int) -> None:
 
     spark = get_spark(app_name="bench-queries", cores=cores)
     out = {}
-    # best-of-2: neighbor contention on this box swings identical runs
-    # up to 5x (see BASELINE.md methodology); min-of-two is the
-    # least-contended estimate
-    for _rep in range(2):
+    # best-of-3: neighbor contention on this box swings identical runs
+    # up to 10x and waves last minutes (see BASELINE.md methodology);
+    # min-of-three gives each query a better chance of one quiet rep
+    for _rep in range(3):
         for name, fn in entrymod.queries().items():
             if name in SKIP_AT_BENCH_SF:
                 continue
