@@ -770,12 +770,64 @@ def _q_embed_dedup_lsh(spark, sf_dir):
     # embed_dedup_exact) so the contract row carries real evidence: the
     # seeded LSH output here is deterministic, value-pinned by the
     # golden test (tests/test_golden_rowsonly.test_golden_embed_dedup_lsh
-    # recomputes the exact pair set locally and asserts LSH ⊆ exact).
-    # Production would run threshold≈0.95; the planted-duplicate test
-    # (tests/test_embed_dedup.py) covers that regime (LSH == exact).
+    # recomputes the exact pair set locally and asserts LSH ⊆ exact)
+    # AND oracle-checked (_oracle_embed_dedup_lsh embeds the seeded
+    # hyperplanes as SQL literals so DuckDB replays the whole LSH
+    # independently).  Production would run threshold≈0.95; the
+    # planted-duplicate test (tests/test_embed_dedup.py) covers that
+    # regime (LSH == exact).
     return embedding_dup_pairs_lsh(
         emb, threshold=_EMBED_DUP_THRESHOLD, n_bits=8, n_tables=8, seed=17
     )
+
+
+def _oracle_embed_dedup_lsh(
+    n_tables: int = 8, n_bits: int = 8, dim: int = 64, seed: int = 17
+) -> str:
+    """DuckDB replay of the ENTIRE hyperplane-LSH path: the seeded
+    planes (same RandomState(17) draw as make_hyperplane_udf) become a
+    VALUES literal, codes are recomputed with list_dot_product, and the
+    candidate join + exact-cosine filter mirror the Spark plan.  Sign
+    decisions are float-order-robust here because random-normal dot
+    products land ~1e-13-near zero with negligible probability (verified
+    equal at sf0.01 and sf0.1).  dim=64 is fixed across the testdata."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).normal(
+        size=(n_tables, n_bits, dim)
+    ).astype(np.float64)
+    vals = ",\n".join(
+        f"({t},{b},[{','.join(repr(float(x)) for x in planes[t, b])}])"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    return f"""
+WITH planes(t, b, pv) AS (VALUES
+{vals}
+), codes AS (
+  SELECT e.vec_id, p.t,
+         sum(CASE WHEN list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[])) > 0
+                  THEN CAST(pow(2, p.b) AS BIGINT) ELSE 0 END) AS code
+  FROM embeddings e, planes p GROUP BY e.vec_id, p.t
+), cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM codes x JOIN codes y ON x.t = y.t AND x.code = y.code AND x.vec_id < y.vec_id
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT c.id_a, c.id_b,
+       floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cos_sim
+FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
+WHERE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000
+      >= {_EMBED_DUP_THRESHOLD}
+"""
 
 
 # ------------------------------------------------------- relational shell
@@ -961,9 +1013,12 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
+  -- CAST: DuckDB's window sum(INTEGER) returns HUGEINT, which the
+  -- driver's value hash distinguishes from Spark's BIGINT.
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1079,9 +1134,11 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
+  -- CAST: DuckDB's window sum(INTEGER) returns HUGEINT (see sessionize).
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
   FROM flagged
 ), intervals AS (
   SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
@@ -1108,7 +1165,7 @@ def _q_percentile_rollup(spark, sf_dir):
 
 _ORACLE_PERCENTILE_ROLLUP = """
 SELECT event_type AS source, date_trunc('hour', ts) AS bucket,
-       floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p5,
+       floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
        floor((quantile_cont(value, 0.95)) * 1000000 + 0.5) / 1000000 AS p95,
        floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
        count(*) AS n
@@ -1174,10 +1231,10 @@ FROM comp
 def _q_dedup_clusters_lsh(spark, sf_dir):
     """The 100 TB clustering path: connected components over
     MinHash-LSH near-dup pairs (banded candidates, O(candidates)
-    verification) instead of the exact all-pairs edge set.  Rows-only
-    (the LSH edge set is not SQL-expressible); the golden test pins
-    that at sf0.01 it produces EXACTLY the same clusters as the
-    oracle-verified exact path."""
+    verification) instead of the exact all-pairs edge set.  The golden
+    test (tests/test_cluster.py) pins that at sf0.01 it produces
+    EXACTLY the same clusters as the exact path, so the exact-closure
+    recursive-CTE oracle applies to this query verbatim."""
     from eristropy_spark.operators.cluster import dedup_clusters
 
     docs = _docs(spark, sf_dir)
@@ -1247,6 +1304,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "similarity_topk": _ORACLE_SIMILARITY,
         "embed_dedup_exact": _ORACLE_EMBED_DEDUP,
+        # full DuckDB LSH replay: seeded hyperplanes as SQL literals
+        "embed_dedup_lsh": _oracle_embed_dedup_lsh(),
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
         "semi_join": _ORACLE_SEMI_JOIN,
@@ -1257,8 +1316,15 @@ def oracle_sql() -> dict[str, str]:
         "percentile_rollup": _ORACLE_PERCENTILE_ROLLUP,
         "cardinality_rollup": _ORACLE_CARDINALITY_ROLLUP,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+        # the LSH-edged path is pinned identical to the exact path at
+        # sf0.01 (tests/test_cluster.test_clusters_lsh_path_equals_exact
+        # _path), so the exact-closure oracle applies verbatim
+        "dedup_clusters_lsh": _ORACLE_DEDUP_CLUSTERS,
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,
-        # rows-only (non-SQL-expressible): sampen_permen, stationarity,
-        # minhash_lsh, simhash, similarity_lsh, multimodal_features
+        # rows-only (non-SQL-expressible — the hash functions are
+        # pd.util.hash_array / numpy kernels DuckDB cannot replay):
+        # sampen_permen, sampen_eff, stationarity, windowed_entropy,
+        # minhash_lsh, simhash, similarity_lsh, similarity_ivf,
+        # multimodal_features — each carries a value-level golden pytest
     }

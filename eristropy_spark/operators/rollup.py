@@ -209,7 +209,7 @@ def percentile_rollup(
             fn(F.col(value_col), F.lit(float(p)))
             if exact
             else fn(F.col(value_col), F.lit(float(p)), F.lit(10000))
-        ).alias(f"p{str(p).replace('0.', '')}")
+        ).alias(f"p{int(round(p * 100))}")
         for p in probs
     ]
     return (

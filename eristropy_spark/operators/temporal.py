@@ -54,7 +54,16 @@ def asof_join(
     Right rows that tie on (key, ts) are carried in an unspecified
     order — pre-aggregate the right side to one row per (key, ts) when
     that matters (DuckDB's ASOF JOIN has the same ambiguity).
+
+    The matched row is carried ATOMICALLY: the right-side (ts, values)
+    ride inside ONE struct and a single ``last(ignorenulls=True)``
+    carries the struct forward.  A matched row whose value column is
+    legitimately NULL therefore yields NULL (like DuckDB's ASOF JOIN) —
+    per-column carries would instead backfill a stale value from an
+    older right row and could even mix columns from different rows.
     """
+    from pyspark.sql.types import StructField, StructType
+
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [
@@ -64,18 +73,17 @@ def asof_join(
     ts_out = f"{right_ts}{suffix}"
     left_payload = [c for c in left.columns if c not in set(keys) | {left_ts}]
 
+    carry_type = StructType(
+        [StructField("__ts", right.schema[right_ts].dataType)]
+        + [StructField(a, right.schema[v].dataType)
+           for v, a in zip(value_cols, carried)]
+    )
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_payload],
-        F.lit(None).cast(
-            right.schema[right_ts].dataType.simpleString()
-        ).alias(ts_out),
-        *[
-            F.lit(None).cast(right.schema[v].dataType.simpleString()).alias(a)
-            for v, a in zip(value_cols, carried)
-        ],
+        F.lit(None).cast(carry_type).alias("_carry"),
     )
     r_tag = right.select(
         *keys,
@@ -83,8 +91,10 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType.simpleString()).alias(c)
           for c in left_payload],
-        F.col(right_ts).alias(ts_out),
-        *[F.col(v).alias(a) for v, a in zip(value_cols, carried)],
+        F.struct(
+            F.col(right_ts).alias("__ts"),
+            *[F.col(v).alias(a) for v, a in zip(value_cols, carried)],
+        ).alias("_carry"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -96,25 +106,23 @@ def asof_join(
         "_ts",
         "_side",
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [ts_out, *carried]],
+        F.last("_carry", ignorenulls=True).over(w).alias("_m"),
     )
     out = filled.where(F.col("_side") == 1)
+    match = F.col("_m")
     if tolerance_sec is not None:
         fresh = (
             F.col("_ts").cast("timestamp").cast("double")
-            - F.col(ts_out).cast("timestamp").cast("double")
+            - F.col("_m.__ts").cast("timestamp").cast("double")
         ) <= F.lit(float(tolerance_sec))
-        out = out.select(
-            *keys,
-            "_ts",
-            *left_payload,
-            *[
-                F.when(fresh, F.col(c)).alias(c)
-                for c in [ts_out, *carried]
-            ],
-        )
+        match = F.when(fresh, F.col("_m"))
+        out = out.select(*keys, "_ts", *left_payload, match.alias("_m"))
     return out.select(
-        *keys, F.col("_ts").alias(left_ts), *left_payload, ts_out, *carried
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *left_payload,
+        F.col("_m.__ts").alias(ts_out),
+        *[F.col(f"_m.{a}").alias(a) for a in carried],
     )
 
 
@@ -126,6 +134,8 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     bucket_sec: float = 3600.0,
+    max_buckets_per_interval: int = 10_000,
+    invalid_intervals: str = "error",
 ) -> DataFrame:
     """Range join: each point row × every interval (same key) with
     ``start <= ts <= end`` (inclusive both ends).
@@ -134,31 +144,65 @@ def interval_join(
     Spark executes it as BroadcastNestedLoopJoin or a per-key cross
     product, both fatal at scale.  This is the BUCKETED range join
     instead: intervals explode into the ``bucket_sec``-wide time buckets
-    they cover (explode factor = interval length / bucket width, bounded
-    by construction), each point maps to exactly ONE bucket, and the
-    join becomes an equi-join on (key, bucket) + a residual range
-    filter.  Because a point has a single bucket, no dedup step is
-    needed — each qualifying (point, interval) pair is produced exactly
-    once.  Pick ``bucket_sec`` near the typical interval length: wider
-    buckets fatten the residual filter, narrower ones fatten the
-    interval explode.
+    they cover (explode factor = interval length / bucket width), each
+    point maps to exactly ONE bucket, and the join becomes an equi-join
+    on (key, bucket) + a residual range filter.  Because a point has a
+    single bucket, no dedup step is needed — each qualifying
+    (point, interval) pair is produced exactly once.  Pick ``bucket_sec``
+    near the typical interval length: wider buckets fatten the residual
+    filter, narrower ones fatten the interval explode.
+
+    Guards (executor-side, so one bad row fails loudly instead of
+    exploding the job):
+
+    - a reversed interval (``end < start``) raises by default
+      (``invalid_intervals="error"``) or is silently dropped
+      (``"drop"``) — unguarded it would produce a descending
+      ``sequence`` and zero matches with no diagnostic;
+    - an interval covering more than ``max_buckets_per_interval``
+      buckets (a degenerate open-ended sentinel like year 9999, or a
+      months-long interval against a tiny ``bucket_sec``) raises with
+      the offending bounds — a clamp would silently miss matches.
+      Raise the limit (or widen ``bucket_sec``) deliberately if your
+      intervals really are that long.
     """
     keys = [on] if isinstance(on, str) else list(on)
     b = float(bucket_sec)
     if b <= 0:
         raise ValueError("bucket_sec must be > 0")
+    if max_buckets_per_interval < 1:
+        raise ValueError("max_buckets_per_interval must be >= 1")
+    if invalid_intervals not in ("error", "drop"):
+        raise ValueError("invalid_intervals must be 'error' or 'drop'")
 
     def _epoch(c):
         return F.col(c).cast("timestamp").cast("double")
 
+    s_b = F.floor(_epoch(start_col) / b).cast("long")
+    e_b = F.floor(_epoch(end_col) / b).cast("long")
+    reversed_ival = _epoch(end_col) < _epoch(start_col)
+    if invalid_intervals == "drop":
+        intervals = intervals.where(~reversed_ival)
+        bad = F.lit(False)
+    else:
+        bad = reversed_ival
+    too_wide = (e_b - s_b + 1) > F.lit(int(max_buckets_per_interval))
+    # the guard rides inside the sequence's start bound so Catalyst
+    # can't prune it away; raise_error fires on the executor with the
+    # offending interval's bounds in the message
+    guard_msg = F.format_string(
+        "interval_join: bad interval [start=%s, end=%s]: reversed "
+        "(end < start) or covering more than %d buckets of "
+        + f"{b:g}s — fix the interval, widen bucket_sec, or raise "
+        "max_buckets_per_interval",
+        F.col(start_col).cast("string"),
+        F.col(end_col).cast("string"),
+        F.lit(int(max_buckets_per_interval)),
+    )
+    guarded_start = F.when(bad | too_wide, F.raise_error(guard_msg)).otherwise(s_b)
     ivals = intervals.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(_epoch(start_col) / b).cast("long"),
-                F.floor(_epoch(end_col) / b).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(guarded_start.cast("long"), e_b)),
     )
     pts = points.withColumn(
         "_bucket", F.floor(_epoch(point_ts) / b).cast("long")

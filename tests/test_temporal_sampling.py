@@ -237,7 +237,7 @@ def test_percentile_rollup_exact_and_approx(spark):
     ]
     df = spark.createDataFrame(rows)
     out = {
-        (r["source"], r["bucket"]): (r["p5"], r["p95"], r["n"])
+        (r["source"], r["bucket"]): (r["p50"], r["p95"], r["n"])
         for r in percentile_rollup(df, "hour", "value").collect()
     }
     # independent recomputation (numpy linear interpolation == Spark's)
@@ -247,12 +247,12 @@ def test_percentile_rollup_exact_and_approx(spark):
     for r in rows:
         groups[(r.source, r.ts.replace(minute=0))].append(r.value)
     for k, vals in groups.items():
-        p5 = math.floor(float(np.percentile(vals, 50)) * 1e6 + 0.5) / 1e6
+        p50 = math.floor(float(np.percentile(vals, 50)) * 1e6 + 0.5) / 1e6
         p95 = math.floor(float(np.percentile(vals, 95)) * 1e6 + 0.5) / 1e6
-        assert out[k] == (p5, p95, len(vals)), k
+        assert out[k] == (p50, p95, len(vals)), k
     # the approx path runs and lands near the exact one
     approx = {
-        (r["source"], r["bucket"]): r["p5"]
+        (r["source"], r["bucket"]): r["p50"]
         for r in percentile_rollup(df, "hour", "value", exact=False).collect()
     }
     for k in out:
@@ -292,3 +292,109 @@ def test_sessionize_matches_native_session_window(spark):
         .collect()
     }
     assert native == mine and len(native) > 20
+
+
+def test_asof_join_null_value_not_backfilled(spark):
+    """A MATCHED right row whose value column is legitimately NULL must
+    yield NULL — not a stale value carried from an older right row (the
+    matched row is carried atomically in one struct)."""
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_ts(9), lid="a"), Row(k=1, ts=_ts(3), lid="b")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_ts(2), v=2.0, w="old"),
+         Row(k=1, ts=_ts(8), v=None, w="new")],
+        "k long, ts timestamp, v double, w string",
+    )
+    out = {
+        r["lid"]: (r["ts_asof"], r["v_asof"], r["w_asof"])
+        for r in asof_join(
+            left, right, on="k", value_cols=["v", "w"]
+        ).collect()
+    }
+    # lid=a matches the ts=8 row: v must be NULL (not backfilled 2.0),
+    # and all carried columns must come from THAT row
+    assert out["a"] == (_ts(8), None, "new")
+    assert out["b"] == (_ts(2), 2.0, "old")
+
+
+def test_interval_join_reversed_interval_guard(spark):
+    from pyspark.sql.utils import PythonException
+
+    from eristropy_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([Row(k=1, ts=_ts(5))])
+    good = spark.createDataFrame(
+        [Row(k=1, start=_ts(0), end=_ts(10), iid="ok")]
+    )
+    rev = spark.createDataFrame(
+        [Row(k=1, start=_ts(10), end=_ts(0), iid="rev")]
+    )
+    both = good.unionByName(rev)
+    # default: loud failure naming the interval
+    with pytest.raises(Exception) as exc:
+        interval_join(pts, both, on="k", bucket_sec=60).collect()
+    assert "interval_join: bad interval" in str(exc.value)
+    # drop mode: reversed interval silently removed, good one matches
+    out = interval_join(
+        pts, both, on="k", bucket_sec=60, invalid_intervals="drop"
+    ).collect()
+    assert [r["iid"] for r in out] == ["ok"]
+
+
+def test_interval_join_explode_guard(spark):
+    from eristropy_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([Row(k=1, ts=_ts(5))])
+    # a degenerate open-ended sentinel interval: year 9999
+    sentinel = spark.createDataFrame(
+        [Row(k=1, start=_ts(0), end=datetime.datetime(9999, 1, 1), iid="s")]
+    )
+    with pytest.raises(Exception) as exc:
+        interval_join(pts, sentinel, on="k", bucket_sec=60).collect()
+    assert "interval_join: bad interval" in str(exc.value)
+    # raising the cap deliberately lets it through (still correct)
+    out = interval_join(
+        pts, sentinel, on="k", bucket_sec=3600.0 * 24 * 365,
+        max_buckets_per_interval=10_000,
+    ).collect()
+    assert [r["iid"] for r in out] == ["s"]
+    with pytest.raises(ValueError):
+        interval_join(pts, sentinel, on="k", max_buckets_per_interval=0)
+    with pytest.raises(ValueError):
+        interval_join(pts, sentinel, on="k", invalid_intervals="clamp")
+
+
+def test_verify_contract_dtype_check_catches_hugeint_class():
+    """The local verifier must flag what the driver's type-sensitive
+    hash flags: an oracle column materializing as a different dtype
+    family (DuckDB window sum(INTEGER) -> HUGEINT -> float64) even when
+    every value is equal.  This bug class shipped twice (cube_rollup
+    r2, sessionize/interval_join r3) because the old verifier coerced
+    all ints to int64 before comparing."""
+    import importlib.util
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_contract", "/root/repo/tools/verify_contract.py"
+    )
+    vc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vc)
+
+    spark_df = pd.DataFrame({"session_id": pd.array([0, 1], dtype="int64")})
+    oracle_df = pd.DataFrame({"session_id": [0.0, 1.0]})  # HUGEINT->float64
+    bad = vc.dtype_mismatches(spark_df, oracle_df)
+    assert len(bad) == 1 and "session_id" in bad[0]
+    # equal families pass regardless of width
+    ok = vc.dtype_mismatches(
+        pd.DataFrame({"x": pd.array([1], dtype="int32")}),
+        pd.DataFrame({"x": pd.array([1], dtype="int64")}),
+    )
+    assert ok == []
+    # datetime precision differences are normalized, not flagged
+    ok2 = vc.dtype_mismatches(
+        pd.DataFrame({"t": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]")}),
+        pd.DataFrame({"t": pd.to_datetime(["2024-01-01"]).astype("datetime64[ns]")}),
+    )
+    assert ok2 == []

@@ -27,6 +27,38 @@ TABLES = [
 ]
 
 
+def dtype_category(dtype) -> str:
+    """Canonical dtype family, as the driver's value hash sees it.
+
+    The driver hashes raw values type-sensitively, so an oracle column
+    that materializes as a different family than the Spark column (e.g.
+    DuckDB window ``sum(INTEGER)`` → HUGEINT → pandas float64, vs
+    Spark's BIGINT → int64) hash-mismatches even when every value is
+    equal.  The local check must therefore compare families BEFORE any
+    coercion — this is the round-2/round-3 `cube_rollup`/`sessionize`
+    bug class."""
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    return "object"
+
+
+def dtype_mismatches(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Columns whose raw dtype family differs between engine and oracle
+    (compared pre-normalization; sorted-column order like the driver)."""
+    out = []
+    for c in sorted(set(got.columns) & set(want.columns)):
+        g, w = dtype_category(got[c].dtype), dtype_category(want[c].dtype)
+        if g != w:
+            out.append(f"{c}: spark={got[c].dtype}({g}) oracle={want[c].dtype}({w})")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -76,8 +108,12 @@ def main() -> int:
             print(f"{name}: {len(got)} rows [{status}] in {took:.1f}s")
             continue
         want = con.sql(oracles[name]).df()
-        g, w = normalize(got), normalize(want)
         ok = True
+        bad_types = dtype_mismatches(got, want)
+        if bad_types:
+            failures.append(f"{name}: dtype family mismatch (driver hash would differ): {bad_types}")
+            ok = False
+        g, w = normalize(got), normalize(want)
         if list(g.columns) != list(w.columns):
             failures.append(f"{name}: columns {list(g.columns)} != {list(w.columns)}")
             ok = False
