@@ -28,7 +28,7 @@ _ENTROPY_STRUCT = StructType(
 )
 
 from eristropy_spark.kernels import adf as adf_kernel
-from eristropy_spark.kernels.permen import permen as permen_kernel
+from eristropy_spark.kernels.permen import permen_many
 from eristropy_spark.kernels.rng import sequence_rng
 from eristropy_spark.kernels.sampen import bootstrap_mse, sampen_se
 from eristropy_spark.kernels.sampen_batch import sampen_many
@@ -76,15 +76,19 @@ def sampen_udf(
 
 @F.pandas_udf(DoubleType())
 def permen_udf(tokens: pd.Series, m: pd.Series, delay: pd.Series) -> pd.Series:
-    """Bandt–Pompe permutation entropy per row (normalized to [0,1])."""
-    out = np.empty(len(tokens), dtype=np.float64)
+    """Bandt–Pompe permutation entropy per row (normalized to [0,1]).
+
+    Rows are grouped by (m, delay) so each group runs through the
+    batch-vectorized ``permen_many`` (bit-identical to the scalar
+    kernel); call sites pass literals, so there is one group per batch.
+    """
+    out = np.full(len(tokens), np.nan, dtype=np.float64)
     m_v, d_v = m.to_numpy(), delay.to_numpy()
-    for i, seq in enumerate(tokens):
-        out[i] = (
-            np.nan
-            if seq is None
-            else permen_kernel(_as_f8(seq), int(m_v[i]), int(d_v[i]), normalize=True)
-        )
+    seq_list = list(tokens)
+    for key in {(int(mi), int(di)) for mi, di in zip(m_v, d_v)}:
+        idx = np.nonzero((m_v == key[0]) & (d_v == key[1]))[0]
+        subset = [seq_list[i] for i in idx]
+        out[idx] = permen_many(subset, key[0], key[1], normalize=True)
     return pd.Series(out)
 
 
@@ -113,15 +117,9 @@ def entropy_struct_udf(
     m0 = int(m.iloc[0]) if n else 2
     nz0 = bool(normalize.iloc[0]) if n else False
     s_out = sampen_many(seq_list, m0, r.to_numpy(), normalize=nz0)
-    p_out = np.full(n, np.nan, dtype=np.float64)
-    pm = permen_m.to_numpy()
-    pdel = permen_delay.to_numpy()
-    for i, seq in enumerate(seq_list):
-        if seq is None:
-            continue
-        p_out[i] = permen_kernel(
-            _as_f8(seq), int(pm[i]), int(pdel[i]), normalize=True
-        )
+    pm0 = int(permen_m.iloc[0]) if n else 3
+    pd0 = int(permen_delay.iloc[0]) if n else 1
+    p_out = permen_many(seq_list, pm0, pd0, normalize=True)
     return pd.DataFrame({"sampen": s_out, "permen": p_out})
 
 

@@ -18,7 +18,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from eristropy_spark.kernels.permen import permen as permen_kernel
+from eristropy_spark.kernels.permen import permen_many
 from eristropy_spark.kernels.sampen_batch import sampen_many
 
 __all__ = ["entropy_points_arrow"]
@@ -74,10 +74,7 @@ def entropy_points_arrow(
             tok = batch.column("tokens")
             views = _token_views(tok)
             s_out = sampen_many(views, m, float(r), normalize=normalize)
-            p_out = np.full(len(views), np.nan, dtype=np.float64)
-            for i, v in enumerate(views):
-                if v is not None:
-                    p_out[i] = permen_kernel(v, permen_m, permen_delay, normalize=True)
+            p_out = permen_many(views, permen_m, permen_delay, normalize=True)
             arrays = [batch.column(c) for c in keep_cols]
             # from_pandas=True maps NaN -> null, matching the pandas_udf
             # path's semantics (undefined SampEn is SQL NULL engine-wide)

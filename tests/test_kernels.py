@@ -352,3 +352,43 @@ def test_holm_sidak_stepdown():
     first_fail = np.argmin(rej[np.argsort(p)]) if not rej.all() else len(p)
     sorted_rej = rej[np.argsort(p)]
     assert not sorted_rej[first_fail:].any()
+
+
+def test_permen_batch_equals_scalar_bitexact():
+    """permen_many ≡ per-sequence permen, bit-for-bit, across embedding
+    orders, delays, normalization, ragged lengths, ties, None rows, and
+    chunk boundaries (tiny max_batch_windows forces multi-chunk)."""
+    from eristropy_spark.kernels.permen import permen_many
+
+    rng = np.random.default_rng(7)
+    for m in (2, 3, 4, 5):
+        for delay in (1, 2):
+            seqs = []
+            for i in range(200):
+                n = int(rng.integers(0, 40))
+                kind = i % 5
+                if kind == 0:
+                    seqs.append(None)
+                elif kind == 1:
+                    seqs.append(np.full(n, 3.0))  # all-tie
+                elif kind == 2:
+                    seqs.append(rng.normal(size=n))
+                elif kind == 3:  # int32 views, like the Arrow path
+                    seqs.append(rng.integers(0, 5, size=n).astype(np.int32))
+                else:
+                    seqs.append(np.arange(n, dtype=np.float64))
+            for norm in (False, True):
+                got = permen_many(
+                    seqs, m, delay, normalize=norm, max_batch_windows=97
+                )
+                want = np.array(
+                    [
+                        permen(np.asarray(s, dtype=np.float64), m, delay,
+                               normalize=norm)
+                        if s is not None and len(s) - (m - 1) * delay > 0
+                        else np.nan
+                        for s in seqs
+                    ]
+                )
+                eq = (np.isnan(got) & np.isnan(want)) | (got == want)
+                assert eq.all(), (m, delay, norm)
