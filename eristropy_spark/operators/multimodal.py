@@ -10,8 +10,10 @@ control) is real.  The media decode itself is PROBED at decode time:
   the real path through a monkeypatched PIL-shaped stub.
 * audio — real decode through the stdlib ``wave`` module (always
   available): frame count + a 16-bin 16-bit-sample histogram feature.
-* video — no decoder in any environment we target; stays an honest
-  ``NotImplementedError`` stub.
+* video — real decode for the uncompressed YUV4MPEG2 (Y4M) container
+  (dependency-free header+planes parser, luma-histogram feature);
+  compressed containers need ffmpeg bindings we do not target and
+  raise ``NotImplementedError``.
 
 ``fake_decode=True`` (the sandbox/test default) produces a
 *deterministic* fake decode (seeded by the payload hash) with the same
@@ -126,6 +128,63 @@ def _decode_image_real(payload: bytes, image_mod) -> dict:
     }
 
 
+def _decode_video_y4m(payload: bytes) -> dict:
+    """Dependency-free real video decode for the YUV4MPEG2 (Y4M)
+    container: plain-text header (``YUV4MPEG2 W<w> H<h> ...``) then
+    uncompressed ``FRAME\\n``-delimited YUV planes — parseable with
+    nothing but numpy.  Feature = normalized FEATURE_DIM-bin histogram
+    of the luma (Y) plane accumulated across all frames.  Any other
+    container still raises NotImplementedError (compressed video needs
+    ffmpeg bindings we do not target)."""
+    nl = payload.index(b"\n")
+    w = h = 0
+    colorspace = "420jpeg"  # Y4M default when C is omitted
+    for tok in payload[len(b"YUV4MPEG2") : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            colorspace = val.decode("ascii")
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("420"):
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith("422"):
+        frame_size = w * h + 2 * ((w // 2) * h)
+    elif colorspace.startswith("444"):
+        frame_size = w * h * 3
+    elif colorspace.startswith("mono"):
+        frame_size = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+
+    hist = np.zeros(FEATURE_DIM, dtype=np.int64)
+    n_frames, pos, n_y = 0, nl + 1, w * h
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        if pos + frame_size > len(payload):
+            raise ValueError(f"truncated frame {n_frames}")
+        y = np.frombuffer(payload, dtype=np.uint8, count=n_y, offset=pos)
+        hist += np.histogram(y, bins=FEATURE_DIM, range=(0.0, 256.0))[0]
+        n_frames += 1
+        pos += frame_size
+    total = hist.sum()
+    feat = (hist / total if total else hist).astype(np.float32)
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "feature": feat,
+    }
+
+
 def _decode_audio_real(payload: bytes, wave_mod) -> dict:
     import io
 
@@ -146,10 +205,11 @@ def decode_payload(payload: bytes, kind: str, fake_decode: bool) -> dict:
     """Decode one asset.
 
     ``fake_decode=False`` runs the REAL decoder for the kind when its
-    library probe succeeds (PIL for images; stdlib ``wave`` for audio)
-    and raises ``NotImplementedError`` otherwise — video always raises
-    (no decoder targeted).  ``fake_decode=True`` is the deterministic
-    payload-hash-seeded test double with real decoder output shapes."""
+    library probe succeeds (PIL for images; stdlib ``wave`` for audio;
+    the dependency-free Y4M parser for uncompressed video) and raises
+    ``NotImplementedError`` otherwise.  ``fake_decode=True`` is the
+    deterministic payload-hash-seeded test double with real decoder
+    output shapes."""
     if not fake_decode:
         if kind == "image":
             image_mod = _probe_image_lib()
@@ -161,10 +221,13 @@ def decode_payload(payload: bytes, kind: str, fake_decode: bool) -> dict:
             return _decode_image_real(payload, image_mod)
         if kind == "audio":
             return _decode_audio_real(payload, _probe_audio_lib())
+        if kind == "video" and payload.startswith(b"YUV4MPEG2"):
+            return _decode_video_y4m(payload)
         raise NotImplementedError(
-            f"no real decoder targeted for kind={kind!r} (video requires "
-            "ffmpeg bindings, not available); pass fake_decode=True for "
-            "the deterministic test double"
+            f"no real decoder targeted for kind={kind!r} (video is "
+            "decoded only for the uncompressed Y4M container; compressed "
+            "video requires ffmpeg bindings, not available); pass "
+            "fake_decode=True for the deterministic test double"
         )
     digest = hashlib.blake2b(payload, digest_size=8).digest()
     seed = int.from_bytes(digest, "big")
@@ -212,7 +275,9 @@ def extract_features(
             fake_for = {
                 "image": _probe_image_lib() is None,
                 "audio": _probe_audio_lib() is None,
-                "video": True,
+                # Y4M decode is dependency-free: always try real, with
+                # the per-payload fallback catching non-Y4M containers
+                "video": False,
             }
         else:
             fake_for = dict.fromkeys(("image", "audio", "video"), mode == "fake")
