@@ -219,6 +219,47 @@ def _median(vals: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+_BUS_BEST = {"gbps": 0.0}
+
+
+def _bus_probe() -> float:
+    """Shared-memory-bus bandwidth right now, in GB/s (best of 3 copies
+    of a 128 MB buffer).  Neighbor-contention waves show up directly as
+    a depressed copy rate, so this is the cheap detector for 'is the
+    bus quiet enough to record a scaling pair'."""
+    import numpy as np
+
+    src = np.ones(16 * 1024 * 1024, dtype=np.float64)  # 128 MB
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # first-touch the destination pages untimed
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        np.copyto(dst, src)
+        dt = time.time() - t0
+        best = max(best, (2 * src.nbytes / 1e9) / dt)
+    return round(best, 2)
+
+
+def _wait_quiet(threshold: float = 0.75, max_wait_sec: float = 240.0) -> float:
+    """Block until the bus probe reaches ``threshold`` of the best rate
+    seen this bench run (or the wait budget expires), then return the
+    probe value.  This is the least-contended-window detection the
+    scaling ladder runs inside: the ladder measures the ENGINE's N→4N
+    scaling, and recording a pair mid-wave measures the neighbors
+    instead.  Bounded wait + recorded probe values keep it honest —
+    a pair that had to record under contention is visible as a low
+    ``probe_gbps`` entry next to its efficiency."""
+    waited = 0.0
+    while True:
+        p = _bus_probe()
+        _BUS_BEST["gbps"] = max(_BUS_BEST["gbps"], p)
+        if p >= threshold * _BUS_BEST["gbps"] or waited >= max_wait_sec:
+            return p
+        time.sleep(15.0)
+        waited += 15.0
+
+
 def _best_of(phase: str, cores: int, reps: int = 3) -> dict:
     """Max-throughput of ``reps`` runs — the sandbox shares a memory bus
     with neighbors, so single runs at high thread counts are noisy; the
@@ -234,7 +275,9 @@ def _best_of(phase: str, cores: int, reps: int = 3) -> dict:
     }
 
 
-def _ladder(lo_cores: int, hi_cores: int, pairs: int = 3) -> dict:
+def _ladder(
+    lo_cores: int, hi_cores: int, pairs: int = 3, quiet_gate: bool = False
+) -> dict:
     """Scaling ladder measured in back-to-back (lo, hi) PAIRS.
 
     Neighbor-contention waves on this box last minutes and hit the
@@ -246,8 +289,10 @@ def _ladder(lo_cores: int, hi_cores: int, pairs: int = 3) -> dict:
     is the typical-contention one.  Both are recorded, plus the raw
     per-pair ratios, plus the legacy best/best ratio for continuity."""
     factor = hi_cores / lo_cores
-    los, his, effs = [], [], []
+    los, his, effs, probes = [], [], [], []
     for _ in range(pairs):
+        if quiet_gate:
+            probes.append(_wait_quiet())
         lo = _run_sub("headline", lo_cores)
         hi = _run_sub("headline", hi_cores)
         los.append(lo)
@@ -269,6 +314,7 @@ def _ladder(lo_cores: int, hi_cores: int, pairs: int = 3) -> dict:
         "tiers_equal": all(
             r["tiers"] == los[0]["tiers"] for r in los + his
         ),
+        **({"probe_gbps": probes} if quiet_gate else {}),
     }
 
 
@@ -288,11 +334,14 @@ def main() -> None:
     # ceiling.  The 2->8 ladder (whose top level saturates the bus) and
     # the full-CPU run are reported as auxiliary evidence; reps guard
     # against neighbor contention (observed halving identical runs).
-    # primary 1→4 ladder in back-to-back pairs (contention-matched);
-    # aux 2→8 ladder likewise (its round-2 recording caught a wave:
-    # 0.634 recorded vs 0.803 clean)
-    primary = _ladder(1, 4, pairs=3)
-    aux2_8 = _ladder(2, 8, pairs=3)
+    # primary 1→4 ladder in back-to-back pairs (contention-matched),
+    # FIVE pairs, each gated on a quiet-bus window (_wait_quiet) — the
+    # median pair is the claim of record, so it needs enough quiet
+    # samples that one wave can't drag it; aux 2→8 ladder likewise
+    # (its round-2 recording caught a wave: 0.634 recorded vs 0.803
+    # clean)
+    primary = _ladder(1, 4, pairs=5, quiet_gate=True)
+    aux2_8 = _ladder(2, 8, pairs=3, quiet_gate=True)
     aux = _best_of("headline", CPUS, reps=2)
     lo, hi = primary["lo"], primary["hi"]
     kernel_ladder = _run_sub("kernel", 0)
@@ -317,10 +366,14 @@ def main() -> None:
             "scaling_efficiency_median": primary["eff_median_pair"],
             "scaling_efficiency_of_bests": primary["eff_of_bests"],
             "pair_efficiencies": primary["pair_efficiencies"],
+            "probe_gbps": primary.get("probe_gbps"),
             "ladder_note": (
                 "efficiencies are per back-to-back (lo,hi) pair so both "
-                "levels share one contention regime; best pair = least-"
-                "contended estimate, median pair = typical"
+                "levels share one contention regime; each pair is gated "
+                "on a quiet-bus window (memcpy probe >= 0.75 of the "
+                "run's best, bounded wait, probe values recorded); "
+                "best pair = least-contended estimate, median pair = "
+                "typical-quiet-window"
             ),
             "ladder_2_to_8": {
                 "seq_per_sec_2": aux2_8["lo"]["seq_per_sec"],
@@ -330,6 +383,7 @@ def main() -> None:
                 "scaling_efficiency": aux2_8["eff_best_pair"],
                 "scaling_efficiency_median": aux2_8["eff_median_pair"],
                 "pair_efficiencies": aux2_8["pair_efficiencies"],
+                "probe_gbps": aux2_8.get("probe_gbps"),
                 "note": "top level saturates the shared bus (~8 cores of bandwidth); aux evidence",
             },
             "entropy_sec_loN": lo["entropy_sec"],
