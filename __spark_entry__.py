@@ -713,6 +713,10 @@ FROM ranked WHERE rank <= 5
 
 
 def _q_similarity_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k — oracle-checked since round 4:
+    _oracle_similarity_lsh replays the seeded LSH family in DuckDB
+    (planes as SQL literals), so candidates + rerank are verified
+    end-to-end, not just golden-pinned."""
     emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk_lsh(emb, _QUERY_VEC_IDS, k=5, n_bits=8, n_tables=8)
 
@@ -781,16 +785,17 @@ def _q_embed_dedup_lsh(spark, sf_dir):
     )
 
 
-def _oracle_embed_dedup_lsh(
+def _lsh_codes_cte(
     n_tables: int = 8, n_bits: int = 8, dim: int = 64, seed: int = 17
 ) -> str:
-    """DuckDB replay of the ENTIRE hyperplane-LSH path: the seeded
+    """Shared CTE prefix for the hyperplane-LSH oracles: the seeded
     planes (same RandomState(17) draw as make_hyperplane_udf) become a
-    VALUES literal, codes are recomputed with list_dot_product, and the
-    candidate join + exact-cosine filter mirror the Spark plan.  Sign
-    decisions are float-order-robust here because random-normal dot
-    products land ~1e-13-near zero with negligible probability (verified
-    equal at sf0.01 and sf0.1).  dim=64 is fixed across the testdata."""
+    VALUES literal and per-(vec, table) bucket codes are recomputed
+    with list_dot_product — DuckDB replays the entire LSH family
+    independently of the Spark UDF.  Sign decisions are
+    float-order-robust because random-normal dot products land
+    ~1e-13-near zero with negligible probability (verified equal at
+    sf0.01 and sf0.1).  dim=64 is fixed across the testdata."""
     import numpy as np
 
     planes = np.random.RandomState(seed).normal(
@@ -809,7 +814,13 @@ WITH planes(t, b, pv) AS (VALUES
          sum(CASE WHEN list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[])) > 0
                   THEN CAST(pow(2, p.b) AS BIGINT) ELSE 0 END) AS code
   FROM embeddings e, planes p GROUP BY e.vec_id, p.t
-), cand AS (
+)"""
+
+
+def _oracle_embed_dedup_lsh() -> str:
+    """DuckDB replay of the embed-dedup LSH path: shared-bucket
+    candidate join + exact-cosine filter mirroring the Spark plan."""
+    return _lsh_codes_cte() + f""", cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM codes x JOIN codes y ON x.t = y.t AND x.code = y.code AND x.vec_id < y.vec_id
 ), n AS (
@@ -827,6 +838,35 @@ WHERE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
                               CAST(b.embedding AS DOUBLE[]))
              / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000
       >= {_EMBED_DUP_THRESHOLD}
+"""
+
+
+def _oracle_similarity_lsh(k: int = 5) -> str:
+    """DuckDB replay of cosine_topk_lsh: shared-bucket candidates per
+    query (query ids < 10), exact cosine rerank, row_number top-k with
+    the same (cos desc, neighbor asc) deterministic tie-break."""
+    return _lsh_codes_cte() + f""", cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         floor((
+           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+         ) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM cand cd
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  JOIN embeddings e ON e.vec_id = cd.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1304,8 +1344,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "similarity_topk": _ORACLE_SIMILARITY,
         "embed_dedup_exact": _ORACLE_EMBED_DEDUP,
-        # full DuckDB LSH replay: seeded hyperplanes as SQL literals
+        # full DuckDB LSH replays: seeded hyperplanes as SQL literals
         "embed_dedup_lsh": _oracle_embed_dedup_lsh(),
+        "similarity_lsh": _oracle_similarity_lsh(),
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
         "semi_join": _ORACLE_SEMI_JOIN,
@@ -1325,6 +1366,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible — the hash functions are
         # pd.util.hash_array / numpy kernels DuckDB cannot replay):
         # sampen_permen, sampen_eff, stationarity, windowed_entropy,
-        # minhash_lsh, simhash, similarity_lsh, similarity_ivf,
-        # multimodal_features — each carries a value-level golden pytest
+        # minhash_lsh, simhash, similarity_ivf, multimodal_features —
+        # each carries a value-level golden pytest
     }
