@@ -208,34 +208,117 @@ def connected_components_twophase(
     return out
 
 
+def _unionfind_components(edge_rows) -> dict:
+    """Driver-side union-find over a SMALL edge list: node -> min id of
+    its component.  Path compression + union by size; the min-id
+    representative is resolved in a final pass so union order is
+    irrelevant (same labels as the distributed algorithms)."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if size[ra] < size[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] += size[rb]
+
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        comp_min[r] = n if m is None or n < m else m
+    return {n: comp_min[find(n)] for n in parent}
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    algorithm: str = "propagation",
+    algorithm: str = "auto",
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) over near-dup ``pairs``
     (columns doc_a/doc_b).  cluster_id = min doc_id of the component;
     every document appears (singletons cluster with themselves).
 
-    ``algorithm="propagation"`` (default — near-dup clusters are dense,
-    diameter 2-3) or ``"twophase"`` (diameter-independent; pick it when
-    chains are possible, e.g. transitive similarity at a loose
-    threshold)."""
-    if algorithm not in {"propagation", "twophase"}:
-        raise ValueError("algorithm must be 'propagation' or 'twophase'")
-    cc = (
-        connected_components
-        if algorithm == "propagation"
-        else connected_components_twophase
-    )
-    comp = cc(
-        docs.select(id_col),
-        pairs.select("doc_a", "doc_b"),
-        vid=id_col,
-        src="doc_a",
-        dst="doc_b",
-    ).withColumnRenamed("comp", "cluster_id")
+    ``algorithm="auto"`` (default) is the hybrid every production graph
+    stack uses: the edge set is materialized once (it joins into every
+    round anyway), and if it is small enough to broadcast
+    (≤ ``driver_edge_threshold`` edges, ~32 MB at the default) the
+    components come from a driver union-find in O(E α(E)) — one
+    collect + one broadcast join instead of O(rounds) shuffle jobs.
+    Larger edge sets run distributed min-label propagation.  This is
+    the same small-side reasoning as a broadcast hash join, with the
+    same bound; LSH near-dup edge sets are orders of magnitude smaller
+    than the corpus, so many real corpora take the fast path even at
+    100 TB — and the distributed path is always there when they don't.
+
+    ``algorithm="propagation"`` / ``"twophase"`` force the distributed
+    algorithms (propagation: O(diameter) rounds, dense-cluster fast
+    case; twophase: Kiveris large-star/small-star, O(log² n) rounds,
+    diameter-independent)."""
+    if algorithm not in {"auto", "propagation", "twophase"}:
+        raise ValueError("algorithm must be 'auto', 'propagation' or 'twophase'")
+    edges = pairs.select("doc_a", "doc_b")
+    comp = None
+    if algorithm == "auto":
+        # checkpoint so the (possibly expensive — full LSH pass) edge
+        # pipeline executes exactly once across count/collect/CC rounds
+        edges = edges.localCheckpoint(eager=True)
+        if edges.count() <= driver_edge_threshold:
+            labels = _unionfind_components(
+                (r[0], r[1]) for r in edges.toLocalIterator()
+            )
+            spark = docs.sparkSession
+            id_type = docs.schema[id_col].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            mapping = spark.createDataFrame(
+                list(labels.items()),
+                StructType(
+                    [
+                        StructField(id_col, id_type),
+                        StructField("cluster_id", id_type),
+                    ]
+                ),
+            )
+            comp = (
+                docs.select(id_col)
+                .join(F.broadcast(mapping), id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+                )
+            )
+            _release_local_checkpoint(edges)
+    if comp is None:
+        cc = (
+            connected_components_twophase
+            if algorithm == "twophase"
+            else connected_components
+        )
+        comp = cc(
+            docs.select(id_col),
+            edges,
+            vid=id_col,
+            src="doc_a",
+            dst="doc_b",
+        ).withColumnRenamed("comp", "cluster_id")
     sizes = comp.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size")
     )

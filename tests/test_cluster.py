@@ -151,3 +151,44 @@ def test_dedup_clusters_twophase_equivalent(spark):
 
     with pytest.raises(ValueError, match="algorithm"):
         dedup_clusters(docs, pairs, algorithm="bogus")
+
+
+def test_unionfind_fast_path_equals_propagation(spark):
+    """auto (driver union-find) ≡ forced distributed propagation on
+    random graphs, including singleton handling and cluster sizes."""
+    import numpy as np
+
+    from eristropy_spark.operators.cluster import dedup_clusters
+
+    rng = np.random.default_rng(41)
+    docs = spark.range(150).select(F.col("id").alias("doc_id"))
+    pair_rows = [
+        Row(doc_a=int(a), doc_b=int(b))
+        for a, b in rng.integers(0, 150, size=(120, 2))
+        if a != b
+    ]
+    pairs = spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+    fast = sorted(map(tuple, dedup_clusters(docs, pairs).collect()))
+    dist = sorted(
+        map(tuple, dedup_clusters(docs, pairs, algorithm="propagation").collect())
+    )
+    assert fast == dist and len(fast) == 150
+
+
+def test_auto_falls_back_to_distributed_above_threshold(spark):
+    from eristropy_spark.operators.cluster import dedup_clusters
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    out = sorted(
+        map(
+            tuple,
+            dedup_clusters(docs, pairs, driver_edge_threshold=2).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, dedup_clusters(docs, pairs, algorithm="propagation").collect())
+    )
+    assert out == want
