@@ -392,3 +392,40 @@ def test_permen_batch_equals_scalar_bitexact():
                 )
                 eq = (np.isnan(got) & np.isnan(want)) | (got == want)
                 assert eq.all(), (m, delay, norm)
+
+
+def test_adf_qr_aic_matches_per_lag_lstsq():
+    """The QR prefix-SSR AIC search must pick the same lag as fitting
+    each candidate with lstsq (the reference form, kept as _ols_aic) —
+    and with the pick equal, the final refit makes tau/p bit-identical."""
+    from eristropy_spark.kernels.adf import _lag_design, _ols_aic
+
+    rng = np.random.default_rng(13)
+    for i in range(120):
+        n = int(rng.integers(30, 200))
+        kind = i % 4
+        if kind == 0:
+            x = rng.normal(size=n)
+        elif kind == 1:
+            x = np.cumsum(rng.normal(size=n))
+        elif kind == 2:
+            x = rng.integers(0, 5, size=n).astype(float)
+        else:
+            x = np.sin(np.arange(n) / 4.0) + 0.1 * rng.normal(size=n)
+        tau, p, usedlag, nobs = adfuller(x)
+        # reference per-lag search
+        dx = np.diff(x)
+        maxlag = min(n // 2 - 2, int(math.ceil(12.0 * (n / 100.0) ** 0.25)))
+        lagged = _lag_design(dx, maxlag)
+        rows = lagged.shape[0]
+        level = x[-rows - 1 : -1]
+        endog = dx[-rows:]
+        lags = lagged[:, 1:]
+        ones = np.ones_like(level)
+        best_aic, best_l = math.inf, 0
+        for L in range(maxlag + 1):
+            X = np.column_stack([ones, level, lags[:, :L]])
+            aic = _ols_aic(endog, X)
+            if aic < best_aic:
+                best_aic, best_l = aic, L
+        assert usedlag == best_l, (i, kind, usedlag, best_l)
