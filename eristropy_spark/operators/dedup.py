@@ -186,6 +186,24 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return _shingle_hashes_batch([text], n)[0]
 
 
+def _drop_hot_buckets(
+    tabled: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Remove LSH buckets with more than ``max_bucket_size`` members
+    before a bucket self-join (each contributes O(members²) candidate
+    rows).  One extra aggregation on the SAME keys as the downstream
+    join — AQE coalesces the two shuffles onto one partitioning."""
+    if max_bucket_size is None:
+        return tabled
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be >= 1 (or None)")
+    sizes = tabled.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    return (
+        tabled.join(sizes.where(F.col("_bsz") <= max_bucket_size), keys)
+        .drop("_bsz")
+    )
+
+
 def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 17):
     """pandas_udf: text -> array<long> of k minhash values."""
     if not 1 <= n <= _GRAM_SALTS.size:
@@ -221,12 +239,25 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.8,
     seed: int = 17,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
     k/bands rows per band; a pair collides if any band's sub-signature
     matches.  With k=64, bands=16 (4 rows/band) the collision curve
     crosses ~50% near J≈0.5 — generous recall for threshold 0.8.
+
+    ``max_bucket_size`` drops band-buckets with more members than the
+    cap before the self-join — the standard LSH hot-bucket stop-list.
+    A degenerate bucket (every empty/boilerplate doc shares one
+    signature) contributes O(members²) candidate rows; at 100 TB one
+    such bucket is the whole job's cost.  NEAR-dup pairs caught only by
+    a hot bucket still collide through their other ``bands-1`` buckets;
+    what a full cap-out removes is the pairs among >cap IDENTICAL
+    documents (same signature in every band) — and exact duplicates are
+    the upstream ``exact_dedup`` pass's job, quadratic pair output for
+    them being exactly the blowup to avoid (test pins this semantic).
+    Pass ``None`` to disable.
     """
     rows = k // bands
     sig = docs.select(
@@ -246,6 +277,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     cands = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])

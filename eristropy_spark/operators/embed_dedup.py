@@ -66,19 +66,29 @@ def embedding_dup_pairs_lsh(
     n_tables: int = 8,
     seed: int = 17,
     dim: int | None = None,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs: candidates share a bucket in any table.
 
     High-cosine pairs collide with probability
     ``1 - (1 - (1 - θ/π)^n_bits)^n_tables`` — at θ small (cos ≥ 0.95)
     recall is near-total for the default 8×8 configuration.
+
+    ``max_bucket_size`` is the hot-bucket stop-list (see
+    ``dedup.minhash_lsh_pairs``): a degenerate bucket — e.g. every
+    zero/duplicate-boilerplate embedding hashing identically —
+    contributes O(members²) candidates to the self-join; drop it and
+    its members still collide via the other tables.  ``None`` disables.
     """
+    from eristropy_spark.operators.dedup import _drop_hot_buckets
+
     if dim is None:
         dim = probe_dim(emb)
     bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
     tabled = emb.select(
         "vec_id", bucket_udf(F.col("embedding")).alias("codes")
     ).select("vec_id", F.posexplode("codes").alias("table_id", "bucket"))
+    tabled = _drop_hot_buckets(tabled, ["table_id", "bucket"], max_bucket_size)
     cand_ids = (
         tabled.alias("x")
         .join(tabled.alias("y"), ["table_id", "bucket"])

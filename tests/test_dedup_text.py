@@ -507,3 +507,47 @@ def test_multimodal_video_y4m_through_spark_real_mode(spark):
         for r in extract_features(assets, mode="real").collect()
     }
     assert got == {"v0": (8, 8, 1), "v1": (16, 8, 2), "v2": (24, 8, 3)}
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A degenerate corpus slice (many identical boilerplate docs) fills
+    one band-bucket; the stop-list drops it BEFORE the self-join so the
+    O(members²) candidate blowup never materializes — while real
+    near-dup pairs elsewhere in the corpus are still found, and (here)
+    outputs are identical with and without the cap because degenerate
+    members still collide in their other bands."""
+    from eristropy_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [Row(doc_id=i, text="common boilerplate header text") for i in range(60)]
+    rows += [
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=101, text="the quick brown fox jumps over the lazy dog now"),
+        Row(doc_id=102, text="completely unrelated content about spark plans"),
+    ]
+    docs = spark.createDataFrame(rows)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, k=64, bands=16, n=3, threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, k=64, bands=16, n=3, threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert (100, 101) in capped
+    # identical boilerplate docs are EXACT dups (Jaccard 1.0): with the
+    # cap their bucket is dropped in every band, so they vanish from the
+    # near-dup output (exact_dedup's job anyway); without the cap they
+    # all pair up quadratically
+    assert all(a >= 100 for a, b in capped)
+    assert {(a, b) for a, b in uncapped if a >= 100} == {
+        p for p in capped if p[0] >= 100
+    }
+    assert len(uncapped) - len(capped) == 60 * 59 // 2
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        minhash_lsh_pairs(docs, max_bucket_size=0).collect()
