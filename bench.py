@@ -342,9 +342,13 @@ def main() -> None:
     # clean)
     primary = _ladder(1, 4, pairs=5, quiet_gate=True)
     aux2_8 = _ladder(2, 8, pairs=3, quiet_gate=True)
+    _wait_quiet()
     aux = _best_of("headline", CPUS, reps=2)
     lo, hi = primary["lo"], primary["hi"]
     kernel_ladder = _run_sub("kernel", 0)
+    # one gate before the per-query phase (best-of-3 inside handles
+    # shorter blips; a wave at launch would otherwise taint all 3 reps)
+    _wait_quiet()
     queries = _run_sub("queries", CPUS)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
