@@ -611,6 +611,42 @@ FROM s
 """
 
 
+def _q_gopher_filters(spark, sf_dir):
+    """Gopher-rule (Rae et al. 2021, App. A1.1) quality-filter signals
+    + verdict per document — the published pretraining-corpus document
+    filters, all whole-stage-codegen expressions."""
+    from eristropy_spark.operators.text import gopher_filters
+
+    return gopher_filters(_docs(spark, sf_dir))
+
+
+# DuckDB lateral column aliases let the verdict reference the rounded
+# signal columns directly — both engines round BEFORE the verdict
+_ORACLE_GOPHER = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       floor((CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words)
+             * 1000000 + 0.5) / 1000000 AS mean_word_len,
+       floor((CAST(len(list_filter(string_split(text, ' '),
+                                   w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / n_words) * 1000000 + 0.5) / 1000000 AS alpha_word_frac,
+       floor((CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+              / n_words) * 1000000 + 0.5) / 1000000 AS symbol_word_ratio,
+       CAST({_STOPWORD_SQL} AS BIGINT) AS stop_hits,
+       floor((1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                    / len(string_split(text, chr(10)))) * 1000000 + 0.5) / 1000000
+         AS dup_line_frac,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2
+        AND dup_line_frac <= 0.3) AS passes_gopher
+FROM documents
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
@@ -1301,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "gopher_filters": _q_gopher_filters,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
@@ -1341,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _ORACLE_TEXT_STATS,
         "quality_score": _ORACLE_QUALITY,
         "lang_id": _ORACLE_LANG_ID,
+        "gopher_filters": _ORACLE_GOPHER,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "similarity_topk": _ORACLE_SIMILARITY,
         "embed_dedup_exact": _ORACLE_EMBED_DEDUP,

@@ -26,6 +26,7 @@ from eristropy_spark.functions.numeric import round6
 __all__ = [
     "text_stats",
     "quality_score",
+    "gopher_filters",
     "lang_id",
     "tfidf_topk",
     "STOPWORDS",
@@ -93,6 +94,70 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         round6(0.4 * len_score + 0.3 * word_len_score + 0.3 * stop_score).alias("quality"),
+    )
+
+
+def gopher_filters(docs: DataFrame) -> DataFrame:
+    """Gopher-rule quality signals + verdict per document (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", App. A1.1 — the
+    published heuristic document filters used for the MassiveText
+    pretraining corpus; same family as C4's line filters).
+
+    All signals are built-in expressions (split / filter / regexp_count
+    — whole-stage codegen, no Python), each reported as a column so the
+    verdict is auditable, with ``passes_gopher`` the published
+    conjunction:
+
+    * 50 ≤ word count ≤ 100 000
+    * 3 ≤ mean word length ≤ 10
+    * symbol-to-word ratio ('#' or '...') ≤ 0.1
+    * ≥ 80 % of words contain an alphabetic character
+    * ≥ 2 stopword hits (STOPWORDS; the paper's "stop word" rule)
+    * duplicate-line fraction ≤ 0.3 (the simplest of the paper's
+      repetition rules; single-line documents score 0)
+
+    Ratios are rounded to 6 dp BEFORE the verdict on BOTH engine and
+    oracle sides, so the boolean hash-compares exactly."""
+    t = F.col("text")
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    mean_wl = round6(
+        (F.length(t) - (n_words - 1)).cast("double") / n_words
+    )
+    alpha_frac = round6(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("double") / n_words
+    )
+    sym_ratio = round6(
+        (F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\.")))
+        .cast("double") / n_words
+    )
+    stop_hits = sum(
+        (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in STOPWORDS),
+        start=F.lit(0),
+    ).cast("long")
+    lines = F.split(t, "\n")
+    dup_line_frac = round6(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / F.size(lines)
+    )
+    passes = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+        & (dup_line_frac <= 0.3)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        passes.alias("passes_gopher"),
     )
 
 

@@ -551,3 +551,42 @@ def test_minhash_hot_bucket_cap(spark):
 
     with pytest.raises(ValueError, match="max_bucket_size"):
         minhash_lsh_pairs(docs, max_bucket_size=0).collect()
+
+
+def test_gopher_filters_signals_and_verdict(spark):
+    """Crafted documents exercise each Gopher rule: a clean passing doc,
+    too-short, symbol-heavy, non-alphabetic, stopword-free, and
+    duplicate-line docs each fail exactly the intended signal."""
+    from eristropy_spark.operators.text import gopher_filters
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs on with great speed to the nearby forest in a "
+            "calm morning while the birds sing for everyone around "
+            "here today because nature is lovely and the air is "
+            "fresh and clear for all of us to enjoy in peace") # >50 words
+    rows = [
+        Row(doc_id=1, text=good, lang="en", source="s", n_chars=len(good)),
+        Row(doc_id=2, text="too short for the rules and the filter",
+            lang="en", source="s", n_chars=10),
+        Row(doc_id=3, text=good + " " + "### ### ### ### ### ### ### ### "
+            "### ### ### ### ### ### ### ###", lang="en", source="s",
+            n_chars=10),
+        Row(doc_id=4, text=" ".join(["12345"] * 60), lang="en",
+            source="s", n_chars=10),
+        Row(doc_id=5, text=" ".join(["zebra"] * 60), lang="en",
+            source="s", n_chars=10),
+        Row(doc_id=6, text="\n".join(["the cat sat on a mat for fun"] * 10)
+            + "\n" + good, lang="en", source="s", n_chars=10),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_filters(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["n_words"] < 50 and out[2]["passes_gopher"] is False
+    assert out[3]["symbol_word_ratio"] > 0.1 and not out[3]["passes_gopher"]
+    assert out[4]["alpha_word_frac"] == 0.0 and not out[4]["passes_gopher"]
+    assert out[5]["stop_hits"] == 0 and not out[5]["passes_gopher"]
+    assert out[6]["dup_line_frac"] > 0.3 and not out[6]["passes_gopher"]
+    # single-line docs have duplicate-line fraction exactly 0
+    assert out[1]["dup_line_frac"] == 0.0
