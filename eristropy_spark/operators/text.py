@@ -27,6 +27,7 @@ __all__ = [
     "text_stats",
     "quality_score",
     "gopher_filters",
+    "c4_line_clean",
     "lang_id",
     "tfidf_topk",
     "STOPWORDS",
@@ -158,6 +159,45 @@ def gopher_filters(docs: DataFrame) -> DataFrame:
         stop_hits.alias("stop_hits"),
         dup_line_frac.alias("dup_line_frac"),
         passes.alias("passes_gopher"),
+    )
+
+
+def c4_line_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line cleaning (Raffel et al. 2020, §2.2 — the published
+    Common-Crawl cleaning used for the C4 pretraining corpus), all
+    whole-stage-codegen, emitting the CLEANED TEXT so the transform
+    itself is oracle-hashable:
+
+    * keep only lines ending in terminal punctuation (``. ! ? "``),
+    * with at least 5 words,
+    * not containing "javascript" (case-insensitive);
+    * document verdict ``passes_c4``: ≥ 3 kept lines, no "lorem ipsum",
+      no curly brace.
+
+    Output: (doc_id, n_lines, n_kept_lines, kept_frac, has_lorem,
+    has_brace, passes_c4, clean_text) — kept lines re-joined with
+    newlines (empty string when nothing survives)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"][ ]*$')
+        & (F.size(F.split(F.trim(l), " +")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        round6(n_kept.cast("double") / n_lines).alias("kept_frac"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_kept >= 3) & ~has_lorem & ~has_brace).alias("passes_c4"),
+        F.array_join(kept, "\n").alias("clean_text"),
     )
 
 

@@ -590,3 +590,37 @@ def test_gopher_filters_signals_and_verdict(spark):
     assert out[6]["dup_line_frac"] > 0.3 and not out[6]["passes_gopher"]
     # single-line docs have duplicate-line fraction exactly 0
     assert out[1]["dup_line_frac"] == 0.0
+
+
+def test_c4_line_clean_semantics(spark):
+    """Each C4 rule exercised: terminal punctuation, 5-word minimum,
+    javascript stop-word, lorem-ipsum and curly-brace page drops, and
+    the cleaned text itself."""
+    from eristropy_spark.operators.text import c4_line_clean
+
+    good3 = ("the cat sat on the mat.\n"
+             "a dog ran over the hill!\n"
+             'she said "come back here now."')
+    rows = [
+        Row(doc_id=1, text=good3),
+        Row(doc_id=2, text="no punctuation here at all\nshort line."),
+        Row(doc_id=3, text=good3 + "\nenable javascript to see this page."),
+        Row(doc_id=4, text=good3.replace("dog", "lorem ipsum")),
+        Row(doc_id=5, text=good3 + "\nvar x = {a: 1} is code."),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in c4_line_clean(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["passes_c4"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["clean_text"] == good3
+    # doc 2: line 1 lacks punctuation, line 2 has < 5 words
+    assert out[2]["n_kept_lines"] == 0 and out[2]["clean_text"] == ""
+    assert not out[2]["passes_c4"]
+    # javascript line dropped, doc still passes on its other 3 lines
+    assert out[3]["n_kept_lines"] == 3 and out[3]["passes_c4"]
+    assert "javascript" not in out[3]["clean_text"]
+    assert out[4]["has_lorem"] and not out[4]["passes_c4"]
+    assert out[5]["has_brace"] and not out[5]["passes_c4"]
