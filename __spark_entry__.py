@@ -1359,6 +1359,30 @@ def _q_dedup_clusters_lsh(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+def _q_md5_split(spark, sf_dir):
+    """Deterministic leakage-safe split assignment over documents
+    (train/val/test = 230/13/13 of the 256 md5-bucket space, keyed on
+    doc_id) — stable across partitionings/engines, hence the oracle."""
+    from eristropy_spark.operators.sampling import md5_split
+
+    return md5_split(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+# two-hex-digit lexicographic order == numeric bucket order, so the
+# oracle compares the raw md5 prefix against the cumulative-hex bounds
+_ORACLE_MD5_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -1402,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "tfidf_topk": _q_tfidf_topk,
         "md5_sample": _q_md5_sample,
+        "md5_split": _q_md5_split,
     }
 
 
@@ -1444,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_lsh": _ORACLE_DEDUP_CLUSTERS,
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,
+        "md5_split": _ORACLE_MD5_SPLIT,
         # rows-only (non-SQL-expressible — the hash functions are
         # pd.util.hash_array / numpy kernels DuckDB cannot replay):
         # sampen_permen, sampen_eff, stationarity, windowed_entropy,

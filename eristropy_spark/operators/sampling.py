@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["md5_sample", "md5_bucket"]
+__all__ = ["md5_sample", "md5_bucket", "md5_split"]
 
 
 def md5_bucket(key: Column) -> Column:
@@ -53,3 +53,39 @@ def md5_sample(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
         < F.lit(threshold)
     )
+
+
+def md5_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — adds a ``split``
+    column from the row's md5 bucket (0-255) against cumulative weight
+    ranges.
+
+    Same portability story as ``md5_sample``: the assignment is a pure
+    function of (salt, key), so it is stable across partitionings,
+    engines, cluster sizes and re-runs, and pushes down as a plain
+    expression.  Key on a GROUP id (user, document family) and every
+    row of the group lands in the same split — the standard
+    leakage-safe construction.  ``weights`` maps split name -> bucket
+    count out of 256 (default 230/13/13 ≈ 90/5/5); names are assigned
+    in the given order, so the mapping is reproducible from the config
+    alone.  ``salt`` re-deals the split without touching the keys.
+    """
+    if weights is None:
+        weights = {"train": 230, "val": 13, "test": 13}
+    if sum(weights.values()) != 256:
+        raise ValueError("weights must sum to 256 (md5 bucket space)")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("every split weight must be positive")
+    bucket = md5_bucket(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    expr = None
+    hi = 0
+    for name, w in weights.items():
+        hi += w
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

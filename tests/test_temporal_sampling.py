@@ -398,3 +398,30 @@ def test_verify_contract_dtype_check_catches_hugeint_class():
         pd.DataFrame({"t": pd.to_datetime(["2024-01-01"]).astype("datetime64[ns]")}),
     )
     assert ok2 == []
+
+
+def test_md5_split_deterministic_and_leakage_safe(spark):
+    from eristropy_spark.operators.sampling import md5_split
+
+    rows = [Row(uid=i % 20, rid=i) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = md5_split(df, "uid").collect()
+    # leakage safety: every row of a uid lands in the same split
+    by_uid = {}
+    for r in out:
+        by_uid.setdefault(r["uid"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_uid.values())
+    # deterministic across partitionings
+    out2 = {(r["rid"], r["split"]) for r in md5_split(df.repartition(7), "uid").collect()}
+    assert {(r["rid"], r["split"]) for r in out} == out2
+    # salt re-deals at least one group (20 uids, 90/5/5 — near-certain)
+    salted = {r["uid"]: r["split"] for r in md5_split(df, "uid", salt="v2").collect()}
+    base = {r["uid"]: r["split"] for r in out}
+    assert salted != base
+    # weights validated
+    for bad in ({"a": 100, "b": 100}, {"a": 256, "b": 0}):
+        with pytest.raises(ValueError):
+            md5_split(df, "uid", weights=bad)
+    # custom weights cover the space in order
+    two = {r["split"] for r in md5_split(df, "uid", weights={"x": 128, "y": 128}).collect()}
+    assert two <= {"x", "y"}
