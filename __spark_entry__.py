@@ -1383,6 +1383,40 @@ FROM documents
 """
 
 
+def _q_ngram_repetition(spark, sf_dir):
+    """Gopher 2-gram repetition fraction per document (deterministic
+    top-1 tie-break) — the repetition half of the published quality
+    rules; the 25-word synthetic vocabulary gives a rich mix of
+    repeated bigrams."""
+    from eristropy_spark.operators.text import top_ngram_repetition
+
+    return top_ngram_repetition(_docs(spark, sf_dir), n=2)
+
+
+_ORACLE_NGRAM_REPETITION = """
+WITH w AS (
+  SELECT doc_id, length(text) AS n_len, string_split(text, ' ') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(ws[i : i + 1], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i)
+), counts AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram ASC) AS rk
+  FROM counts
+)
+SELECT w.doc_id,
+       coalesce(t.gram, '') AS top_gram,
+       CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_count,
+       floor((coalesce(CAST(t.cnt * length(t.gram) AS DOUBLE) / w.n_len, 0.0))
+             * 1000000 + 0.5) / 1000000 AS rep_frac
+FROM w LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -1404,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "gopher_filters": _q_gopher_filters,
         "c4_clean": _q_c4_clean,
+        "ngram_repetition": _q_ngram_repetition,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
@@ -1447,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _ORACLE_LANG_ID,
         "gopher_filters": _ORACLE_GOPHER,
         "c4_clean": _ORACLE_C4_CLEAN,
+        "ngram_repetition": _ORACLE_NGRAM_REPETITION,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "similarity_topk": _ORACLE_SIMILARITY,
         "embed_dedup_exact": _ORACLE_EMBED_DEDUP,

@@ -28,6 +28,7 @@ __all__ = [
     "quality_score",
     "gopher_filters",
     "c4_line_clean",
+    "top_ngram_repetition",
     "lang_id",
     "tfidf_topk",
     "STOPWORDS",
@@ -198,6 +199,59 @@ def c4_line_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
         has_brace.alias("has_brace"),
         ((n_kept >= 3) & ~has_lorem & ~has_brace).alias("passes_c4"),
         F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def top_ngram_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher repetition rule: the fraction of a document's characters
+    covered by its most frequent word ``n``-gram (Rae et al. 2021,
+    App. A1.1 — docs above ~0.2 for 2-grams are boilerplate/spam).
+
+    Distributed shape: word n-grams explode into (doc, gram) rows and a
+    two-phase count + per-doc top-1 (``row_number`` with deterministic
+    (count desc, gram asc) tie-break) finds the winner — the shuffle
+    carries only (doc_id, gram) pairs, never documents.  Output:
+    (doc_id, top_gram, top_count, rep_frac) with
+    ``rep_frac = top_count·len(top_gram)/len(text)`` (characters inside
+    the occurrences themselves), 0 / '' for docs shorter than ``n``
+    words."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    words = F.split(F.col("text"), " ")
+    count = F.size(words) - (n - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("doc_id", "gram", "cnt")
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("_len"))
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("gram", F.lit("")).alias("top_gram"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("top_count"),
+            round6(
+                F.coalesce(
+                    F.col("cnt") * F.length("gram") / F.col("_len"),
+                    F.lit(0.0),
+                )
+            ).alias("rep_frac"),
+        )
     )
 
 

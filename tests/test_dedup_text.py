@@ -624,3 +624,30 @@ def test_c4_line_clean_semantics(spark):
     assert "javascript" not in out[3]["clean_text"]
     assert out[4]["has_lorem"] and not out[4]["passes_c4"]
     assert out[5]["has_brace"] and not out[5]["passes_c4"]
+
+
+def test_top_ngram_repetition(spark):
+    from eristropy_spark.operators.text import top_ngram_repetition
+
+    rows = [
+        Row(doc_id=1, text="spam spam spam spam ham"),   # "spam spam" x3
+        Row(doc_id=2, text="all words here are unique"),
+        Row(doc_id=3, text="one"),                       # shorter than n
+        Row(doc_id=4, text="c d c d d c"),               # "c d" 2 vs "d c" 2
+    ]
+    out = {
+        r["doc_id"]: (r["top_gram"], r["top_count"], r["rep_frac"])
+        for r in top_ngram_repetition(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=2
+        ).collect()
+    }
+    assert out[1][0] == "spam spam" and out[1][1] == 3
+    assert out[1][2] == round(3 * len("spam spam") / len("spam spam spam spam ham"), 6)
+    assert out[2][1] == 1  # every bigram unique -> any top has count 1
+    assert out[3] == ("", 0, 0.0)
+    # deterministic tie-break: lexicographically smallest gram wins
+    assert out[4][0] == "c d" and out[4][1] == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        top_ngram_repetition(spark.createDataFrame(rows, "doc_id long, text string"), n=0)
