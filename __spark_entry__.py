@@ -1417,6 +1417,41 @@ FROM w LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
 """
 
 
+def _q_chunk_text(spark, sf_dir):
+    """Overlapping fixed-token-window chunking (window 32, stride 24,
+    min tail 8) — the training-window prep step, all in-row (split →
+    sequence → slice → posexplode), zero shuffle."""
+    from eristropy_spark.operators.text import chunk_text
+
+    return chunk_text(_docs(spark, sf_dir), window=32, stride=24,
+                      min_tokens=8)
+
+
+_ORACLE_CHUNK_TEXT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), st AS (
+  SELECT doc_id, ws, n,
+         greatest(CAST(ceil((n - 32) / CAST(24 AS DOUBLE)) AS BIGINT) + 1, 1)
+           AS n_starts
+  FROM w
+), ex AS (
+  SELECT doc_id, ws, n, k, k * 24 + 1 AS s
+  FROM st, LATERAL (SELECT unnest(generate_series(0, n_starts - 1)) AS k)
+), kept AS (
+  SELECT * FROM ex WHERE least(n - s + 1, 32) >= 8 OR s = 1
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS BIGINT)
+         AS chunk_id,
+       CAST(least(n - s + 1, 32) AS BIGINT) AS n_tokens,
+       array_to_string(ws[s : s + 31], ' ') AS chunk_text
+FROM kept
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -1439,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": _q_gopher_filters,
         "c4_clean": _q_c4_clean,
         "ngram_repetition": _q_ngram_repetition,
+        "chunk_text": _q_chunk_text,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
@@ -1483,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filters": _ORACLE_GOPHER,
         "c4_clean": _ORACLE_C4_CLEAN,
         "ngram_repetition": _ORACLE_NGRAM_REPETITION,
+        "chunk_text": _ORACLE_CHUNK_TEXT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "similarity_topk": _ORACLE_SIMILARITY,
         "embed_dedup_exact": _ORACLE_EMBED_DEDUP,

@@ -29,6 +29,7 @@ __all__ = [
     "gopher_filters",
     "c4_line_clean",
     "top_ngram_repetition",
+    "chunk_text",
     "lang_id",
     "tfidf_topk",
     "STOPWORDS",
@@ -251,6 +252,65 @@ def top_ngram_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
                     F.lit(0.0),
                 )
             ).alias("rep_frac"),
+        )
+    )
+
+
+def chunk_text(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Fixed-token-window chunking — the training-window prep step: each
+    document becomes overlapping (or disjoint) word-token windows of
+    ``window`` tokens, advancing by ``stride`` (default = window, i.e.
+    disjoint).  Output (doc_id, chunk_id, n_tokens, chunk_text); the
+    final partial window is kept when it has ≥ ``min_tokens`` tokens
+    UNLESS it is fully covered by the previous window (stride <
+    window): emitting it would duplicate pure suffix content.
+
+    All in-row whole-stage-codegen (split → sequence → slice →
+    posexplode): no shuffle, no Python — a document's chunks are
+    produced where the document lives, which is the only shape that
+    works when the corpus is 100 TB.  Tokens = whitespace words; a real
+    BPE tokenizer slots into the same plumbing as a pandas_udf (the
+    windowing/explode stays identical)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    stride = window if stride is None else stride
+    if not 1 <= stride <= window:
+        raise ValueError("stride must be in [1, window]")
+    if min_tokens < 1:
+        raise ValueError("min_tokens must be >= 1")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # window start indices (1-based): 1, 1+stride, ... while a NEW
+    # token is covered and the tail clears min_tokens
+    n_starts = F.greatest(
+        F.ceil((n - F.lit(window)) / F.lit(stride)).cast("long") + 1, F.lit(1)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda k: k * stride + 1,
+    )
+    kept = F.filter(
+        starts,
+        lambda s: (F.least(n - s + 1, F.lit(window)) >= min_tokens)
+        | (s == 1),
+    )
+    chunks = F.transform(
+        kept, lambda s: F.concat_ws(" ", F.slice(words, s, window))
+    )
+    return (
+        docs.select("doc_id", n.alias("_n"), F.posexplode(chunks))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.least(
+                F.col("_n") - (F.col("pos") * stride + 1) + 1, F.lit(window)
+            ).cast("long").alias("n_tokens"),
+            F.col("col").alias("chunk_text"),
         )
     )
 

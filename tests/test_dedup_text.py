@@ -651,3 +651,50 @@ def test_top_ngram_repetition(spark):
 
     with pytest.raises(ValueError):
         top_ngram_repetition(spark.createDataFrame(rows, "doc_id long, text string"), n=0)
+
+
+def test_chunk_text_windows(spark):
+    from eristropy_spark.operators.text import chunk_text
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text10), Row(doc_id=2, text="a b")],
+        "doc_id long, text string",
+    )
+    # disjoint windows of 4: [0:4) [4:8) [8:10) — tail of 2 kept
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_text(df, window=4).collect()
+    )
+    assert out == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w4 w5 w6 w7"),
+        (1, 2, 2, "w8 w9"),
+        (2, 0, 2, "a b"),
+    ]
+    # min_tokens drops the short tail (but never a doc's only chunk)
+    out2 = [
+        r["chunk_id"]
+        for r in chunk_text(df, window=4, min_tokens=3).collect()
+        if r["doc_id"] == 1
+    ]
+    assert sorted(out2) == [0, 1]
+    assert [r["n_tokens"] for r in chunk_text(df, window=4, min_tokens=3)
+            .where("doc_id = 2").collect()] == [2]  # only chunk kept
+    # overlapping stride: starts 0,3,6 cover all 10 tokens
+    out3 = sorted(
+        (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_text(df, window=4, stride=3).collect()
+        if r["doc_id"] == 1
+    )
+    assert out3 == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+    ]
+    import pytest
+
+    for bad in (dict(window=0), dict(window=4, stride=5),
+                dict(window=4, stride=0), dict(window=4, min_tokens=0)):
+        with pytest.raises(ValueError):
+            chunk_text(df, **bad)
