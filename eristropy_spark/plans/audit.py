@@ -135,4 +135,24 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and ("Join" in p), p)
     )
 
+    # 9. round-4 text/quality operators: the per-document ones
+    # (gopher/c4/chunking) must be pure in-row codegen — zero shuffle,
+    # zero Python nodes; the repetition stat shuffles only (doc, gram)
+    for qname, label in (
+        ("gopher_filters", "gopher_filters: in-row codegen, zero shuffle/Python"),
+        ("c4_clean", "c4_clean: in-row codegen, zero shuffle/Python"),
+        ("chunk_text", "chunk_text: in-row codegen, zero shuffle/Python"),
+    ):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (label, "Exchange" not in p and _py_node_count(p) == 0, p)
+        )
+    nr = entrymod.queries()["ngram_repetition"](spark, sf_dir)
+    p = plan_of(nr)
+    checks.append(
+        ("ngram_repetition: two-phase gram count (partial+final HashAggregate), no Python",
+         _py_node_count(p) == 0 and p.count("HashAggregate") >= 2, p)
+    )
+
     return checks
