@@ -123,7 +123,8 @@ def _phase_queries(cores: int) -> None:
     from eristropy_spark.runtime.session import get_spark
 
     spark = get_spark(app_name="bench-queries", cores=cores)
-    out = {}
+    out: dict[str, float] = {}
+    quiet: dict[str, bool] = {}
     # best-of-3: neighbor contention on this box swings identical runs
     # up to 10x and waves last minutes (see BASELINE.md methodology);
     # min-of-three gives each query a better chance of one quiet rep.
@@ -134,6 +135,12 @@ def _phase_queries(cores: int) -> None:
         for name, fn in entrymod.queries().items():
             if name in SKIP_AT_BENCH_SF:
                 continue
+            # per-query probe (~0.25 s): a wave starting mid-rep would
+            # otherwise taint every later query invisibly.  The flag
+            # recorded for a query is the probe state of the rep that
+            # produced its best (minimum) timing, so a contended number
+            # is visibly contended instead of looking like a regression.
+            q = _probe_now()["quiet"]
             t0 = time.time()
             df = fn(spark, SF_DIR)
             # hash-consume EVERY column: a bare count() lets Catalyst
@@ -144,13 +151,15 @@ def _phase_queries(cores: int) -> None:
                 F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
             ).collect()
             dt = round(time.time() - t0, 3)
-            out[name] = min(out.get(name, dt), dt)
+            if name not in out or dt < out[name]:
+                out[name] = dt
+                quiet[name] = q
             # several operators persist internally and never unpersist
             # (their result DataFrames stay lazily consumable); dropping
             # the cache between queries keeps timings independent and
             # the block manager lean across 27x2 query runs
             spark.catalog.clearCache()
-    print(json.dumps(out))
+    print(json.dumps({"timings": out, "quiet": quiet}))
     spark.stop()
 
 
@@ -418,7 +427,8 @@ def main() -> None:
     # one gate before the per-query phase (best-of-3 inside handles
     # shorter blips; a wave at launch would otherwise taint all 3 reps)
     _wait_quiet()
-    queries = _run_sub("queries", CPUS)
+    qres = _run_sub("queries", CPUS)
+    queries, queries_quiet = qres["timings"], qres.get("quiet", {})
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
@@ -426,6 +436,7 @@ def main() -> None:
         "value": aux["wall_sec"],
         "unit": "sec",
         "queries": queries,
+        "queries_quiet": queries_quiet,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "headline": {
             "n_seq": hi["n_seq"],
@@ -479,7 +490,45 @@ def main() -> None:
             "kernel_mp_ladder": kernel_ladder,
         },
     }
-    print(json.dumps(result))
+    # Full detail record (probe arrays, per-pair data) on its own line,
+    # THEN a compact final line.  The driver retains only the last ~2 kB
+    # of stdout as BENCH_r{N}.json — round 4's probe arrays pushed the
+    # headline numbers and per-query timings out of that window, leaving
+    # the claim of record (primary-ladder median valid pair) unrecorded.
+    # The final line therefore carries ONLY the essentials: headline
+    # wall, per-query timings (2-decimal), the primary/aux ladder
+    # medians, valid-pair count, tier equality, and which queries' best
+    # rep was contended.  It stays a self-contained contract JSON line
+    # (metric/value/unit/queries/sf).
+    print(json.dumps({"detail": result}))
+    compact_queries = {k: round(v, 2) for k, v in queries.items()}
+    contended = sorted(k for k, ok in queries_quiet.items() if not ok)
+    summary = {
+        "wall_sec": aux["wall_sec"],
+        "seq_per_sec_maxcores": aux["seq_per_sec"],
+        "seq_per_sec_loN": lo["seq_per_sec"],
+        "seq_per_sec_hiN": hi["seq_per_sec"],
+        "primary_median_valid_pair": primary["eff_median_pair"],
+        "primary_median_all_pairs": primary["eff_median_all_pairs"],
+        "n_valid_pairs": primary.get("n_valid"),
+        "aux_2_to_8_median": aux2_8["eff_median_pair"],
+        "kernel_mp_eff_2_to_8": kernel_ladder["efficiency_2_to_8"],
+        "tiers_equal": result["headline"]["tiers_equal_across_parallelism"],
+        "contended_queries": contended,
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "entropy_rollup_pipeline_wall_sec",
+                "value": aux["wall_sec"],
+                "unit": "sec",
+                "sf": result["sf"],
+                "queries": compact_queries,
+                "summary": summary,
+            },
+            separators=(",", ":"),
+        )
+    )
 
 
 if __name__ == "__main__":

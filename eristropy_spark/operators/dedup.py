@@ -187,17 +187,53 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 def _drop_hot_buckets(
-    tabled: DataFrame, keys: list[str], max_bucket_size: int | None
+    tabled: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | str | None,
+    *,
+    n_buckets: int | None = None,
+    table_key: str = "table_id",
+    hot_factor: int = 8,
+    min_cap: int = 10_000,
 ) -> DataFrame:
-    """Remove LSH buckets with more than ``max_bucket_size`` members
-    before a bucket self-join (each contributes O(members²) candidate
-    rows).  One extra aggregation on the SAME keys as the downstream
-    join — AQE coalesces the two shuffles onto one partitioning."""
+    """Remove LSH buckets with more members than the cap before a bucket
+    self-join (each contributes O(members²) candidate rows).  One extra
+    aggregation on the SAME keys as the downstream join — AQE coalesces
+    the two shuffles onto one partitioning.
+
+    ``max_bucket_size`` is either an absolute row count, or ``"auto"``:
+    drop buckets exceeding ``hot_factor ×`` the uniform expected
+    occupancy (per-table row count / ``n_buckets``), floored at
+    ``min_cap``.  ``"auto"`` is the right mode for SMALL keyspaces such
+    as hyperplane sign buckets (2^n_bits per table): there a fixed
+    absolute cap silently zeroes recall once the corpus grows past
+    cap·n_buckets rows — every bucket is uniformly over-cap in every
+    table — whereas the relative cap scales with the corpus and only
+    ever removes genuinely degenerate buckets (>hot_factor× uniform
+    share).  Per-table totals are computed lazily inside the same job
+    (no driver count).  Minhash band-buckets keep absolute caps: their
+    64-bit keyspace makes uniform occupancy ~1, so any fat bucket is
+    degenerate regardless of corpus size.
+    """
     if max_bucket_size is None:
         return tabled
-    if max_bucket_size < 1:
-        raise ValueError("max_bucket_size must be >= 1 (or None)")
     sizes = tabled.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    if max_bucket_size == "auto":
+        if n_buckets is None or n_buckets < 1:
+            raise ValueError('max_bucket_size="auto" requires n_buckets >= 1')
+        totals = sizes.groupBy(table_key).agg(F.sum("_bsz").alias("_tot"))
+        cap = F.greatest(
+            F.lit(float(min_cap)),
+            F.lit(float(hot_factor)) * F.col("_tot") / F.lit(float(n_buckets)),
+        )
+        keep = (
+            sizes.join(F.broadcast(totals), table_key)
+            .where(F.col("_bsz") <= cap)
+            .select(*keys)
+        )
+        return tabled.join(keep, keys)
+    if not isinstance(max_bucket_size, int) or max_bucket_size < 1:
+        raise ValueError('max_bucket_size must be >= 1, "auto", or None')
     return (
         tabled.join(sizes.where(F.col("_bsz") <= max_bucket_size), keys)
         .drop("_bsz")

@@ -66,7 +66,7 @@ def embedding_dup_pairs_lsh(
     n_tables: int = 8,
     seed: int = 17,
     dim: int | None = None,
-    max_bucket_size: int | None = 100_000,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs: candidates share a bucket in any table.
 
@@ -78,7 +78,14 @@ def embedding_dup_pairs_lsh(
     ``dedup.minhash_lsh_pairs``): a degenerate bucket — e.g. every
     zero/duplicate-boilerplate embedding hashing identically —
     contributes O(members²) candidates to the self-join; drop it and
-    its members still collide via the other tables.  ``None`` disables.
+    its members still collide via the other tables.  The default
+    ``"auto"`` caps RELATIVE to uniform occupancy (8× the per-table
+    mean of n_rows/2^n_bits, floored at 10k): sign buckets have only
+    2^n_bits keys per table, so a fixed absolute cap would silently
+    drop EVERY bucket — recall → 0 — once the corpus exceeds
+    cap·2^n_bits rows, while the relative cap scales with the corpus
+    and can only shed buckets that are genuinely degenerate.
+    ``None`` disables.
     """
     from eristropy_spark.operators.dedup import _drop_hot_buckets
 
@@ -88,7 +95,9 @@ def embedding_dup_pairs_lsh(
     tabled = emb.select(
         "vec_id", bucket_udf(F.col("embedding")).alias("codes")
     ).select("vec_id", F.posexplode("codes").alias("table_id", "bucket"))
-    tabled = _drop_hot_buckets(tabled, ["table_id", "bucket"], max_bucket_size)
+    tabled = _drop_hot_buckets(
+        tabled, ["table_id", "bucket"], max_bucket_size, n_buckets=2**n_bits
+    )
     cand_ids = (
         tabled.alias("x")
         .join(tabled.alias("y"), ["table_id", "bucket"])

@@ -120,6 +120,7 @@ def cosine_topk_lsh(
     n_tables: int = 8,
     seed: int = 17,
     dim: int | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidates, exact rerank within.
 
@@ -128,7 +129,20 @@ def cosine_topk_lsh(
     carry ONLY ids — embedding vectors are re-attached afterwards, one
     join per side, so no wide payload rides the exploded table stream
     or the dedup shuffle.
+
+    ``max_bucket_size`` stop-lists degenerate corpus-side buckets
+    before the candidate join (default ``"auto"``: 8× uniform
+    occupancy n_rows/2^n_bits, floored at 10k — scales with the corpus,
+    so it can never uniformly cap out the whole small sign-bucket
+    keyspace the way an absolute cap would; see
+    ``dedup._drop_hot_buckets``).  The join side here is a broadcast
+    query set, so a fat bucket costs O(bucket·queries), not bucket² —
+    linear, but at 100 TB a single all-zeros region bucket still
+    dominates the scan; queries keep their other ``n_tables-1`` probes.
+    ``None`` disables.
     """
+    from eristropy_spark.operators.dedup import _drop_hot_buckets
+
     if dim is None:
         dim = probe_dim(emb)
     bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
@@ -138,9 +152,9 @@ def cosine_topk_lsh(
     tabled = with_b.select(
         "vec_id", F.posexplode("codes").alias("table_id", "bucket")
     )
-    corpus_ids = tabled.select(
-        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
-    )
+    corpus_ids = _drop_hot_buckets(
+        tabled, ["table_id", "bucket"], max_bucket_size, n_buckets=2**n_bits
+    ).select(F.col("vec_id").alias("neighbor_id"), "table_id", "bucket")
     query_ids_t = tabled.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
