@@ -115,22 +115,40 @@ def adfuller(x: np.ndarray) -> tuple[float, float, int, int]:
     ones = np.ones_like(level)
     Xfull = np.column_stack([ones, level, lags])
     n_rows = Xfull.shape[0]
-    q, _ = np.linalg.qr(Xfull)
-    qty = q.T @ endog
-    yty = float(endog @ endog)
-    css = np.cumsum(qty * qty)
+    q, r = np.linalg.qr(Xfull)
+    # The prefix-SSR identity ssr_k = y'y − Σ_{j<k}(q_j'y)² requires the
+    # design to be full column-rank: on a (near-)collinear design the
+    # Householder Q's later columns no longer span the matching X
+    # prefix, understating prefix SSRs and potentially picking a
+    # different lag than the per-lag lstsq this replaced.  Detect via
+    # R's diagonal (|r_jj| small relative to the largest — the standard
+    # rank tolerance) and fall back to per-lag lstsq fits, which handle
+    # rank deficiency via their internal SVD.
+    rdiag = np.abs(np.diag(r))
+    full_rank = bool(
+        rdiag.min() > max(Xfull.shape) * np.finfo(float).eps * rdiag.max()
+    )
     best_aic, best_nlags = math.inf, 0
-    for L in range(maxlag + 1):
-        k = 2 + L
-        ssr = yty - float(css[k - 1])
-        if ssr <= 0.0:
-            ssr = np.finfo(float).tiny
-        llf = -0.5 * n_rows * (
-            math.log(2 * math.pi) + math.log(ssr / n_rows) + 1.0
-        )
-        aic = -2.0 * llf + 2.0 * k
-        if aic < best_aic:
-            best_aic, best_nlags = aic, L
+    if full_rank:
+        qty = q.T @ endog
+        yty = float(endog @ endog)
+        css = np.cumsum(qty * qty)
+        for L in range(maxlag + 1):
+            k = 2 + L
+            ssr = yty - float(css[k - 1])
+            if ssr <= 0.0:
+                ssr = np.finfo(float).tiny
+            llf = -0.5 * n_rows * (
+                math.log(2 * math.pi) + math.log(ssr / n_rows) + 1.0
+            )
+            aic = -2.0 * llf + 2.0 * k
+            if aic < best_aic:
+                best_aic, best_nlags = aic, L
+    else:
+        for L in range(maxlag + 1):
+            aic = _ols_aic(endog, Xfull[:, : 2 + L])
+            if aic < best_aic:
+                best_aic, best_nlags = aic, L
 
     # Refit on the best-lag-trimmed sample, constant appended last so
     # index 0 is the level coefficient (statsmodels add_trend default).

@@ -31,6 +31,7 @@ def ordinal_pattern_codes(x: np.ndarray, m: int, delay: int = 1) -> np.ndarray:
     Returns an int64 vector of length ``n - (m-1)*delay`` where equal
     codes <=> equal ordinal patterns.
     """
+    _check_order(m)
     x = np.ascontiguousarray(x, dtype=np.float64)
     n = x.size
     n_win = n - (m - 1) * delay
@@ -41,9 +42,29 @@ def ordinal_pattern_codes(x: np.ndarray, m: int, delay: int = 1) -> np.ndarray:
     idx = np.arange(n_win)[:, None] + delay * np.arange(m)[None, :]
     windows = x[idx]
     ranks = np.argsort(np.argsort(windows, axis=1, kind="stable"), axis=1, kind="stable")
-    # mixed-radix encode: rank vector -> unique integer (m <= 20 fits int64)
+    # mixed-radix encode: rank vector -> unique integer (codes < m^m,
+    # so int64 holds them iff m <= 15 — enforced by _check_order; numpy
+    # integer overflow is SILENT, so this must fail loud instead)
     radix = (m ** np.arange(m)).astype(np.int64)
     return ranks.astype(np.int64) @ radix
+
+
+_INT64_MAX = 2**63 - 1
+
+
+def _check_order(m: int) -> int:
+    """Fail loud on embedding orders whose mixed-radix codes overflow
+    int64 (m^m >= 2^63 at m >= 16).  Silent numpy wraparound would merge
+    unrelated ordinal patterns and return wrong entropies with no error.
+    Returns ``m**m`` (as a Python int) for reuse by the batch packer."""
+    base = m**m
+    if m < 2 or base > _INT64_MAX:
+        raise ValueError(
+            f"embedding order m={m} is outside the supported range "
+            "2 <= m <= 15: ordinal-pattern codes are packed into int64 "
+            "(m^m must stay below 2^63), and numpy would wrap silently"
+        )
+    return base
 
 
 def permen(x: np.ndarray, m: int = 3, delay: int = 1, normalize: bool = False) -> float:
@@ -84,6 +105,12 @@ def permen_many(
     (W, m) embedding stays comfortably in memory.
     """
     n_seq = len(seqs)
+    base_py = _check_order(m)  # m^m as a Python int (overflow-safe)
+    # the (sequence, pattern) key packs seq_of_win * m^m + code into
+    # int64; bound how many sequences share one chunk so the largest
+    # key (n_chunk * m^m - 1) cannot wrap (ADVICE r4: at m=15 a chunk
+    # of >20 sequences would overflow SILENTLY and merge histograms)
+    max_chunk_seqs = max(1, _INT64_MAX // base_py)
     out = np.full(n_seq, np.nan, dtype=np.float64)
     span = (m - 1) * delay
     log_fact = math.log(math.factorial(m))
@@ -107,7 +134,10 @@ def permen_many(
         end, win_total = start, 0
         while end < len(items):
             nw = items[end][1].size - span
-            if end > start and win_total + nw > max_batch_windows:
+            if end > start and (
+                win_total + nw > max_batch_windows
+                or end - start >= max_chunk_seqs
+            ):
                 break
             win_total += nw
             end += 1

@@ -264,9 +264,15 @@ def dedup_clusters(
     collect + one broadcast join instead of O(rounds) shuffle jobs.
     Larger edge sets run distributed min-label propagation.  This is
     the same small-side reasoning as a broadcast hash join, with the
-    same bound; LSH near-dup edge sets are orders of magnitude smaller
-    than the corpus, so many real corpora take the fast path even at
-    100 TB — and the distributed path is always there when they don't.
+    same bound — and the same cost: the fast path holds the edge list
+    in driver memory and ships the label mapping (≤ 2·threshold ids)
+    to every executor as a broadcast, so raising
+    ``driver_edge_threshold`` moves exactly that much data onto the
+    driver/broadcast path (the 1M default ≈ tens of MB, the
+    conventional broadcast ceiling).  LSH near-dup edge sets are orders
+    of magnitude smaller than the corpus, so many real corpora take
+    the fast path even at 100 TB — and the distributed path is always
+    there when they don't.
 
     ``algorithm="propagation"`` / ``"twophase"`` force the distributed
     algorithms (propagation: O(diameter) rounds, dense-cluster fast
@@ -276,49 +282,60 @@ def dedup_clusters(
         raise ValueError("algorithm must be 'auto', 'propagation' or 'twophase'")
     edges = pairs.select("doc_a", "doc_b")
     comp = None
-    if algorithm == "auto":
-        # checkpoint so the (possibly expensive — full LSH pass) edge
-        # pipeline executes exactly once across count/collect/CC rounds
-        edges = edges.localCheckpoint(eager=True)
-        if edges.count() <= driver_edge_threshold:
-            labels = _unionfind_components(
-                (r[0], r[1]) for r in edges.toLocalIterator()
-            )
-            spark = docs.sparkSession
-            id_type = docs.schema[id_col].dataType
-            from pyspark.sql.types import StructField, StructType
-
-            mapping = spark.createDataFrame(
-                list(labels.items()),
-                StructType(
-                    [
-                        StructField(id_col, id_type),
-                        StructField("cluster_id", id_type),
-                    ]
-                ),
-            )
-            comp = (
-                docs.select(id_col)
-                .join(F.broadcast(mapping), id_col, "left")
-                .select(
-                    id_col,
-                    F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    ckpt = None
+    try:
+        if algorithm == "auto":
+            # checkpoint so the (possibly expensive — full LSH pass) edge
+            # pipeline executes exactly once across count/collect/CC rounds
+            edges = ckpt = edges.localCheckpoint(eager=True)
+            if edges.count() <= driver_edge_threshold:
+                labels = _unionfind_components(
+                    (r[0], r[1]) for r in edges.toLocalIterator()
                 )
+                spark = docs.sparkSession
+                id_type = docs.schema[id_col].dataType
+                from pyspark.sql.types import StructField, StructType
+
+                mapping = spark.createDataFrame(
+                    list(labels.items()),
+                    StructType(
+                        [
+                            StructField(id_col, id_type),
+                            StructField("cluster_id", id_type),
+                        ]
+                    ),
+                )
+                comp = (
+                    docs.select(id_col)
+                    .join(F.broadcast(mapping), id_col, "left")
+                    .select(
+                        id_col,
+                        F.coalesce("cluster_id", F.col(id_col)).alias(
+                            "cluster_id"
+                        ),
+                    )
+                )
+        if comp is None:
+            cc = (
+                connected_components_twophase
+                if algorithm == "twophase"
+                else connected_components
             )
-            _release_local_checkpoint(edges)
-    if comp is None:
-        cc = (
-            connected_components_twophase
-            if algorithm == "twophase"
-            else connected_components
-        )
-        comp = cc(
-            docs.select(id_col),
-            edges,
-            vid=id_col,
-            src="doc_a",
-            dst="doc_b",
-        ).withColumnRenamed("comp", "cluster_id")
+            comp = cc(
+                docs.select(id_col),
+                edges,
+                vid=id_col,
+                src="doc_a",
+                dst="doc_b",
+            ).withColumnRenamed("comp", "cluster_id")
+    finally:
+        # both CC algorithms eagerly checkpoint their OWN copy of the
+        # edge set before returning, and the union-find path has
+        # collected the edges — either way the outer checkpoint's
+        # blocks are dead here.  Without this the over-threshold path
+        # leaked them until driver GC (round-4 advice).
+        if ckpt is not None:
+            _release_local_checkpoint(ckpt)
     sizes = comp.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size")
     )

@@ -203,14 +203,21 @@ def percentile_rollup(
     """
     from eristropy_spark.functions.numeric import round6
 
+    # collision-free alias: p50 / p99 / p99_9 / p0_1 — %g drops trailing
+    # zeros so whole percents keep their classic names, and the decimal
+    # point maps to '_' (round-4 advice: int(round(p*100)) sent 0.995,
+    # 0.999 and 1.0 all to "p100", yielding duplicate columns)
+    names = [f"p{p * 100:g}".replace(".", "_").replace("-", "m") for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs produce duplicate column aliases: {names}")
     fn = F.percentile if exact else F.approx_percentile
     aggs = [
         round6(
             fn(F.col(value_col), F.lit(float(p)))
             if exact
             else fn(F.col(value_col), F.lit(float(p)), F.lit(10000))
-        ).alias(f"p{int(round(p * 100))}")
-        for p in probs
+        ).alias(name)
+        for p, name in zip(probs, names)
     ]
     return (
         points.groupBy(

@@ -192,3 +192,26 @@ def test_auto_falls_back_to_distributed_above_threshold(spark):
         map(tuple, dedup_clusters(docs, pairs, algorithm="propagation").collect())
     )
     assert out == want
+
+
+def test_auto_distributed_path_releases_edge_checkpoint(spark):
+    """Round-4 advice: the over-threshold auto path left its eager edge
+    checkpoint cached until driver GC (only the union-find fast path
+    released it).  Both CC algorithms checkpoint their OWN edge copy,
+    so after dedup_clusters returns, the only surviving checkpoint must
+    be the final labels frame the result reads — same bound the
+    propagation-path block test pins."""
+    import gc
+
+    from eristropy_spark.operators.cluster import dedup_clusters
+
+    gc.collect()
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    out = dedup_clusters(docs, pairs, driver_edge_threshold=0)
+    assert out.count() == 30
+    assert jsc.getPersistentRDDs().size() <= before + 1  # final labels only

@@ -429,3 +429,62 @@ def test_adf_qr_aic_matches_per_lag_lstsq():
             if aic < best_aic:
                 best_aic, best_l = aic, L
         assert usedlag == best_l, (i, kind, usedlag, best_l)
+
+
+def test_permen_order_overflow_guard():
+    """m >= 16 would silently wrap the int64 pattern codes (numpy
+    overflow raises nothing) — both kernels must fail loud instead; and
+    at the largest legal order (m=15, base=m^m ≈ 4.4e17, int64 headroom
+    ~21 sequences/chunk) the batch chunker splits so keys never wrap:
+    batch ≡ scalar stays bit-exact across the forced chunk boundary."""
+    import pytest
+
+    from eristropy_spark.kernels.permen import permen_many
+
+    rng = np.random.default_rng(11)
+    with pytest.raises(ValueError, match="m=16"):
+        permen(rng.normal(size=100), m=16)
+    with pytest.raises(ValueError, match="m=16"):
+        permen_many([rng.normal(size=100)], m=16)
+    with pytest.raises(ValueError, match="m=1 "):
+        permen(rng.normal(size=100), m=1)
+
+    seqs = [rng.normal(size=int(n)) for n in rng.integers(20, 60, size=50)]
+    got = permen_many(seqs, m=15, normalize=True)
+    want = np.array([permen(s, m=15, normalize=True) for s in seqs])
+    eq = (np.isnan(got) & np.isnan(want)) | (got == want)
+    assert eq.all()
+
+
+def test_adf_rank_deficient_design_matches_per_lag_lstsq():
+    """On a collinear design (exactly alternating series: every lag
+    column is ±endog, rank 2 of 13) the prefix-SSR-from-one-QR identity
+    breaks down; adfuller must detect it via R's diagonal and pick the
+    SAME lag as the per-lag lstsq search it replaced.  Random full-rank
+    series must be untouched by the guard (pick equality there too)."""
+    from eristropy_spark.kernels.adf import _lag_design, _ols_aic, adfuller
+
+    def _per_lag_pick(x):
+        x = np.asarray(x, dtype=np.float64)
+        nobs = x.shape[0]
+        maxlag = min(nobs // 2 - 2, int(math.ceil(12.0 * (nobs / 100.0) ** 0.25)))
+        dx = np.diff(x)
+        lagged = _lag_design(dx, maxlag)
+        rows = lagged.shape[0]
+        level = x[-rows - 1 : -1]
+        endog = dx[-rows:]
+        Xfull = np.column_stack([np.ones(rows), level, lagged[:, 1:]])
+        aics = [_ols_aic(endog, Xfull[:, : 2 + L]) for L in range(maxlag + 1)]
+        return int(np.argmin(aics))
+
+    # exactly alternating: dx_t = -dx_{t-1}, so dlag_j = ±endog — the
+    # design is rank 2 and perfectly predictive from lag 1 onward
+    x_alt = np.tile([0.0, 1.0], 30)
+    tau, p, usedlag, n = adfuller(x_alt)
+    assert usedlag == _per_lag_pick(x_alt)
+    assert np.isfinite(tau) and 0.0 <= p <= 1.0
+
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        x = np.cumsum(rng.normal(size=120)) + rng.normal(size=120)
+        assert adfuller(x)[2] == _per_lag_pick(x)

@@ -425,3 +425,23 @@ def test_md5_split_deterministic_and_leakage_safe(spark):
     # custom weights cover the space in order
     two = {r["split"] for r in md5_split(df, "uid", weights={"x": 128, "y": 128}).collect()}
     assert two <= {"x", "y"}
+
+
+def test_percentile_aliases_subpercent_unique(spark):
+    """Round-4 advice: int(round(p*100)) aliased 0.995 / 0.999 / 1.0 all
+    to "p100" (duplicate columns).  The %g encoding keeps classic names
+    for whole percents and yields distinct p99_5 / p99_9 / p100 for
+    sub-percent tails; truly duplicate aliases fail loud."""
+    import pytest
+
+    from eristropy_spark.operators.rollup import percentile_rollup
+
+    rows = [Row(ts=_ts(i % 10), source="s", value=float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = percentile_rollup(df, "hour", "value", probs=(0.5, 0.995, 0.999, 1.0))
+    assert out.columns == ["source", "bucket", "p50", "p99_5", "p99_9", "p100", "n"]
+    row = out.collect()[0]
+    assert row["p50"] <= row["p99_5"] <= row["p99_9"] <= row["p100"] == 99.0
+
+    with pytest.raises(ValueError, match="duplicate column aliases"):
+        percentile_rollup(df, "hour", "value", probs=(0.5, 0.5))
