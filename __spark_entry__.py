@@ -26,8 +26,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   quality_score     pipeline     quality heuristic
   lang_id           pipeline     marker-word language ID
   ngram_jaccard     pipeline     exact near-dup pairs
-  minhash_lsh       pipeline     MinHash-LSH near-dup (rows-only)
-  simhash           pipeline     SimHash near-dup (rows-only)
+  minhash_lsh       pipeline     MinHash-LSH near-dup (full SQL replay)
+  simhash           pipeline     SimHash near-dup (full SQL replay)
   similarity_topk   pipeline     brute-force cosine top-k
   similarity_lsh    pipeline     hyperplane-LSH ANN (rows-only)
   similarity_ivf    pipeline     IVF coarse-quantizer ANN (rows-only)
@@ -747,13 +747,17 @@ WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup — oracle-checked since round 5:
+    _oracle_minhash_lsh replays word/shingle hashing, the 64 seeded
+    permutations, banding, and Jaccard verification in DuckDB."""
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=64, bands=16, n=3, threshold=0.2)
 
 
 def _q_simhash(spark, sf_dir):
     # h=8 on the tiny sf corpus exercises the wide-distance banding; the
     # explicit opt-in acknowledges the documented fat-bucket hazard that
-    # the guard warns about at real corpus sizes
+    # the guard warns about at real corpus sizes.  Oracle-checked since
+    # round 5 (_oracle_simhash: full bit-vote + pigeonhole-band replay).
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=8, allow_large_h=True)
 
 
@@ -944,6 +948,224 @@ def _oracle_similarity_lsh(k: int = 5) -> str:
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------- text-LSH SQL replay (round 5)
+#
+# minhash_lsh / simhash became oracle-checkable when the word hash moved
+# from pandas' C SipHash to a codepoint-polynomial + splitmix64 scheme
+# (operators/dedup._word_hashes): every step is 64-bit wraparound
+# arithmetic, replayed here in HUGEINT SQL mod 2^64.  Structure note:
+# each splitmix step lives in its OWN subquery layer — DuckDB inlines
+# intra-SELECT lateral aliases textually, so a chained mix written as
+# lateral aliases explodes to 2^depth subexpressions (measured 80 s vs
+# 3.6 s for the layered form on the sf0.01 corpus).
+
+_M64 = 1 << 64
+_MIX_C1 = 0xFF51AFD7ED558CCD
+_MIX_C2 = 0xC4CEB9FE1A85EC53
+
+
+def _mulmod_sql(x: str, c: int) -> str:
+    """(x * c) mod 2^64 in HUGEINT SQL without overflowing int128:
+    32-bit split — lo*c (< 2^96) plus the low 32 bits of hi*c shifted."""
+    return (
+        f"((({x} % 4294967296) * {c}) % {_M64} + "
+        f"(((({x} // 4294967296) * {c}) % 4294967296) * 4294967296)) % {_M64}"
+    )
+
+
+def _mix64_sql_steps(col_in: str, col_out: str, seed) -> list[tuple[str, str]]:
+    """(expr, alias) steps replaying dedup._mix64(col_in ^ seed).
+    ``seed`` may be an int literal or a column name.  ``x >> 33`` is
+    written ``x // 2^33`` (values are non-negative)."""
+    t = f"{col_out}_t"
+    return [
+        (f"xor({col_in}, {seed})", f"{t}1"),
+        (f"xor({t}1, {t}1 // 8589934592)", f"{t}2"),
+        (_mulmod_sql(f"{t}2", _MIX_C1), f"{t}3"),
+        (f"xor({t}3, {t}3 // 8589934592)", f"{t}4"),
+        (_mulmod_sql(f"{t}4", _MIX_C2), f"{t}5"),
+        (f"xor({t}5, {t}5 // 8589934592)", col_out),
+    ]
+
+
+def _chain_sql(base_sql: str, keep: list[str], steps: list[tuple[str, str]]) -> str:
+    """One subquery layer per step; every produced alias is carried
+    forward (later chains may re-consume an earlier chain's output,
+    e.g. the three salted mixes all read the word hash ``wh``)."""
+    cur = base_sql
+    cols = list(keep)
+    for expr, alias in steps:
+        cur = f"SELECT {', '.join(cols)}, {expr} AS {alias} FROM ({cur})"
+        cols.append(alias)
+    return cur
+
+
+def _shingle_sql(n: int) -> str:
+    """Subquery yielding (doc_id, sh): the distinct word-n-gram hashes of
+    dedup._shingle_hashes_batch — codepoint-polynomial word hash (first
+    16 codepoints + length salt), splitmix finalizer, per-position salted
+    mixes XOR-combined over each window, whole-text fallback for docs
+    with < n words, [] for empty text."""
+    from eristropy_spark.operators.dedup import (
+        _GRAM_SALTS,
+        _WORD_LEN_SALT,
+        _WORD_POWS,
+        _WORD_SEED,
+    )
+
+    poly = " + ".join(
+        f"(CAST(CASE WHEN wl >= {j + 1} THEN unicode(substr(wd, {j + 1}, 1)) "
+        f"ELSE 0 END AS HUGEINT) * {int(_WORD_POWS[j])})"
+        for j in range(16)
+    )
+    base = f"""
+SELECT doc_id, i, L, xor(h0, (wl * {int(_WORD_LEN_SALT)}) % {_M64}) AS hx
+FROM (
+  SELECT doc_id, i, L, wl, ({poly}) % {_M64} AS h0
+  FROM (
+    SELECT doc_id, i, ws[i] AS wd, len(ws) AS L,
+           CAST(length(ws[i]) AS HUGEINT) AS wl
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents WHERE text IS NOT NULL AND text != ''),
+         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+  )
+)
+"""
+    steps = _mix64_sql_steps("hx", "wh", int(_WORD_SEED))
+    for j in range(n):
+        steps += _mix64_sql_steps("wh", f"m{j}", int(_GRAM_SALTS[j]))
+    sm = _chain_sql(base, ["doc_id", "i", "L", "hx"], steps)
+    leads = "".join(
+        f",\n           lead(m{j}, {j}) OVER (PARTITION BY doc_id ORDER BY i) AS m{j}n"
+        for j in range(1, n)
+    )
+
+    def _xor_first(g: int) -> str:
+        expr = "m0"
+        for j in range(1, g):
+            expr = f"xor({expr}, m{j}n)"
+        return expr
+
+    if n == 1:
+        sh_expr = "m0"
+    else:
+        cases = [f"WHEN L >= {n} THEN {_xor_first(n)}"]
+        cases += [f"WHEN L = {g} THEN {_xor_first(g)}" for g in range(n - 1, 1, -1)]
+        sh_expr = "CASE " + " ".join(cases) + " ELSE m0 END"
+    return f"""
+  SELECT DISTINCT doc_id, {sh_expr} AS sh
+  FROM (
+    SELECT doc_id, i, L, m0{leads}
+    FROM ({sm})
+  )
+  WHERE i <= L - least({n}, L) + 1
+"""
+
+
+def _oracle_minhash_lsh(threshold=0.2, k=64, bands=16, n=3, seed=17) -> str:
+    """Full DuckDB replay of minhash_lsh_pairs: word/shingle hashing,
+    the k seeded splitmix permutations, banded candidate generation
+    (band equality on the raw sub-signature tuples — bucket VALUES are
+    Spark-internal murmur3, but only bucket EQUALITY matters), and the
+    string-level exact-Jaccard verification, mirroring the Spark plan."""
+    import numpy as np
+
+    rows = k // bands
+    seeds = np.random.RandomState(seed).randint(1, 2**31, size=k)
+    seed_vals = ",".join(f"({j},{int(s)})" for j, s in enumerate(seeds))
+    mh_chain = _chain_sql(
+        "SELECT doc_id, j, sv, sh FROM shg CROSS JOIN seeds",
+        ["doc_id", "j"],
+        _mix64_sql_steps("sh", "mhv", "sv"),
+    )
+    return f"""
+WITH shg AS MATERIALIZED (
+{_shingle_sql(n)}
+), seeds(j, sv) AS (VALUES {seed_vals}),
+mh1 AS (
+  SELECT doc_id, j, min(mhv) AS mhv FROM ({mh_chain}) GROUP BY 1, 2
+), mh AS (
+  SELECT d.doc_id, s.j, coalesce(m.mhv, 0) AS mh
+  FROM documents d CROSS JOIN seeds s
+  LEFT JOIN mh1 m ON m.doc_id = d.doc_id AND m.j = s.j
+), bnd AS MATERIALIZED (
+  SELECT doc_id, j // {rows} AS band, list(mh ORDER BY j) AS subsig
+  FROM mh GROUP BY doc_id, j // {rows}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bnd x JOIN bnd y ON x.band = y.band AND x.subsig = y.subsig
+  WHERE x.doc_id < y.doc_id
+), vsh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i + {n - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - {n - 1}, 0))) AS i)
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM vsh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN vsh x ON x.doc_id = c.doc_a
+  JOIN vsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  floor((CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter JOIN sizes a ON a.doc_id = doc_a JOIN sizes b ON b.doc_id = doc_b
+WHERE floor((CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter)) * 1000000 + 0.5) / 1000000 >= {threshold}
+"""
+
+
+def _oracle_simhash(max_hamming=8, seed=17, n=2) -> str:
+    """Full DuckDB replay of simhash_pairs: per-bit majority votes over
+    the seeded-mixed shingle hashes, pigeonhole banding of the 64-bit
+    signature, exact popcount verification.  Empty/short docs get
+    signature 0 exactly like the kernel."""
+    n_bands = max_hamming + 1
+    base_w = 64 // n_bands
+    extra = 64 - base_w * n_bands
+    band_rows, off = [], 0
+    for b in range(n_bands):
+        wdt = base_w + (1 if b < extra else 0)
+        band_rows.append(f"({b},{1 << off},{1 << wdt})")
+        off += wdt
+    band_vals = ",".join(band_rows)
+    bit_vals = ",".join(f"({b},{1 << b})" for b in range(64))
+    hh_chain = _chain_sql(
+        "SELECT doc_id, sh FROM shg",
+        ["doc_id"],
+        _mix64_sql_steps("sh", "hh", seed),
+    )
+    return f"""
+WITH shg AS MATERIALIZED (
+{_shingle_sql(n)}
+), shh AS MATERIALIZED (
+  {hh_chain}
+), nsh AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+bitpos(bit, p2) AS (VALUES {bit_vals}),
+ones AS (
+  SELECT s.doc_id, b.bit, b.p2,
+         sum(CASE WHEN (hh // b.p2) % 2 = 1 THEN 1 ELSE 0 END) AS n1
+  FROM shh s CROSS JOIN bitpos b GROUP BY 1, 2, 3
+), simc AS (
+  SELECT o.doc_id, sum(CASE WHEN 2 * o.n1 - n.n > 0 THEN o.p2 ELSE 0 END) AS sim
+  FROM ones o JOIN nsh n USING (doc_id) GROUP BY 1
+), sims AS MATERIALIZED (
+  SELECT d.doc_id, CAST(coalesce(s.sim, 0) AS HUGEINT) AS sim
+  FROM documents d LEFT JOIN simc s USING (doc_id)
+), banddef(band, ofs, wsz) AS (VALUES {band_vals}),
+sbb AS MATERIALIZED (
+  SELECT doc_id, band, (sim // ofs) % wsz AS bucket FROM sims CROSS JOIN banddef
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sbb x JOIN sbb y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM cand c JOIN sims a ON a.doc_id = c.doc_a JOIN sims b ON b.doc_id = c.doc_b
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 """
 
 
@@ -1526,6 +1748,10 @@ def oracle_sql() -> dict[str, str]:
         # full DuckDB LSH replays: seeded hyperplanes as SQL literals
         "embed_dedup_lsh": _oracle_embed_dedup_lsh(),
         "similarity_lsh": _oracle_similarity_lsh(),
+        # full DuckDB text-LSH replays: splitmix64 word/shingle hashing
+        # + banding + verification in HUGEINT SQL (round 5)
+        "minhash_lsh": _oracle_minhash_lsh(),
+        "simhash": _oracle_simhash(),
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
         "semi_join": _ORACLE_SEMI_JOIN,
@@ -1543,9 +1769,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,
         "md5_split": _ORACLE_MD5_SPLIT,
-        # rows-only (non-SQL-expressible — the hash functions are
-        # pd.util.hash_array / numpy kernels DuckDB cannot replay):
-        # sampen_permen, sampen_eff, stationarity, windowed_entropy,
-        # minhash_lsh, simhash, similarity_ivf, multimodal_features —
+        # rows-only (non-SQL-expressible numeric kernels / iterative
+        # algorithms): sampen_permen, sampen_eff, stationarity,
+        # windowed_entropy, similarity_ivf, multimodal_features —
         # each carries a value-level golden pytest
     }

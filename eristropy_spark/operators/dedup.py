@@ -127,6 +127,44 @@ _GRAM_SALTS = _mix64(
     np.arange(1, 65, dtype=np.uint64), np.uint64(0x9E3779B97F4A7C15)
 )
 
+# Word-hash constants (codepoint-polynomial + splitmix finalizer).
+# P is the FNV-1a 64-bit prime; _WORD_POWS[j] = P^(15-j) mod 2^64 so the
+# first codepoint carries the highest power (plain polynomial hashing).
+_WORD_PRIME = 1099511628211
+_WORD_POWS = np.array(
+    [pow(_WORD_PRIME, 15 - j, 1 << 64) for j in range(16)], dtype=np.uint64
+)
+_WORD_LEN_SALT = np.uint64(0x9E3779B97F4A7C15)
+_WORD_SEED = np.uint64(0x3C79AC492BA7B653)
+
+
+def _word_hashes(flat: np.ndarray) -> np.ndarray:
+    """uint64 hash per word, vectorized AND SQL-expressible.
+
+    Scheme: the first 16 UTF-32 codepoints enter a base-P polynomial
+    (mod 2^64), the true character length is salted in (so words
+    sharing a 16-char prefix still separate), and a splitmix64-style
+    finalizer avalanches the result.  Every step is plain 64-bit
+    wraparound arithmetic, which is why the DuckDB oracles can replay
+    it exactly in HUGEINT SQL (``__spark_entry__._word_hash_sql``) —
+    the property pandas' C SipHash (used through round 4) could never
+    give the contract.  Vectorization: one ``np.array(..., '<U16')``
+    codepoint matrix and one (n, 16) multiply-accumulate per batch —
+    no per-word Python beyond ``len``.
+    """
+    n = flat.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    cps = (
+        np.array(flat, dtype="<U16")
+        .view(np.uint32)
+        .reshape(n, 16)
+        .astype(np.uint64)
+    )
+    lens = np.fromiter((len(w) for w in flat), dtype=np.uint64, count=n)
+    poly = (cps * _WORD_POWS).sum(axis=1, dtype=np.uint64)
+    return _mix64(poly ^ (lens * _WORD_LEN_SALT), _WORD_SEED)
+
 
 def _combine_grams(word_hashes: np.ndarray, n: int) -> np.ndarray:
     """Distinct n-gram hashes from per-word hashes, fully vectorized:
@@ -154,11 +192,13 @@ def _shingle_hashes_batch(texts, n: int) -> list[np.ndarray]:
 
     Round 2 called ``hashlib.blake2b`` once per shingle per doc inside
     the UDF loop — the dominant per-doc cost of the 100 TB dedup path.
-    Now EVERY word of EVERY doc in the batch is hashed by a single
-    vectorized ``pd.util.hash_array`` call (SipHash in C, fixed key —
-    deterministic across processes/platforms, independent of
-    PYTHONHASHSEED), and shingle hashes are order-sensitive numpy
-    combinations of the word hashes: zero per-shingle Python.
+    Now EVERY word of EVERY doc in the batch is hashed by one
+    vectorized :func:`_word_hashes` pass (codepoint-polynomial +
+    splitmix64 — deterministic across processes/platforms, independent
+    of PYTHONHASHSEED, and exactly replayable in DuckDB SQL, which is
+    what makes the minhash/simhash contract rows oracle-checkable),
+    and shingle hashes are order-sensitive numpy combinations of the
+    word hashes: zero per-shingle Python.
     """
     words_lists = [t.lower().split(" ") if t else [] for t in texts]
     lens = np.fromiter(
@@ -170,9 +210,7 @@ def _shingle_hashes_batch(texts, n: int) -> list[np.ndarray]:
     for w in words_lists:
         flat[pos : pos + len(w)] = w
         pos += len(w)
-    word_h = (
-        pd.util.hash_array(flat) if total else np.empty(0, dtype=np.uint64)
-    )
+    word_h = _word_hashes(flat)
     out, pos = [], 0
     for L in lens:
         out.append(_combine_grams(word_h[pos : pos + int(L)], n))
