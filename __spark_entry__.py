@@ -33,7 +33,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   similarity_ivf    pipeline     IVF coarse-quantizer ANN (rows-only)
   embed_dedup_exact pipeline     embedding-cosine near-dup, exact all-pairs
   embed_dedup_lsh   pipeline     embedding-cosine near-dup, LSH scale path
-  multimodal_features pipeline   binary decode plumbing (rows-only)
+  multimodal_features pipeline   binary decode plumbing + auto-fallback (rows-only)
+  multimodal_real   pipeline     REAL WAV/Y4M decode vs closed-form SQL geometry
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
   asof_join         timeseries   backward as-of join (union+window plan
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
@@ -812,8 +813,48 @@ def _q_similarity_ivf(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
+    """Plumbing row: text-bytes payloads under mode="auto" — every real
+    decode attempt fails (utf-8 text is no media container) and the
+    per-payload fake fallback catches it, so the contract exercises the
+    probe + fallback path a 100 TB corpus of corrupt payloads needs.
+    Real-decode evidence lives in the oracle-checked multimodal_real
+    row below."""
     assets = documents_to_assets(_docs(spark, sf_dir))
-    return extract_features(assets, fake_decode=True).drop("feature")
+    return extract_features(assets, mode="auto").drop("feature")
+
+
+def _q_multimodal_real(spark, sf_dir):
+    """REAL decode contract row (round 5): stage_real_assets plants WAV
+    and Y4M containers whose geometry is a closed-form function of
+    (doc_id, n_chars); mode="real" decodes them strictly (no fallback),
+    and _ORACLE_MULTIMODAL_REAL predicts every metadata column in SQL —
+    the row verifies the decoders recover exactly the planted geometry."""
+    from eristropy_spark.operators.multimodal import stage_real_assets
+
+    assets = stage_real_assets(_docs(spark, sf_dir))
+    return extract_features(assets, mode="real").drop("feature")
+
+
+# audio n_bytes: 44-byte canonical WAV header + 2 bytes/sample.
+# video n_bytes: header "YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1\n" +
+# frames * (len("FRAME\n") + w*h*3/2) for the C420 default.
+_ORACLE_MULTIMODAL_REAL = """
+SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE WHEN doc_id % 2 = 0
+    THEN 44 + 2 * (256 + (n_chars % 128) * 4)
+    ELSE length('YUV4MPEG2 W' || CAST(16 + (doc_id % 4) * 8 AS VARCHAR)
+                || ' H' || CAST(16 + (doc_id % 3) * 8 AS VARCHAR)
+                || ' F25:1 Ip A1:1') + 1
+         + (1 + doc_id % 4)
+           * (6 + ((16 + (doc_id % 4) * 8) * (16 + (doc_id % 3) * 8) * 3) // 2)
+  END AS INT) AS n_bytes,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 16 + (doc_id % 4) * 8 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 16 + (doc_id % 3) * 8 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 256 + (n_chars % 128) * 4
+            ELSE 1 + doc_id % 4 END AS INT) AS n_frames
+FROM documents
+"""
 
 
 # the synthetic embeddings have no true near-dups (max pairwise cosine
@@ -1706,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dedup_exact": _q_embed_dedup_exact,
         "embed_dedup_lsh": _q_embed_dedup_lsh,
         "multimodal_features": _q_multimodal,
+        "multimodal_real": _q_multimodal_real,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "semi_join": _q_semi_join,
@@ -1752,6 +1794,9 @@ def oracle_sql() -> dict[str, str]:
         # + banding + verification in HUGEINT SQL (round 5)
         "minhash_lsh": _oracle_minhash_lsh(),
         "simhash": _oracle_simhash(),
+        # real-decode multimodal row: staged WAV/Y4M containers, planted
+        # geometry predicted closed-form in SQL (round 5)
+        "multimodal_real": _ORACLE_MULTIMODAL_REAL,
         "tpch_q1": _ORACLE_TPCH_Q1,
         "tpch_q3": _ORACLE_TPCH_Q3,
         "semi_join": _ORACLE_SEMI_JOIN,

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -47,7 +48,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["ASSET_SCHEMA", "FEATURE_SCHEMA", "documents_to_assets", "extract_features"]
+__all__ = [
+    "ASSET_SCHEMA",
+    "FEATURE_SCHEMA",
+    "documents_to_assets",
+    "extract_features",
+    "stage_real_assets",
+]
 
 ASSET_SCHEMA = StructType(
     [
@@ -85,6 +92,71 @@ def documents_to_assets(docs: DataFrame) -> DataFrame:
         kind.alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
+
+
+def stage_real_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media containers derived from the documents
+    table — the validation harness that lets the contract run
+    ``mode="real"`` decode end to end with no external data.
+
+    Even ``doc_id`` → mono 16-bit PCM WAV (stdlib ``wave`` writer, 44-byte
+    header), odd → uncompressed YUV4MPEG2 video (the same container
+    ``_decode_video_y4m`` parses).  Every planted dimension is a
+    CLOSED-FORM function of (doc_id, n_chars):
+
+    * audio: ``n_samples = 256 + (n_chars % 128) * 4`` →
+      ``n_bytes = 44 + 2·n_samples``;
+    * video: ``w = 16 + (doc_id % 4)·8``, ``h = 16 + (doc_id % 3)·8``,
+      ``frames = 1 + doc_id % 4`` →
+      ``n_bytes = len(header) + frames·(6 + w·h·3/2)`` (C420 default),
+
+    so an independent SQL oracle predicts every metadata column and the
+    contract row verifies the real decoders recover exactly the planted
+    geometry.  Synthesis is a staging/validation path (per-row Python in
+    mapInPandas is fine here); production assets arrive as (path, bytes)
+    scans."""
+    import io  # noqa: PLC0415
+    import wave as wave_mod  # noqa: PLC0415
+
+    schema = StructType(
+        [
+            StructField("asset_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(doc_id), int(n_chars)
+                if did % 2 == 0:
+                    n = 256 + (nc % 128) * 4
+                    samples = (
+                        np.arange(n, dtype=np.int64) * 257 % 65536 - 32768
+                    ).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave_mod.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(samples.tobytes())
+                    rows.append((f"asset-{did}", "audio", buf.getvalue()))
+                else:
+                    w = 16 + (did % 4) * 8
+                    h = 16 + (did % 3) * 8
+                    frames = 1 + (did % 4)
+                    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1\n".encode()
+                    fsz = w * h + 2 * ((w // 2) * (h // 2))
+                    luma = (np.arange(fsz, dtype=np.int64) % 256).astype(np.uint8)
+                    body = b"".join(
+                        b"FRAME\n" + luma.tobytes() for _ in range(frames)
+                    )
+                    rows.append((f"asset-{did}", "video", header + body))
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(_stage, schema)
 
 
 def _probe_image_lib():

@@ -698,3 +698,32 @@ def test_chunk_text_windows(spark):
                 dict(window=4, stride=0), dict(window=4, min_tokens=0)):
         with pytest.raises(ValueError):
             chunk_text(df, **bad)
+
+
+def test_stage_real_assets_roundtrip_planted_geometry(spark):
+    """The round-5 real-decode contract row in miniature: staged WAV/Y4M
+    payloads decode under strict mode="real" (no fallback) and recover
+    exactly the planted closed-form geometry."""
+    from eristropy_spark.operators.multimodal import (
+        extract_features,
+        stage_real_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=100 + 37 * i) for i in range(8)]
+    )
+    got = {
+        r["asset_id"]: (r["kind"], r["n_bytes"], r["width"], r["height"], r["n_frames"])
+        for r in extract_features(stage_real_assets(docs), mode="real").collect()
+    }
+    assert len(got) == 8
+    for i in range(8):
+        nc = 100 + 37 * i
+        if i % 2 == 0:
+            n = 256 + (nc % 128) * 4
+            assert got[f"asset-{i}"] == ("audio", 44 + 2 * n, 0, 0, n)
+        else:
+            w, h, fr = 16 + (i % 4) * 8, 16 + (i % 3) * 8, 1 + i % 4
+            header = len(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1\n")
+            nb = header + fr * (6 + w * h * 3 // 2)
+            assert got[f"asset-{i}"] == ("video", nb, w, h, fr)
