@@ -26,6 +26,7 @@ __all__ = [
     "cv_error",
     "find_best_ls",
     "detrend_gp",
+    "detrend_gp_sklearn",
 ]
 
 
@@ -94,6 +95,90 @@ def find_best_ls(
     """ls with minimal CV error; ties -> first, like argmin (gp.py:387-428)."""
     errs = np.array([cv_error(X, y, ls, n_splits, eps) for ls in ls_vals])
     return float(ls_vals[int(np.argmin(errs))])
+
+
+def detrend_gp_sklearn(
+    y: np.ndarray,
+    ls_range: tuple[float, float] = (10.0, 100.0),
+    n_iter: int = 10,
+    n_splits: int = 5,
+    alpha: float = 1e-10,
+    rng: np.random.RandomState | None = None,
+) -> np.ndarray:
+    """Residuals under the reference's SKLEARN-path semantics
+    (gp.py:18-113), reimplemented scikit-free (sklearn/scipy are not
+    installed here; this replicates their documented behavior, it does
+    not wrap them):
+
+    * candidate length scales — ``n_iter`` sequential draws
+      ``lo + (hi-lo)·rng.random_sample()`` (ParameterSampler over
+      ``scipy.stats.uniform(loc, scale)`` with a shared RandomState);
+    * estimator — GaussianProcessRegressor with a FIXED RBF kernel,
+      ``alpha=1e-10`` (sklearn default) and ``normalize_y=True``: the
+      GP fits the train-standardized response (ddof-0 std, guarded to 1
+      for constant folds) and predictions are de-standardized;
+    * selection — mean ``neg_mean_squared_error`` across
+      ``TimeSeriesSplit()`` folds, maximized, first-occurrence ties
+      (RandomizedSearchCV's argmax), then a refit on the full series.
+
+    Differences vs :func:`detrend_gp` (the numba path): per-call random
+    candidates instead of one shared driver grid, y-standardization
+    inside the fit, and the 1e-10 jitter instead of 1e-6 — so the two
+    paths genuinely select different trends on CV-sensitive series
+    (distinct-path test pins that).  The reference's sklearn branch
+    also mislabels residuals via ``np.repeat(signal_id, n)``
+    (gp.py:104, the column NAME instead of the id — corrupting output
+    whenever signals have unequal lengths); here labeling is the Spark
+    group key, so the bug is structurally fixed rather than copied.
+
+    An ill-conditioned fold (large ls on a long integer grid) escalates
+    the jitter ×10 up to 1e-4 before failing — sklearn raises its
+    "increase alpha" error there; a 10^12-sequence job must not.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[0]
+    if n // (n_splits + 1) < 1:
+        raise ValueError(
+            f"series of length {n} cannot form {n_splits} time-series CV "
+            "splits (sklearn's TimeSeriesSplit would raise here too)"
+        )
+    if rng is None:
+        rng = np.random.RandomState(0)
+    lo, hi = float(ls_range[0]), float(ls_range[1])
+    cands = lo + (hi - lo) * np.array(
+        [rng.random_sample() for _ in range(n_iter)], dtype=np.float64
+    )
+    X = np.arange(n, dtype=np.float64).reshape(-1, 1)
+    splits = time_series_split(n, n_splits)
+
+    def _fit_predict(tr: np.ndarray, te: np.ndarray, ls: float) -> np.ndarray:
+        ym = float(y[tr].mean())
+        ys = float(y[tr].std())
+        ys = ys if ys > 0.0 else 1.0
+        yn = (y[tr] - ym) / ys
+        jitter = alpha
+        while True:
+            try:
+                K = rbf_kernel(_sq_dists(X[tr], X[tr]), ls)
+                K[np.diag_indices_from(K)] += jitter
+                a = solve_cholesky(K, yn)
+                break
+            except np.linalg.LinAlgError:
+                jitter *= 10.0
+                if jitter > 1e-4:
+                    raise
+        return ys * gp_predict(X[tr], X[te], ls, a) + ym
+
+    scores = np.empty(n_iter, dtype=np.float64)
+    for i, ls in enumerate(cands):
+        fold = np.empty(len(splits), dtype=np.float64)
+        for j, (tr, te) in enumerate(splits):
+            d = y[te] - _fit_predict(tr, te, float(ls))
+            fold[j] = -np.mean(d * d)
+        scores[i] = fold.mean()
+    best = float(cands[int(np.argmax(scores))])
+    full = np.arange(n)
+    return y - _fit_predict(full, full, best)
 
 
 def detrend_gp(

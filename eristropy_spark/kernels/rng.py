@@ -15,7 +15,18 @@ import hashlib
 
 import numpy as np
 
-__all__ = ["sequence_seed", "sequence_rng"]
+__all__ = ["sequence_seed", "sequence_rng", "content_seed"]
+
+
+def content_seed(global_seed: int | None, x: "np.ndarray") -> int:
+    """Stable 32-bit seed derived from a sequence's VALUES (for kernels
+    reached through fused UDFs that see only the token array, not the
+    id).  Same invariance argument as :func:`sequence_seed`: the draw
+    depends on (global seed, content) only — never on partition order,
+    task schedule, or parallelism."""
+    h = hashlib.blake2b(f"{global_seed}|".encode("utf-8"), digest_size=4)
+    h.update(np.ascontiguousarray(x, dtype=np.float64).tobytes())
+    return int.from_bytes(h.digest(), "big")
 
 
 def sequence_seed(global_seed: int | None, doc_id: str) -> int:

@@ -181,20 +181,22 @@ def make_stationary(
 ) -> StationarityResult:
     """Transform → ADF → Holm–Šidák → filter → normalize.
 
-    ``detrend_type="gp_sklearn"`` is an interface-compatibility alias
-    for the reference's sklearn GP path (gp.py:70-113): it redirects to
-    the numba-path semantics used by ``"gp"``.  Deliberate deviation:
-    the reference's sklearn branch carries an id-alignment bug
-    (``np.repeat(signal_id, n)`` at gp.py:104 mislabels residuals when
-    signals have unequal lengths), so reproducing it bit-for-bit would
-    reproduce corrupted output; both reference paths share the same GP
-    model, and the numba path is its canonical implementation.
+    ``detrend_type="gp_sklearn"`` runs the reference's sklearn GP path
+    (gp.py:18-113) with TRUE RandomizedSearchCV semantics — per-signal
+    random length-scale candidates, ``normalize_y`` standardization,
+    the 1e-10 alpha, neg-MSE fold scoring (``kernels.gp.
+    detrend_gp_sklearn``; rounds 1-4 aliased this to the numba path).
+    Two deliberate deviations, both documented at the kernel: the
+    reference's residual-mislabeling bug (``np.repeat(signal_id, n)``
+    at gp.py:104) is fixed structurally (labels are the Spark group
+    key), and the candidate draws are seeded per signal from
+    (random_seed, content) instead of one shared sequential RandomState
+    — the X6 partition-order-invariance rule; a shared mutable RNG
+    across distributed groups would make results depend on task order.
     """
     if method not in {"difference", "detrend"}:
         raise ValueError("method must be one of {'difference', 'detrend'}")
-    if detrend_type == "gp_sklearn":
-        detrend_type = "gp"
-    if detrend_type not in {"lr", "gp"}:
+    if detrend_type not in {"lr", "gp", "gp_sklearn"}:
         raise ValueError(
             "detrend_type must be one of {'lr', 'gp', 'gp_sklearn'}"
         )
@@ -214,6 +216,17 @@ def make_stationary(
     elif detrend_type == "lr":
         transform_fn = lambda x: detrend_linreg_kernel(  # noqa: E731
             np.arange(x.size, dtype=np.float64), x
+        )
+    elif detrend_type == "gp_sklearn":
+        from eristropy_spark.kernels.gp import detrend_gp_sklearn
+        from eristropy_spark.kernels.rng import content_seed
+
+        transform_fn = lambda x: detrend_gp_sklearn(  # noqa: E731
+            x,
+            ls_range=ls_range,
+            n_iter=n_searches,
+            n_splits=n_splits,
+            rng=np.random.RandomState(content_seed(random_seed, x)),
         )
     else:
         # ls candidates drawn once on the driver, like gp.py:526
