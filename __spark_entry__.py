@@ -17,10 +17,10 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   gapfill_locf      north rule   dense grid + LOCF
   gapfill_linear    north rule   dense grid + linear interpolation
   gorilla_roundtrip north rule   codec round-trip invariant
-  sampen_permen     E1/E16       entropy per sequence (rows-only)
+  sampen_permen     E1/E16       entropy per sequence (full SQL replay)
   sampen_eff        E8-E15       Lake r* selection + (sampen, se) (rows-only)
   stationarity      W13/W14/X5   ADF + Holm-Sidak survivors (rows-only)
-  windowed_entropy  scale path   bounded-compute entropy over fixed windows
+  windowed_entropy  scale path   windowed entropy (full SQL replay)
   dedup_exact       pipeline     exact text dedup
   text_stats        pipeline     token counting / ratios
   quality_score     pipeline     quality heuristic
@@ -29,7 +29,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   minhash_lsh       pipeline     MinHash-LSH near-dup (full SQL replay)
   simhash           pipeline     SimHash near-dup (full SQL replay)
   similarity_topk   pipeline     brute-force cosine top-k
-  similarity_lsh    pipeline     hyperplane-LSH ANN (rows-only)
+  similarity_lsh    pipeline     hyperplane-LSH ANN (full SQL replay)
   similarity_ivf    pipeline     IVF coarse-quantizer ANN (rows-only)
   embed_dedup_exact pipeline     embedding-cosine near-dup, exact all-pairs
   embed_dedup_lsh   pipeline     embedding-cosine near-dup, LSH scale path
@@ -550,6 +550,166 @@ def _q_windowed_entropy(spark, sf_dir):
         _r6("sampen").alias("sampen"),
         _r6("permen").alias("permen"),
     )
+
+
+# Full DuckDB replays of the entropy kernels (round 5).  SampEn at the
+# contract config (m=1, r=0.2, normalize=True) is a pair count over the
+# z-normalized sequence — B = #{p<q<=n-1 : |z_p-z_q| < r} (template
+# order 1, excluding matches whose right endpoint is the final sample,
+# kernels/sampen.py:57-63), A = same pairs with the following component
+# also within r (order 2) — and SampEn = -ln(A/B), NULL when A = 0.
+# PermEn (m=3, delay=1, /ln 6) is the Shannon entropy of stable-ordinal
+# pattern codes: rank_i = #{j : x_j < x_i} + #{j < i : x_j = x_i},
+# code = r0 + 3*r1 + 9*r2 (kernels/permen.py:28-49), over RAW tokens
+# (ordinal patterns are z-norm invariant).  ORDER BY code in the
+# entropy fold matches the kernel's np.unique-sorted sequential sum.
+# O(n^2) self-join per sequence — oracle-scale only (n~13 at sf0.01);
+# the engine's run-length sweep is the scale path.
+_PATTERN_CODE = """
+           (CASE WHEN tok1 < tok  THEN 1 ELSE 0 END
+          + CASE WHEN tok2 < tok  THEN 1 ELSE 0 END)
+       + 3*(CASE WHEN tok  < tok1 THEN 1 ELSE 0 END
+          + CASE WHEN tok2 < tok1 THEN 1 ELSE 0 END
+          + CASE WHEN tok  = tok1 THEN 1 ELSE 0 END)
+       + 9*(CASE WHEN tok  < tok2 THEN 1 ELSE 0 END
+          + CASE WHEN tok1 < tok2 THEN 1 ELSE 0 END
+          + CASE WHEN tok  = tok2 THEN 1 ELSE 0 END
+          + CASE WHEN tok1 = tok2 THEN 1 ELSE 0 END)
+"""
+
+_ORACLE_SAMPEN_PERMEN = f"""
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         event_type AS source,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+z AS (
+  SELECT doc_id, source, i, n, tok,
+         (tok - avg(tok) OVER d) / nullif(stddev_samp(tok) OVER d, 0) AS zv,
+         lead(tok) OVER s AS tok1,
+         lead(tok, 2) OVER s AS tok2
+  FROM seq
+  WINDOW d AS (PARTITION BY doc_id),
+         s AS (PARTITION BY doc_id ORDER BY i)
+),
+z2 AS (
+  SELECT *, lead(zv) OVER (PARTITION BY doc_id ORDER BY i) AS zv1 FROM z
+),
+pairs AS (
+  SELECT a.doc_id,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2) AS b_cnt,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2
+                            AND abs(a.zv1 - b.zv1) < 0.2) AS a_cnt
+  FROM z2 a JOIN z2 b
+    ON a.doc_id = b.doc_id AND a.i < b.i AND b.i <= a.n - 1
+  GROUP BY a.doc_id
+),
+codes AS (
+  SELECT doc_id, n - 2 AS nw, {_PATTERN_CODE} AS code
+  FROM z WHERE i <= n - 2
+),
+perm AS (
+  SELECT doc_id,
+         -sum((cnt / nw) * ln(cnt / nw) ORDER BY code) / ln(6) AS permen_raw
+  FROM (
+    SELECT doc_id, code, CAST(count(*) AS DOUBLE) AS cnt,
+           CAST(max(nw) AS DOUBLE) AS nw
+    FROM codes GROUP BY doc_id, code
+  ) GROUP BY doc_id
+),
+docs AS (SELECT doc_id, any_value(source) AS source FROM seq GROUP BY doc_id)
+SELECT d.doc_id, d.source,
+       CASE WHEN p.a_cnt > 0
+            THEN floor(-ln(CAST(p.a_cnt AS DOUBLE) / p.b_cnt) * 1000000 + 0.5)
+                 / 1000000
+            ELSE NULL END AS sampen,
+       floor(pe.permen_raw * 1000000 + 0.5) / 1000000 AS permen
+FROM docs d
+LEFT JOIN pairs p USING (doc_id)
+LEFT JOIN perm pe USING (doc_id)
+"""
+
+# Same kernels per fixed window (window=8, stride=8, min_window=4,
+# operators/windowed.py:74-92): window w of a length-n sequence keeps
+# size >= 4 iff w < floor((n-4)/8)+1, which is exactly the per-window
+# HAVING count >= 4 filter; each window z-norms independently and its
+# point is stamped ts = first_ts + 8*w seconds (windowed.py:110-115).
+_ORACLE_WINDOWED_ENTROPY = f"""
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         event_type AS source,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER w AS i,
+         min(ts) OVER (PARTITION BY user_id, event_type) AS first_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+win AS (
+  SELECT doc_id, source, first_ts,
+         CAST(floor((i - 1) / 8) AS INT) AS window_id,
+         ((i - 1) % 8) + 1 AS j,
+         tok,
+         count(*) OVER (PARTITION BY doc_id, floor((i - 1) / 8)) AS wn
+  FROM seq
+),
+wf AS (SELECT * FROM win WHERE wn >= 4),
+z AS (
+  SELECT doc_id, source, first_ts, window_id, j, wn, tok,
+         (tok - avg(tok) OVER d) / nullif(stddev_samp(tok) OVER d, 0) AS zv,
+         lead(tok) OVER s AS tok1,
+         lead(tok, 2) OVER s AS tok2
+  FROM wf
+  WINDOW d AS (PARTITION BY doc_id, window_id),
+         s AS (PARTITION BY doc_id, window_id ORDER BY j)
+),
+z2 AS (
+  SELECT *, lead(zv) OVER (PARTITION BY doc_id, window_id ORDER BY j) AS zv1
+  FROM z
+),
+pairs AS (
+  SELECT a.doc_id, a.window_id,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2) AS b_cnt,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2
+                            AND abs(a.zv1 - b.zv1) < 0.2) AS a_cnt
+  FROM z2 a JOIN z2 b
+    ON a.doc_id = b.doc_id AND a.window_id = b.window_id
+   AND a.j < b.j AND b.j <= a.wn - 1
+  GROUP BY a.doc_id, a.window_id
+),
+codes AS (
+  SELECT doc_id, window_id, wn - 2 AS nw, {_PATTERN_CODE} AS code
+  FROM z WHERE j <= wn - 2
+),
+perm AS (
+  SELECT doc_id, window_id,
+         -sum((cnt / nw) * ln(cnt / nw) ORDER BY code) / ln(6) AS permen_raw
+  FROM (
+    SELECT doc_id, window_id, code, CAST(count(*) AS DOUBLE) AS cnt,
+           CAST(max(nw) AS DOUBLE) AS nw
+    FROM codes GROUP BY doc_id, window_id, code
+  ) GROUP BY doc_id, window_id
+),
+wins AS (
+  SELECT doc_id, window_id, any_value(source) AS source,
+         any_value(first_ts) AS first_ts, CAST(max(wn) AS INT) AS n_tok
+  FROM wf GROUP BY doc_id, window_id
+)
+SELECT w.doc_id, w.window_id,
+       w.first_ts + to_seconds(8 * w.window_id) AS ts,
+       w.n_tok, w.source,
+       CASE WHEN p.a_cnt > 0
+            THEN floor(-ln(CAST(p.a_cnt AS DOUBLE) / p.b_cnt) * 1000000 + 0.5)
+                 / 1000000
+            ELSE NULL END AS sampen,
+       floor(pe.permen_raw * 1000000 + 0.5) / 1000000 AS permen
+FROM wins w
+LEFT JOIN pairs p USING (doc_id, window_id)
+LEFT JOIN perm pe USING (doc_id, window_id)
+"""
 
 
 # ---------------------------------------------------------------- text
@@ -1814,8 +1974,12 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,
         "md5_split": _ORACLE_MD5_SPLIT,
+        # full DuckDB entropy-kernel replays (round 5): SampEn as an
+        # O(n^2) pair count over the z-normed sequence, PermEn as
+        # Shannon entropy of stable-ordinal pattern codes in SQL
+        "sampen_permen": _ORACLE_SAMPEN_PERMEN,
+        "windowed_entropy": _ORACLE_WINDOWED_ENTROPY,
         # rows-only (non-SQL-expressible numeric kernels / iterative
-        # algorithms): sampen_permen, sampen_eff, stationarity,
-        # windowed_entropy, similarity_ivf, multimodal_features —
-        # each carries a value-level golden pytest
+        # algorithms): sampen_eff, stationarity, similarity_ivf,
+        # multimodal_features — each carries a value-level golden pytest
     }
