@@ -35,6 +35,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   embed_dedup_lsh   pipeline     embedding-cosine near-dup, LSH scale path
   multimodal_features pipeline   binary decode plumbing + auto-fallback (rows-only)
   multimodal_real   pipeline     REAL WAV/Y4M decode vs closed-form SQL geometry
+  decontaminate     pipeline     13-gram benchmark decontamination (GPT-3 App. C)
+  scrub_pii         pipeline     typed PII redaction + counts (Dolma 4.1)
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
   asof_join         timeseries   backward as-of join (union+window plan
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
@@ -1642,6 +1644,126 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
 """
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 App. C 13-gram rule): the md5
+    bucket < 32 slice of `documents` plays the eval set, the rest the
+    training corpus; docs sharing any 13-gram (whole-text gram for
+    shorter docs) are flagged with their hit counts.  Benchmark grams
+    broadcast; corpus text never shuffles
+    (operators/decontam.ngram_overlap_decontaminate)."""
+    from eristropy_spark.operators.decontam import ngram_overlap_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bench = docs.where(key < "20")
+    corpus = docs.where(key >= "20")
+    return ngram_overlap_decontaminate(corpus, bench, n=13)
+
+
+def _q_scrub_pii(spark, sf_dir):
+    """PII redaction (Dolma §4.1 scrub rule): the synthetic corpus
+    carries no PII, so deterministic spans are planted from doc_id
+    alone — identically in the oracle — then scrubbed.  The cleaned
+    text itself is value-hashed, so the transform (not just counts) is
+    verified.  Pure codegen (operators/text.scrub_pii)."""
+    from eristropy_spark.operators.text import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                (d % 50).cast("string"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        )
+        .when(
+            d % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" ssn 123-45-6789 from 10.0.0."),
+                (d % 250 + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return scrub_pii(planted)
+
+
+def _oracle_scrub_pii() -> str:
+    """DuckDB replay generated from the SAME PII_PATTERNS constants the
+    engine applies (single source of truth): each category counts on
+    the previous category's cleaned text, then redacts ('g' flag — Java
+    replaces all matches by default, RE2 needs the flag)."""
+    from eristropy_spark.operators.text import PII_PATTERNS
+
+    planted = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+                 CAST(doc_id % 50 AS VARCHAR) ||
+                 '@example.com or 555-123-4567'
+            WHEN doc_id % 11 = 0 THEN text || ' ssn 123-45-6789 from 10.0.0.' ||
+                 CAST(doc_id % 250 + 1 AS VARCHAR)
+            ELSE text END AS t0
+FROM documents
+"""
+    inner = f"({planted})"
+    for idx, (name, pat, repl) in enumerate(PII_PATTERNS):
+        inner = (
+            f"(SELECT *,"
+            f" CAST(len(regexp_extract_all(t{idx}, '{pat}')) AS BIGINT)"
+            f" AS n_{name},"
+            f" regexp_replace(t{idx}, '{pat}', '{repl}', 'g') AS t{idx + 1}"
+            f" FROM {inner})"
+        )
+    names = [name for name, _p, _r in PII_PATTERNS]
+    cols = ", ".join(f"n_{n}" for n in names)
+    total = " + ".join(f"n_{n}" for n in names)
+    return (
+        f"SELECT doc_id, {cols}, CAST({total} AS BIGINT) AS n_pii,"
+        f" t{len(PII_PATTERNS)} AS clean_text FROM {inner}"
+    )
+
+
+# Joins the gram STRINGS where the engine joins their xxhash64 images —
+# count equality therefore also certifies zero hash collisions at
+# contract scale.  Same in-row gram construction: lowercase, split on
+# single spaces, 13-word windows, whole-text fallback under 13 words.
+_ORACLE_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+         string_split(lower(text), ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, h,
+         unnest(list_distinct(CASE WHEN len(ws) >= 13
+           THEN list_transform(range(1, len(ws) - 13 + 2),
+                               i -> array_to_string(ws[i:i+12], ' '))
+           ELSE [array_to_string(ws, ' ')] END)) AS gram
+  FROM w
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE h < '20'),
+corpus AS (SELECT doc_id, gram FROM g WHERE h >= '20'),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN bench b USING (gram)
+  GROUP BY c.doc_id
+),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM per_doc p LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def _q_interval_join(spark, sf_dir):
     """Range join (bucketed): error events attached to the session
     interval that contains them.  Intervals explode into covered time
@@ -1921,6 +2043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "tfidf_topk": _q_tfidf_topk,
         "md5_sample": _q_md5_sample,
+        "decontaminate": _q_decontaminate,
+        "scrub_pii": _q_scrub_pii,
         "md5_split": _q_md5_split,
     }
 
@@ -1973,6 +2097,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_lsh": _ORACLE_DEDUP_CLUSTERS,
         "tfidf_topk": _ORACLE_TFIDF,
         "md5_sample": _ORACLE_MD5_SAMPLE,
+        "decontaminate": _ORACLE_DECONTAMINATE,
+        "scrub_pii": _oracle_scrub_pii(),
         "md5_split": _ORACLE_MD5_SPLIT,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as

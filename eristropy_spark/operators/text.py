@@ -32,8 +32,10 @@ __all__ = [
     "chunk_text",
     "lang_id",
     "tfidf_topk",
+    "scrub_pii",
     "STOPWORDS",
     "BPE_ISH_PATTERN",
+    "PII_PATTERNS",
 ]
 
 # tiny English stopword set — deterministic, shared with the SQL oracle
@@ -393,4 +395,56 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", "word", "tf", "score", "rank")
+    )
+
+
+# PII patterns — ASCII-only constructs supported identically by Java
+# regex (Spark) and RE2 (DuckDB), so the scrub oracle-replays exactly.
+# Replacement ORDER matters (a match consumed by an earlier category
+# can't double-count): email first (may contain digits/dots), then SSN
+# (3-2-4 digits — disjoint from the 3-3-4 phone shape), phone, IPv4.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "|||EMAIL|||"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "|||SSN|||"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "|||PHONE|||"),
+    (
+        "ip",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "|||IP|||",
+    ),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans with typed sentinels (the Dolma/C4 ingest rule:
+    Soldaini et al. 2024 §4.1 scrub emails/phones/IPs before training;
+    Raffel et al. 2020 drop pages on a blocklist — redaction keeps the
+    document).  Emits per-category counts (counted BEFORE redaction,
+    in the same order the redactions apply, so a span consumed by an
+    earlier category is never double-counted) plus the cleaned text.
+
+    Pure ``regexp_count``/``regexp_replace`` chains — whole-stage
+    codegen, zero shuffle, zero Python; scales as a map-only pass and
+    pushes column pruning to the scan like the other text operators.
+    """
+    t = F.col(text_col)
+    counts = []
+    cleaned = t
+    for name, pat, _repl in PII_PATTERNS:
+        # count on the partially-cleaned text so categories are
+        # mutually exclusive in application order
+        counts.append(
+            F.regexp_count(cleaned, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cleaned = F.regexp_replace(cleaned, pat, _repl)
+    out = docs.select("doc_id", *counts, cleaned.alias("clean_text"))
+    total = None
+    for name, _p, _r in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _p, _r in PII_PATTERNS],
+        total.cast("long").alias("n_pii"),
+        "clean_text",
     )
