@@ -155,4 +155,22 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          _py_node_count(p) == 0 and p.count("HashAggregate") >= 2, p)
     )
 
+    # 10. round-5 pipeline operators.  decontaminate: the benchmark
+    # gram set must broadcast (corpus grams never shuffle to a join)
+    # and no Python anywhere; scrub_pii: pure in-row codegen.
+    dc = entrymod.queries()["decontaminate"](spark, sf_dir)
+    p = plan_of(dc)
+    checks.append(
+        ("decontaminate: benchmark grams broadcast, no Python",
+         "BroadcastHashJoin" in p
+         and "SortMergeJoin" not in p
+         and _py_node_count(p) == 0, p)
+    )
+    sp = entrymod.queries()["scrub_pii"](spark, sf_dir)
+    p = plan_of(sp)
+    checks.append(
+        ("scrub_pii: in-row codegen, zero shuffle/Python",
+         "Exchange" not in p and _py_node_count(p) == 0, p)
+    )
+
     return checks
