@@ -37,6 +37,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   multimodal_real   pipeline     REAL WAV/Y4M decode vs closed-form SQL geometry
   decontaminate     pipeline     13-gram benchmark decontamination (GPT-3 App. C)
   scrub_pii         pipeline     typed PII redaction + counts (Dolma 4.1)
+  pack_sequences    pipeline     concat-and-split training-window packing manifest
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
   asof_join         timeseries   backward as-of join (union+window plan
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
@@ -101,6 +102,10 @@ def _ensure_pkg_on_executors(spark) -> None:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 — already added in this context
         pass
+    # dead applicationIds never repeat, so cap the memo instead of
+    # growing one entry per session for the life of the process
+    if len(_PYFILES_SENT) > 64:
+        _PYFILES_SENT.clear()
     _PYFILES_SENT.add(app_id)
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1997,6 +2002,52 @@ FROM kept
 """
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence-packing manifest (seq_len 64, 4 md5 shards, 1 sep
+    token, tails dropped) — the concat-and-split training-window step:
+    per-shard prefix sum (partitioned window, no global order) +
+    in-row explode over the pack range.  Pure integers, exactly
+    reproducible (operators/packing.pack_sequences)."""
+    from eristropy_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=4,
+                          sep=1)
+
+
+_ORACLE_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(((strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 4
+           AS INTEGER) AS shard
+  FROM documents
+), o AS (
+  SELECT doc_id, n, shard,
+         CAST(coalesce(sum(n + 1) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off,
+         CAST(sum(n + 1) OVER (PARTITION BY shard) AS BIGINT) AS tot
+  FROM d
+), ex AS (
+  SELECT shard, doc_id, n, off, tot, p
+  FROM o, LATERAL (SELECT unnest(generate_series(off // 64,
+                                                 (off + n - 1) // 64)) AS p)
+)
+SELECT shard,
+       CAST(p AS BIGINT) AS pack,
+       doc_id,
+       CAST(greatest(off, p * 64) - off + 1 AS BIGINT) AS seg_start,
+       CAST(least(off + n, (p + 1) * 64) - greatest(off, p * 64) AS BIGINT)
+         AS seg_len,
+       CAST(greatest(off, p * 64) - p * 64 AS BIGINT) AS pack_pos
+FROM ex
+WHERE p < tot // 64
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -2046,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
         "md5_split": _q_md5_split,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2100,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _ORACLE_DECONTAMINATE,
         "scrub_pii": _oracle_scrub_pii(),
         "md5_split": _ORACLE_MD5_SPLIT,
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL
