@@ -173,4 +173,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          "Exchange" not in p and _py_node_count(p) == 0, p)
     )
 
+    # 11. pack_sequences: ONE shuffle (the shard partitioning) feeding
+    # both windows — per-shard prefix sums, never a global-order
+    # single-partition window; no Python; scan pruned to (doc_id, text)
+    pk = entrymod.queries()["pack_sequences"](spark, sf_dir)
+    p = plan_of(pk)
+    pruned_pk = re.search(r"ReadSchema:[^\n]*doc_id[^\n]*text", p) and not re.search(
+        r"ReadSchema:[^\n]*(lang|source|n_chars)", p
+    )
+    checks.append(
+        ("pack_sequences: one shard Exchange, both windows shard-partitioned, no Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(shard" in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0
+         and bool(pruned_pk), p)
+    )
+
     return checks
