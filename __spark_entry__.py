@@ -38,6 +38,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   decontaminate     pipeline     13-gram benchmark decontamination (GPT-3 App. C)
   scrub_pii         pipeline     typed PII redaction + counts (Dolma 4.1)
   pack_sequences    pipeline     concat-and-split training-window packing manifest
+  mix_corpus        pipeline     deterministic per-source up/down-sampling mix
+  build_vocab       pipeline     global top-k token vocabulary (two-phase count)
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
   asof_join         timeseries   backward as-of join (union+window plan
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
@@ -2048,6 +2050,63 @@ WHERE p < tot // 64
 """
 
 
+def _q_mix_corpus(spark, sf_dir):
+    """Deterministic corpus mixing: src0 upsampled 2.5x (the "N epochs
+    of Wikipedia" move), src1 kept, src2/src3 down-sampled to 1/2 and
+    1/4, all other sources dropped — one in-row md5 expression +
+    bounded explode, no shuffle (operators/sampling.mix_corpus)."""
+    from eristropy_spark.operators.sampling import mix_corpus
+
+    return mix_corpus(
+        _docs(spark, sf_dir),
+        {"src0": 640, "src1": 256, "src2": 128, "src3": 64},
+    ).select("doc_id", "source", "epoch")
+
+
+_ORACLE_MIX_CORPUS = """
+WITH d AS (
+  SELECT doc_id, source,
+         (strpos('0123456789abcdef',
+             substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + strpos('0123456789abcdef',
+             substring(md5('mix' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+           AS bucket,
+         CASE source WHEN 'src0' THEN 640 WHEN 'src1' THEN 256
+                     WHEN 'src2' THEN 128 WHEN 'src3' THEN 64
+                     ELSE 0 END AS rate
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         rate // 256
+           + CASE WHEN bucket < rate % 256 THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM c, LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS e)
+WHERE n_copies > 0
+"""
+
+
+def _q_build_vocab(spark, sf_dir):
+    """Global top-20 vocabulary (count >= 2, ties by token asc) — the
+    tokenizer-frequency-table step: explode + two-phase hash aggregate
+    + TakeOrderedAndProject top-k, never a full sort
+    (operators/text.build_vocab)."""
+    from eristropy_spark.operators.text import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), top_k=20, min_count=2)
+
+
+_ORACLE_BUILD_VOCAB = """
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+HAVING count(*) >= 2
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -2098,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "md5_split": _q_md5_split,
         "pack_sequences": _q_pack_sequences,
+        "mix_corpus": _q_mix_corpus,
+        "build_vocab": _q_build_vocab,
     }
 
 
@@ -2153,6 +2214,8 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _oracle_scrub_pii(),
         "md5_split": _ORACLE_MD5_SPLIT,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "mix_corpus": _ORACLE_MIX_CORPUS,
+        "build_vocab": _ORACLE_BUILD_VOCAB,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["md5_sample", "md5_bucket", "md5_split"]
+__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus"]
 
 
 def md5_bucket(key: Column) -> Column:
@@ -89,3 +89,58 @@ def md5_split(
         cond = bucket < F.lit(hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def mix_corpus(
+    df: DataFrame,
+    rates: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default: int = 0,
+) -> DataFrame:
+    """Deterministic corpus mixing — per-source sampling rates in
+    1/256ths that both DOWN-sample (rate < 256) and UP-sample
+    (rate > 256, i.e. repeat: the "N epochs of Wikipedia" move) in one
+    pass.
+
+    A row's copy count is ``rate DIV 256`` plus one more iff its
+    md5-bucket (salted, so mixing never correlates with ``md5_split``
+    or ``md5_sample`` cuts on the same keys) falls below
+    ``rate % 256`` — so a rate of 640 yields exactly 2.5x the source
+    in expectation, deterministically in the key alone.  Copies are
+    emitted in-row via ``explode(sequence(0, n_copies-1))`` as an
+    ``epoch`` column (0-based), so downstream shuffles can still
+    de-correlate repeats by (key, epoch).  Unlisted sources get
+    ``default`` (drop by default).
+
+    Scale: a pure map-side expression + bounded explode — no shuffle,
+    no RNG state, stable under repartitioning; the filter on
+    n_copies > 0 prunes dropped sources right at the scan.
+    """
+    if not rates:
+        raise ValueError("rates must be non-empty")
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {s!r} must be >= 0")
+    if default < 0:
+        raise ValueError("default rate must be >= 0")
+    bucket = md5_bucket(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(source_col) == name
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(default)
+    n_copies = (
+        F.floor(rate / 256).cast("long")
+        + F.when(bucket < rate % 256, 1).otherwise(0)
+    )
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

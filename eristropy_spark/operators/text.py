@@ -33,6 +33,7 @@ __all__ = [
     "lang_id",
     "tfidf_topk",
     "scrub_pii",
+    "build_vocab",
     "STOPWORDS",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
@@ -447,4 +448,39 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *[f"n_{name}" for name, _p, _r in PII_PATTERNS],
         total.cast("long").alias("n_pii"),
         "clean_text",
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    top_k: int = 1000,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-k vocabulary over the corpus: (token, cnt) for the
+    ``top_k`` most frequent whitespace tokens with count >=
+    ``min_count``; ties broken by token ascending so the cut is
+    deterministic.
+
+    The tokenizer-training / frequency-table step of a data pipeline.
+    Scale shape: explode + two-phase hash aggregate (map-side partial
+    count per token, then one shuffle keyed by token) and a global
+    top-k that Spark plans as TakeOrderedAndProject — a per-partition
+    bounded heap merged on the driver, NEVER a full sort of the
+    distinct-token table.  Peak state per task is the heap (top_k
+    rows); the shuffle carries (token, partial_count) pairs only.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(top_k)
     )

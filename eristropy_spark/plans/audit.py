@@ -190,4 +190,23 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and bool(pruned_pk), p)
     )
 
+    # 12. mix_corpus: pure in-row expression + bounded explode — no
+    # shuffle, no Python; build_vocab: two-phase token count (partial+
+    # final HashAggregate) finished by TakeOrderedAndProject (bounded
+    # per-partition heap), never a global Sort
+    mx = entrymod.queries()["mix_corpus"](spark, sf_dir)
+    p = plan_of(mx)
+    checks.append(
+        ("mix_corpus: in-row md5 mix + explode, zero shuffle/Python",
+         "Exchange" not in p and _py_node_count(p) == 0, p)
+    )
+    bv = entrymod.queries()["build_vocab"](spark, sf_dir)
+    p = plan_of(bv)
+    checks.append(
+        ("build_vocab: two-phase count + TakeOrdered top-k, no global sort",
+         p.count("HashAggregate") >= 2
+         and "TakeOrderedAndProject" in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
