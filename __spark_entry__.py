@@ -40,6 +40,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   pack_sequences    pipeline     concat-and-split training-window packing manifest
   mix_corpus        pipeline     deterministic per-source up/down-sampling mix
   build_vocab       pipeline     global top-k token vocabulary (two-phase count)
+  fingerprint_winnow pipeline    winnowing fingerprints (SIGMOD'03, rightmost-min)
+  duplicate_spans   pipeline     exact duplicated-substring spans (gram islands)
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
   asof_join         timeseries   backward as-of join (union+window plan
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
@@ -2107,6 +2109,103 @@ LIMIT 20
 """
 
 
+def _q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03;
+    k=5-gram hashes, window w=4, rightmost-minimum rule) — in-row
+    codegen sketch, density 2/(w+1)
+    (operators/fingerprint.fingerprint_winnow)."""
+    from eristropy_spark.operators.fingerprint import fingerprint_winnow
+
+    return fingerprint_winnow(_docs(spark, sf_dir), k=5, w=4)
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-span detection (the Lee et al. 2021 exact-
+    substring dedup realized with gram hashes): corpus-repeated
+    4-grams mark positions, islands merge to maximal spans
+    (operators/fingerprint.duplicate_spans)."""
+    from eristropy_spark.operators.fingerprint import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=4, min_count=2)
+
+
+def _gram_hash_cte(k: int) -> str:
+    """Shared DuckDB CTE chain computing signed-64 polynomial k-gram
+    hashes: g(doc_id, i, g) for gram positions i in [1, n-k+1] —
+    replays fingerprint.py's wrapping fold (word hash = 15 md5 hex
+    digits, FNV-prime polynomial mod 2^64)."""
+    m64 = 1 << 64
+    leads = ",\n         ".join(
+        f"lead(wh, {j}) OVER win AS w{j}" for j in range(1, k)
+    )
+    poly = "wh"
+    for j in range(1, k):
+        poly = f"(({poly} * 1099511628211) % {m64} + w{j}) % {m64}"
+    return f"""wds AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), wh AS (
+  SELECT doc_id, n, i,
+         CAST(CAST(concat('0x', substring(md5(ws[i]), 1, 15)) AS BIGINT)
+              AS HUGEINT) AS wh
+  FROM wds, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
+), gl AS (
+  SELECT doc_id, n, i, wh, {leads}
+  FROM wh WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), g AS (
+  SELECT doc_id, n, i,
+         CASE WHEN h >= {1 << 63} THEN CAST(h - {m64} AS BIGINT)
+              ELSE CAST(h AS BIGINT) END AS g
+  FROM (SELECT doc_id, n, i, {poly} AS h
+        FROM gl WHERE i <= n - {k - 1})
+)"""
+
+
+_ORACLE_FINGERPRINT_WINNOW = f"""
+WITH {_gram_hash_cte(5)}, wins AS (
+  SELECT doc_id, m, t
+  FROM (SELECT doc_id, n - 4 AS m, greatest(n - 4 - 3, 1) AS n_t
+        FROM wds WHERE n - 4 >= 1),
+       LATERAL (SELECT unnest(generate_series(1, n_t)) AS t)
+), cand AS (
+  SELECT w.doc_id, w.t, g.i, g.g
+  FROM wins w JOIN g ON g.doc_id = w.doc_id
+                    AND g.i BETWEEN w.t AND w.t + 3
+), mn AS (
+  SELECT doc_id, t, min(g) AS mg FROM cand GROUP BY doc_id, t
+), sel AS (
+  SELECT c.doc_id, max(c.i) AS pos, m.mg AS fp
+  FROM cand c JOIN mn m ON c.doc_id = m.doc_id AND c.t = m.t
+                       AND c.g = m.mg
+  GROUP BY c.doc_id, c.t, m.mg
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
+"""
+
+
+_ORACLE_DUPLICATE_SPANS = f"""
+WITH {_gram_hash_cte(4)}, dup AS (
+  SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, i FROM g WHERE g IN (SELECT g FROM dup)
+), isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 4
+              THEN 0 ELSE 1 END AS new
+  FROM hits
+), grp AS (
+  SELECT doc_id, i,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + 4 - min(i) AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, isl
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -2159,6 +2258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "mix_corpus": _q_mix_corpus,
         "build_vocab": _q_build_vocab,
+        "fingerprint_winnow": _q_fingerprint_winnow,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -2216,6 +2317,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "mix_corpus": _ORACLE_MIX_CORPUS,
         "build_vocab": _ORACLE_BUILD_VOCAB,
+        "fingerprint_winnow": _ORACLE_FINGERPRINT_WINNOW,
+        "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

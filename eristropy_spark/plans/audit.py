@@ -209,4 +209,24 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 13. fingerprinting: winnow is pure in-row codegen (hash + select
+    # where the document lives); duplicate_spans shuffles gram hashes
+    # only — a LeftSemi mark join, never a nested-loop/cartesian, and
+    # zero Python
+    fw = entrymod.queries()["fingerprint_winnow"](spark, sf_dir)
+    p = plan_of(fw)
+    checks.append(
+        ("fingerprint_winnow: in-row codegen, zero shuffle/Python",
+         "Exchange" not in p and _py_node_count(p) == 0, p)
+    )
+    ds = entrymod.queries()["duplicate_spans"](spark, sf_dir)
+    p = plan_of(ds)
+    checks.append(
+        ("duplicate_spans: gram-keyed LeftSemi mark join, no cartesian/Python",
+         "LeftSemi" in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
