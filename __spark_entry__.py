@@ -41,6 +41,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   mix_corpus        pipeline     deterministic per-source up/down-sampling mix
   build_vocab       pipeline     global top-k token vocabulary (two-phase count)
   fingerprint_winnow pipeline    winnowing fingerprints (SIGMOD'03, rightmost-min)
+  fingerprint_overlap pipeline   winnow-sketch overlap pairs (the MOSS detector)
   duplicate_spans   pipeline     exact duplicated-substring spans (gram islands)
   tpch_q1 / tpch_q3 / semi_join  relational shell (Catalyst-native)
   asof_join         timeseries   backward as-of join (union+window plan
@@ -2129,6 +2130,16 @@ def _q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(_docs(spark, sf_dir), k=4, min_count=2)
 
 
+def _q_fingerprint_overlap(spark, sf_dir):
+    """Winnow-sketch overlap detection (the MOSS detector): document
+    pairs sharing >= 2 winnowing fingerprints, i.e. near-dup /
+    containment candidates at sketch density 2/(w+1) instead of full
+    n-gram density (operators/fingerprint.fingerprint_overlap)."""
+    from eristropy_spark.operators.fingerprint import fingerprint_overlap
+
+    return fingerprint_overlap(_docs(spark, sf_dir), k=5, w=4, min_shared=2)
+
+
 def _gram_hash_cte(k: int) -> str:
     """Shared DuckDB CTE chain computing signed-64 polynomial k-gram
     hashes: g(doc_id, i, g) for gram positions i in [1, n-k+1] —
@@ -2181,6 +2192,17 @@ WITH {_gram_hash_cte(5)}, wins AS (
   GROUP BY c.doc_id, c.t, m.mg
 )
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
+"""
+
+
+_ORACLE_FINGERPRINT_OVERLAP = f"""
+WITH fwin AS ({_ORACLE_FINGERPRINT_WINNOW}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fwin)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
 """
 
 
@@ -2259,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": _q_mix_corpus,
         "build_vocab": _q_build_vocab,
         "fingerprint_winnow": _q_fingerprint_winnow,
+        "fingerprint_overlap": _q_fingerprint_overlap,
         "duplicate_spans": _q_duplicate_spans,
     }
 
@@ -2318,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": _ORACLE_MIX_CORPUS,
         "build_vocab": _ORACLE_BUILD_VOCAB,
         "fingerprint_winnow": _ORACLE_FINGERPRINT_WINNOW,
+        "fingerprint_overlap": _ORACLE_FINGERPRINT_OVERLAP,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as

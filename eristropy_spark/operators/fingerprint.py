@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "FNV_PRIME",
     "fingerprint_winnow",
+    "fingerprint_overlap",
     "duplicate_spans",
     "drop_duplicate_spans",
 ]
@@ -150,6 +151,51 @@ def fingerprint_winnow(
             F.col("s.pos").alias("pos"),
             F.col("s.val").alias("fp"),
         )
+    )
+
+
+def fingerprint_overlap(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | str | None = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowing
+    fingerprints: (doc_a, doc_b, n_shared) with doc_a < doc_b — the
+    MOSS overlap detector, i.e. near-dup/containment candidates at
+    fingerprint density 2/(w+1) instead of full n-gram density (what
+    makes it affordable where ``ngram_jaccard``'s exact path is
+    quarantined to small scale).
+
+    Self-join on the fp value with the same hot-bucket stop-list as
+    the MinHash/SimHash candidate joins (a fingerprint shared by a
+    boilerplate phrase across millions of docs would otherwise
+    contribute O(members²) pairs); ``n_shared`` counts DISTINCT shared
+    fingerprints.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    from eristropy_spark.operators.dedup import _drop_hot_buckets
+
+    fps = (
+        fingerprint_winnow(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "fp")
+        .dropDuplicates()
+    )
+    fps = _drop_hot_buckets(fps, ["fp"], max_bucket_size)
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

@@ -10,6 +10,7 @@ from eristropy_spark.operators.fingerprint import (
     FNV_PRIME,
     drop_duplicate_spans,
     duplicate_spans,
+    fingerprint_overlap,
     fingerprint_winnow,
 )
 
@@ -84,6 +85,70 @@ def test_winnow_partition_invariant(spark):
         for r in fingerprint_winnow(df.repartition(5), k=K, w=W).collect()
     )
     assert a == b and a
+
+
+def _local_overlap(rows, k=K, w=W, min_shared=1):
+    fps = {i: {fp for _, fp in _local_winnow(t, k, w)} for i, t in rows}
+    out = {}
+    for a in sorted(fps):
+        for b in sorted(fps):
+            if a < b and len(fps[a] & fps[b]) >= min_shared:
+                out[(a, b)] = len(fps[a] & fps[b])
+    return out
+
+
+def test_overlap_matches_local(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"seven eight {shared} nine ten eleven"),
+        (2, f"{shared} lead text with more shared tail words here"),
+        (3, "unique words only here nothing repeats at all today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_overlap(df, k=K, w=W, min_shared=1).collect()
+    }
+    want = _local_overlap(rows)
+    assert got == want
+    assert (0, 1) in got  # the planted pair is actually detected
+
+
+def test_overlap_min_shared_filters(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"seven eight {shared} nine ten eleven"),
+        (2, "unique words only here nothing repeats at all today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = _local_overlap(rows)
+    t = max(base.values())  # raise the bar above the weakest pair
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_overlap(df, k=K, w=W, min_shared=t).collect()
+    }
+    assert got == {p: n for p, n in base.items() if n >= t}
+    with pytest.raises(ValueError):
+        fingerprint_overlap(df, min_shared=0)
+
+
+def test_overlap_hot_bucket_stoplist(spark):
+    # one boilerplate sentence shared by MANY docs: with the cap off all
+    # pairs appear; a cap of 1 keeps only single-doc buckets, which by
+    # construction cannot produce a pair
+    boiler = "click here to accept all cookies and continue"
+    rows = [(i, f"doc {i} body {boiler}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = fingerprint_overlap(
+        df, k=K, w=W, min_shared=1, max_bucket_size=None
+    ).count()
+    assert full == 12 * 11 // 2
+    capped = fingerprint_overlap(
+        df, k=K, w=W, min_shared=1, max_bucket_size=1
+    ).count()
+    assert capped == 0
 
 
 def test_duplicate_spans_planted(spark):
