@@ -47,6 +47,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   asof_join         timeseries   backward as-of join (union+window plan
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
   sessionize        timeseries   gap-based sessionization
+  rolling_stats     timeseries   trailing time-range window stats + z-score
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -1823,6 +1824,48 @@ WHERE ev.event_type = 'error'
 """
 
 
+def _q_rolling_stats(spark, sf_dir):
+    """Trailing 600-second rolling mean/std/min/max/count + rolling
+    z-score per user — the timeseries moving-aggregate primitive
+    (operators/rolling.py): one keyed shuffle, integer-microsecond
+    RANGE frame, sample std pinned NULL for 1-point windows, z NULL
+    below 2 points or zero std."""
+    from eristropy_spark.operators.rolling import rolling_stats, rolling_zscore
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = rolling_stats(ev, "user_id", window_sec=600.0)
+    r = rolling_zscore(r, "user_id", window_sec=600.0)
+    return r.select(
+        "event_id",
+        "user_id",
+        _r6("roll_mean").alias("roll_mean"),
+        _r6("roll_std").alias("roll_std"),
+        F.col("roll_min"),
+        F.col("roll_max"),
+        F.col("roll_n"),
+        _r6("zscore").alias("zscore"),
+    )
+
+
+_ORACLE_ROLLING_STATS = """
+SELECT event_id, user_id,
+       floor(avg(value) OVER w * 1000000 + 0.5) / 1000000 AS roll_mean,
+       CASE WHEN count(value) OVER w > 1 THEN
+            floor(stddev_samp(value) OVER w * 1000000 + 0.5) / 1000000
+       END AS roll_std,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max,
+       CAST(count(value) OVER w AS BIGINT) AS roll_n,
+       CASE WHEN count(value) OVER w >= 2 AND stddev_samp(value) OVER w > 0
+            THEN floor((value - avg(value) OVER w) / stddev_samp(value) OVER w
+                       * 1000000 + 0.5) / 1000000
+       END AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_percentile_rollup(spark, sf_dir):
     """Per-(source, hour) exact interpolated percentiles of event value
     — the continuous-aggregate shape for distribution metrics; Spark's
@@ -2268,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
+        "rolling_stats": _q_rolling_stats,
         "percentile_rollup": _q_percentile_rollup,
         "cardinality_rollup": _q_cardinality_rollup,
         "dedup_clusters": _q_dedup_clusters,
@@ -2325,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ORACLE_ASOF_JOIN,
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
+        "rolling_stats": _ORACLE_ROLLING_STATS,
         "percentile_rollup": _ORACLE_PERCENTILE_ROLLUP,
         "cardinality_rollup": _ORACLE_CARDINALITY_ROLLUP,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,

@@ -1,0 +1,133 @@
+"""Time-range rolling-window statistics and rolling-z-score anomaly
+flags — the per-signal moving aggregates of a timeseries engine
+(trailing mean/std/min/max/count over "the last W seconds", not the
+last N rows).
+
+Scale shape: ONE shuffle (the per-key window partitioning).  Spark's
+sliding-frame evaluator (`SlidingWindowFunctionFrame`) advances both
+frame edges monotonically and buffers exactly one window span of rows,
+but it does NOT retract — each frame move re-aggregates the buffer, so
+the cost is O(rows x rows-per-window) per signal, with peak task state
+one window span.  That is bounded and predictable (rows-per-window =
+window_sec x event rate), unlike the unbounded
+``(CURRENT ROW, UNBOUNDED FOLLOWING)`` frame this repo replaced in
+gapfill (O(partition²)); for very dense signals shrink ``window_sec``
+or pre-aggregate to a coarser grain (``rollup_tier``) first.  The
+frame bound is computed in integer MICROSECONDS so engines that keep
+sub-second precision (this corpus does) agree exactly.
+
+``rolling_zscore`` layers the classic trailing-window anomaly score on
+top: z = (x - trailing_mean) / trailing_std, with the current row
+INCLUDED in its own window (the one-sided frame every engine can
+evaluate incrementally; exclude-current semantics need a second frame
+or an arrivals-offset and are deliberately not the default).  Rows with
+fewer than ``min_points`` trailing points get NULL z — a degenerate
+1-point window would otherwise compare x against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_stats", "rolling_zscore"]
+
+_STATS = ("mean", "std", "min", "max", "n")
+
+
+def _micros(df: DataFrame, ts_col: str) -> Column:
+    """Integer epoch-microseconds for TIMESTAMP or TIMESTAMP_NTZ
+    columns.  Integer (not the double-seconds cast) so the frame
+    boundary ``ts' >= ts - window`` is computed in exact integer
+    arithmetic — a row sitting precisely on the window edge resolves
+    identically in every engine.  NTZ goes through ``timestampdiff``
+    from an NTZ epoch (session-timezone-free); ``unix_micros`` only
+    accepts TIMESTAMP."""
+    if df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def _rolling_window(df: DataFrame, key, ts_col: str, window_sec: float):
+    if window_sec <= 0:
+        raise ValueError("window_sec must be > 0")
+    keys = [key] if isinstance(key, str) else list(key)
+    span_us = int(round(window_sec * 1_000_000))
+    return (
+        Window.partitionBy(*keys)
+        .orderBy(_micros(df, ts_col))
+        .rangeBetween(-span_us, 0)
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: float = 300.0,
+    stats: tuple[str, ...] = _STATS,
+    prefix: str = "roll_",
+) -> DataFrame:
+    """Append trailing-window aggregates of ``value_col`` over the last
+    ``window_sec`` seconds (inclusive of the current row) per ``key``:
+    ``{prefix}mean/std/min/max/n`` for the requested ``stats``.
+
+    ``std`` is the SAMPLE standard deviation and is explicitly NULL for
+    single-point windows in both engines (Spark would emit NaN, DuckDB
+    NULL — the guard pins one semantic).  Input rows pass through
+    unchanged; no rows are dropped or reordered.
+    """
+    bad = set(stats) - set(_STATS)
+    if bad:
+        raise ValueError(f"unknown stats {sorted(bad)}; choose from {_STATS}")
+    if not stats:
+        raise ValueError("stats must name at least one aggregate")
+    w = _rolling_window(df, key, ts_col, window_sec)
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    exprs: dict[str, Column] = {
+        "mean": F.avg(v).over(w),
+        "std": F.when(n > 1, F.stddev_samp(v).over(w)),
+        "min": F.min(v).over(w),
+        "max": F.max(v).over(w),
+        "n": n.cast("long"),
+    }
+    out = df
+    for s in stats:
+        out = out.withColumn(prefix + s, exprs[s])
+    return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: float = 300.0,
+    min_points: int = 2,
+    z_col: str = "zscore",
+) -> DataFrame:
+    """Trailing-window z-score per row: (value - trailing_mean) /
+    trailing_std over the last ``window_sec`` seconds (current row
+    included).  NULL when the window holds fewer than ``min_points``
+    rows or the trailing std is zero/undefined — never NaN/inf.
+
+    The standard streaming-compatible anomaly primitive: downstreams
+    filter ``abs(zscore) > t`` for flagging, and because the frame is
+    one-sided trailing it computes identically over a watermarked
+    stream replay.
+    """
+    if min_points < 2:
+        raise ValueError("min_points must be >= 2 (a 1-point window "
+                         "compares the row against itself)")
+    w = _rolling_window(df, key, ts_col, window_sec)
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    z = F.when((n >= min_points) & (std > 0), (v - mean) / std)
+    return df.withColumn(z_col, z)

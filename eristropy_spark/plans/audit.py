@@ -229,4 +229,30 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    fo = entrymod.queries()["fingerprint_overlap"](spark, sf_dir)
+    p = plan_of(fo)
+    checks.append(
+        ("fingerprint_overlap: fp-keyed equi-join on the sketch, no cartesian/Python",
+         "Join" in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 14. rolling_stats: ONE key shuffle feeding a RANGE-frame window —
+    # bounded trailing frames only (the unbounded-following frame is the
+    # O(partition²) trap this repo already replaced in gapfill), never a
+    # single-partition window, no Python
+    rs = entrymod.queries()["rolling_stats"](spark, sf_dir)
+    p = plan_of(rs)
+    checks.append(
+        ("rolling_stats: one key Exchange, bounded RANGE trailing frame, no Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and "RangeFrame" in p
+         and "unboundedfollowing" not in p.lower()
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
