@@ -40,6 +40,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   pack_sequences    pipeline     concat-and-split training-window packing manifest
   mix_corpus        pipeline     deterministic per-source up/down-sampling mix
   build_vocab       pipeline     global top-k token vocabulary (two-phase count)
+  unigram_logprob   pipeline     CCNet-style LM-quality proxy (smoothed unigram)
   fingerprint_winnow pipeline    winnowing fingerprints (SIGMOD'03, rightmost-min)
   fingerprint_overlap pipeline   winnow-sketch overlap pairs (the MOSS detector)
   duplicate_spans   pipeline     exact duplicated-substring spans (gram islands)
@@ -2153,6 +2154,41 @@ LIMIT 20
 """
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability vs the corpus's own
+    top-500 frequency table — the CCNet-style LM-quality proxy
+    (operators/text.unigram_logprob): vocab + totals broadcast, text
+    never shuffles, one doc-keyed aggregate."""
+    from eristropy_spark.operators.text import build_vocab, unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocab(docs, top_k=500, min_count=2)
+    r = unigram_logprob(docs, vocab, alpha=1.0)
+    return r.select("doc_id", "n_tok", _r6("logprob").alias("logprob"))
+
+
+_ORACLE_UNIGRAM_LOGPROB = """
+WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  HAVING count(*) >= 2
+  ORDER BY cnt DESC, token
+  LIMIT 500
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+  FROM vocab
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       floor(avg(ln((coalesce(v.cnt, 0) + 1.0) / (tot.N + 1.0 * (tot.V + 1.0))))
+             * 1000000 + 0.5) / 1000000 AS logprob
+FROM toks t LEFT JOIN vocab v ON t.tok = v.token CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 def _q_fingerprint_winnow(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03;
     k=5-gram hashes, window w=4, rightmost-minimum rule) — in-row
@@ -2324,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "mix_corpus": _q_mix_corpus,
         "build_vocab": _q_build_vocab,
+        "unigram_logprob": _q_unigram_logprob,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "fingerprint_overlap": _q_fingerprint_overlap,
         "duplicate_spans": _q_duplicate_spans,
@@ -2385,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "mix_corpus": _ORACLE_MIX_CORPUS,
         "build_vocab": _ORACLE_BUILD_VOCAB,
+        "unigram_logprob": _ORACLE_UNIGRAM_LOGPROB,
         "fingerprint_winnow": _ORACLE_FINGERPRINT_WINNOW,
         "fingerprint_overlap": _ORACLE_FINGERPRINT_OVERLAP,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,

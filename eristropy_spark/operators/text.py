@@ -34,6 +34,7 @@ __all__ = [
     "tfidf_topk",
     "scrub_pii",
     "build_vocab",
+    "unigram_logprob",
     "STOPWORDS",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
@@ -483,4 +484,64 @@ def build_vocab(
         .where(F.col("cnt") >= min_count)
         .orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(top_k)
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab: DataFrame,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Per-document mean unigram log-probability against a reference
+    frequency table — the language-model quality proxy of CCNet-style
+    pipelines (Wenzek et al. 2020 score with a real LM; the unigram
+    model is the degenerate-but-deterministic member of that family):
+    (doc_id, n_tok, logprob) with
+
+        logprob = mean over tokens of ln (cnt(token) + alpha)
+                                        / (N + alpha * (V + 1))
+
+    additive (Laplace) smoothing: ``N`` = total reference count, ``V``
+    = reference vocabulary size, the ``+1`` reserving one smoothed
+    bucket for out-of-vocabulary tokens (cnt 0).  Higher = more typical
+    of the reference corpus; downstreams threshold or take quantiles.
+
+    Scale shape: the reference table is the SMALL side by construction
+    (``build_vocab`` caps it at top_k) — it broadcasts, as does the
+    one-row (N, V) total, so the corpus text never shuffles: explode is
+    in-row, the vocab lookup is a broadcast hash join, and the only
+    exchange is the final per-doc aggregation carrying (doc_id,
+    partial-sum) pairs with map-side combine.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (zero breaks OOV smoothing)")
+    totals = vocab.agg(
+        F.sum(count_col).cast("double").alias("_N"),
+        F.count("*").cast("double").alias("_V"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    ref = vocab.select(
+        F.col(token_col).alias("_tok"), F.col(count_col).alias("_cnt")
+    )
+    joined = (
+        toks.join(F.broadcast(ref), "_tok", "left")
+        .join(F.broadcast(totals))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("_cnt"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (F.col("_N") + F.lit(float(alpha)) * (F.col("_V") + F.lit(1.0)))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.avg(logp).alias("logprob"),
+        )
     )

@@ -239,6 +239,18 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 13b. unigram_logprob: the reference table and its one-row totals
+    # BROADCAST (corpus text never shuffles into a join); the only
+    # sort-merge-free joins allowed; no Python anywhere
+    ul = entrymod.queries()["unigram_logprob"](spark, sf_dir)
+    p = plan_of(ul)
+    checks.append(
+        ("unigram_logprob: vocab+totals broadcast, no sort-merge join, no Python",
+         "BroadcastHashJoin" in p
+         and "SortMergeJoin" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 14. rolling_stats: ONE key shuffle feeding a RANGE-frame window —
     # bounded trailing frames only (the unbounded-following frame is the
     # O(partition²) trap this repo already replaced in gapfill), never a

@@ -110,3 +110,75 @@ def test_vocab_validation(spark):
         build_vocab(df, top_k=0)
     with pytest.raises(ValueError):
         build_vocab(df, min_count=0)
+
+
+# ---------------------------------------------------------- unigram_logprob
+
+def _lp_docs():
+    return [
+        (0, "the cat sat on the mat"),
+        (1, "the dog ate the cat food"),
+        (2, "zx qq vv totally novel tokens"),
+        (3, "the the the"),
+    ]
+
+
+def _local_logprob(rows, vocab_counts, alpha=1.0):
+    import math
+
+    N = sum(vocab_counts.values())
+    V = len(vocab_counts)
+    out = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        lps = [
+            math.log((vocab_counts.get(t, 0) + alpha) / (N + alpha * (V + 1)))
+            for t in toks
+        ]
+        out[doc_id] = (len(toks), sum(lps) / len(lps))
+    return out
+
+
+def test_unigram_logprob_matches_local(spark):
+    import math
+
+    rows = _lp_docs()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(docs, top_k=1000, min_count=1)
+    counts = {r.token: r.cnt for r in vocab.collect()}
+    from eristropy_spark.operators.text import unigram_logprob
+
+    got = {
+        r.doc_id: (r.n_tok, r.logprob)
+        for r in unigram_logprob(docs, vocab).collect()
+    }
+    want = _local_logprob(rows, counts)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert math.isclose(got[d][1], want[d][1], rel_tol=1e-12)
+    # the all-common-words doc is the most "typical" of this corpus,
+    # the all-novel doc the least
+    assert got[3][1] > got[2][1]
+
+
+def test_unigram_logprob_oov_floor_and_alpha(spark):
+    import math
+
+    rows = _lp_docs()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # reference vocabulary from ANOTHER corpus: doc 2 is fully OOV
+    ref = spark.createDataFrame(
+        [("the", 10), ("cat", 5)], "token string, cnt long"
+    )
+    from eristropy_spark.operators.text import unigram_logprob
+
+    got = {
+        r.doc_id: r.logprob
+        for r in unigram_logprob(docs, ref, alpha=0.5).collect()
+    }
+    # every doc-2 token has cnt 0 -> identical smoothed floor
+    floor = math.log(0.5 / (15 + 0.5 * 3))
+    assert math.isclose(got[2], floor, rel_tol=1e-12)
+    with pytest.raises(ValueError):
+        unigram_logprob(docs, ref, alpha=0.0)
