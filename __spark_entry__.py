@@ -41,6 +41,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   mix_corpus        pipeline     deterministic per-source up/down-sampling mix
   build_vocab       pipeline     global top-k token vocabulary (two-phase count)
   unigram_logprob   pipeline     CCNet-style LM-quality proxy (smoothed unigram)
+  shuffle_corpus    pipeline     deterministic global training-order shuffle
   fingerprint_winnow pipeline    winnowing fingerprints (SIGMOD'03, rightmost-min)
   fingerprint_overlap pipeline   winnow-sketch overlap pairs (the MOSS detector)
   duplicate_spans   pipeline     exact duplicated-substring spans (gram islands)
@@ -2154,6 +2155,32 @@ LIMIT 20
 """
 
 
+def _q_shuffle_corpus(spark, sf_dir):
+    """Deterministic global training-order shuffle: salted-md5 shard +
+    within-shard rank — the no-global-sort corpus permutation
+    (operators/sampling.shuffle_corpus): one shard exchange, per-shard
+    local sort, stable across partitionings/engines."""
+    from eristropy_spark.operators.sampling import shuffle_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return shuffle_corpus(docs, n_shards=16)
+
+
+_ORACLE_SHUFFLE_CORPUS = """
+WITH h AS (
+  SELECT doc_id, md5('shuffle' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(concat('0x', substring(hx, 1, 4)) AS INTEGER) % 16
+            AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY CAST(concat('0x', substring(hx, 1, 4)) AS INTEGER) % 16
+              ORDER BY hx, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
 def _q_unigram_logprob(spark, sf_dir):
     """Per-document mean unigram log-probability vs the corpus's own
     top-500 frequency table — the CCNet-style LM-quality proxy
@@ -2360,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "mix_corpus": _q_mix_corpus,
         "build_vocab": _q_build_vocab,
+        "shuffle_corpus": _q_shuffle_corpus,
         "unigram_logprob": _q_unigram_logprob,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "fingerprint_overlap": _q_fingerprint_overlap,
@@ -2422,6 +2450,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "mix_corpus": _ORACLE_MIX_CORPUS,
         "build_vocab": _ORACLE_BUILD_VOCAB,
+        "shuffle_corpus": _ORACLE_SHUFFLE_CORPUS,
         "unigram_logprob": _ORACLE_UNIGRAM_LOGPROB,
         "fingerprint_winnow": _ORACLE_FINGERPRINT_WINNOW,
         "fingerprint_overlap": _ORACLE_FINGERPRINT_OVERLAP,

@@ -20,10 +20,10 @@ the Spark filter and the DuckDB oracle compare the same substring.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus"]
+__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus", "shuffle_corpus"]
 
 
 def md5_bucket(key: Column) -> Column:
@@ -143,4 +143,45 @@ def mix_corpus(
         )
         .drop("_n_copies")
         .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: append ``shard``
+    (int in [0, n_shards)) and ``pos`` (0-based rank within the shard)
+    so that reading shards in order, each sorted by ``pos``, visits the
+    corpus in a fixed pseudo-random permutation — the "shuffle the
+    corpus once before packing/training" step every pipeline needs.
+
+    The permutation is a function of the KEY alone (salted md5), so it
+    is stable across partitionings, engines, cluster sizes and re-runs,
+    and salted so it never correlates with ``md5_sample`` /
+    ``md5_split`` / ``mix_corpus`` decisions on the same keys.  Ties in
+    the 32-hex order key are broken by the key itself, making ``pos``
+    total even under hash collisions.
+
+    Scale shape: this is how you shuffle 100 TB without a global sort —
+    ONE hash-partition exchange on ``shard`` and a per-shard local sort
+    for the rank window; no SinglePartition stage, no driver
+    involvement.  ``n_shards`` bounds task state (shard = corpus /
+    n_shards rows); at petabyte scale raise it so a shard fits an
+    executor's spill budget, exactly like choosing output-file counts.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h"), F.col(key_col).cast("string"))
+    )
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
     )

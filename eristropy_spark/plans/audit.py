@@ -239,6 +239,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 13a. shuffle_corpus: the no-global-sort corpus permutation — ONE
+    # hash exchange on shard + a per-shard LOCAL sort; a
+    # rangepartitioning exchange (global sort) or SinglePartition
+    # window would serialize the corpus
+    sc = entrymod.queries()["shuffle_corpus"](spark, sf_dir)
+    p = plan_of(sc)
+    checks.append(
+        ("shuffle_corpus: one shard hash Exchange, local sort only, no Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(shard" in p
+         and "rangepartitioning" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 13b. unigram_logprob: the reference table and its one-row totals
     # BROADCAST (corpus text never shuffles into a join); the only
     # sort-merge-free joins allowed; no Python anywhere

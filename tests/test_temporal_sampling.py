@@ -445,3 +445,75 @@ def test_percentile_aliases_subpercent_unique(spark):
 
     with pytest.raises(ValueError, match="duplicate column aliases"):
         percentile_rollup(df, "hour", "value", probs=(0.5, 0.5))
+
+
+# ----------------------------------------------------------- shuffle_corpus
+
+def test_shuffle_corpus_matches_local_and_is_partition_invariant(spark):
+    import hashlib
+
+    from eristropy_spark.operators.sampling import shuffle_corpus
+
+    rows = [(i, f"text {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def local():
+        n = 16
+        hs = {
+            i: hashlib.md5(f"shuffle{i}".encode()).hexdigest() for i, _ in rows
+        }
+        shards = {}
+        for i, h in hs.items():
+            shards.setdefault(int(h[:4], 16) % n, []).append((h, str(i), i))
+        out = {}
+        for s, members in shards.items():
+            for pos, (_, _, i) in enumerate(sorted(members)):
+                out[i] = (s, pos)
+        return out
+
+    want = local()
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_corpus(df, n_shards=16).collect()
+    }
+    assert got == want
+    got2 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_corpus(df.repartition(7), n_shards=16).collect()
+    }
+    assert got2 == want
+
+
+def test_shuffle_corpus_positions_dense_and_total(spark):
+    from collections import Counter
+
+    from eristropy_spark.operators.sampling import shuffle_corpus
+
+    rows = [(i, "x") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = shuffle_corpus(df, n_shards=8).collect()
+    assert len(res) == 500  # a permutation: every row exactly once
+    per_shard = Counter(r.shard for r in res)
+    assert set(per_shard) <= set(range(8))
+    for s, cnt in per_shard.items():
+        poss = sorted(r.pos for r in res if r.shard == s)
+        assert poss == list(range(cnt))  # dense 0..cnt-1
+    # not degenerate: the hash spreads rows over shards
+    assert len(per_shard) == 8 and max(per_shard.values()) < 500 / 8 * 2
+
+
+def test_shuffle_corpus_salt_changes_order(spark):
+    from eristropy_spark.operators.sampling import shuffle_corpus
+
+    rows = [(i, "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_corpus(df, salt="a").collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_corpus(df, salt="b").collect()}
+    assert a != b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        shuffle_corpus(df, n_shards=0)
