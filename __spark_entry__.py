@@ -50,6 +50,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
   sessionize        timeseries   gap-based sessionization
   rolling_stats     timeseries   trailing time-range window stats + z-score
+  ohlc_rollup       timeseries   open/high/low/close bucket downsample
+  acf               timeseries   per-signal autocorrelation (lags 1..10)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -1868,6 +1870,76 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def _q_ohlc_rollup(spark, sf_dir):
+    """Per-(source, hour) open/high/low/close downsample — first/last
+    by (ts, event_id) via min_by/max_by: one two-phase hash aggregate
+    with mergeable states (operators/rollup.ohlc_rollup)."""
+    from eristropy_spark.operators.rollup import ohlc_rollup
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "event_id", "value"
+    )
+    return ohlc_rollup(ev, "hour", tiebreak_col="event_id")
+
+
+_ORACLE_OHLC_ROLLUP = """
+WITH x AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT source, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY source, bucket
+"""
+
+
+def _q_acf(spark, sf_dir):
+    """Per-signal autocorrelation at lags 1..10 over the tokenized
+    event series — in-row zip_with/aggregate over the array layout,
+    zero shuffle beyond tokenize's own (operators/acf.acf_long)."""
+    from eristropy_spark.operators.acf import acf_long
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = acf_long(tokens, array_col="tokens", max_lag=10,
+                 keep_cols=("doc_id",))
+    return r.select("doc_id", "lag", _r6("acf").alias("acf"))
+
+
+_ORACLE_ACF = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), st AS (
+  SELECT doc_id, avg(tok) AS mu, count(*) AS n FROM pts GROUP BY doc_id
+), dev AS (
+  SELECT p.doc_id, p.i, p.tok - s.mu AS d, s.n
+  FROM pts p JOIN st s USING (doc_id)
+), den AS (
+  SELECT doc_id, sum(d * d) AS den, max(n) AS n FROM dev GROUP BY doc_id
+), lags AS (
+  SELECT doc_id, den, unnest(generate_series(1, LEAST(10, n - 1))) AS lag
+  FROM den
+)
+SELECT l.doc_id, CAST(l.lag AS INT) AS lag,
+       floor((sum(a.d * b.d) / l.den) * 1000000 + 0.5) / 1000000 AS acf
+FROM lags l
+JOIN dev a ON a.doc_id = l.doc_id
+JOIN dev b ON b.doc_id = l.doc_id AND b.i = a.i + l.lag
+GROUP BY l.doc_id, l.lag, l.den
+"""
+
+
 def _q_percentile_rollup(spark, sf_dir):
     """Per-(source, hour) exact interpolated percentiles of event value
     — the continuous-aggregate shape for distribution metrics; Spark's
@@ -2375,6 +2447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
         "rolling_stats": _q_rolling_stats,
+        "ohlc_rollup": _q_ohlc_rollup,
+        "acf": _q_acf,
         "percentile_rollup": _q_percentile_rollup,
         "cardinality_rollup": _q_cardinality_rollup,
         "dedup_clusters": _q_dedup_clusters,
@@ -2435,6 +2509,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "rolling_stats": _ORACLE_ROLLING_STATS,
+        "ohlc_rollup": _ORACLE_OHLC_ROLLUP,
+        "acf": _ORACLE_ACF,
         "percentile_rollup": _ORACLE_PERCENTILE_ROLLUP,
         "cardinality_rollup": _ORACLE_CARDINALITY_ROLLUP,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
-__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "TIER_SPECS"]
+__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "TIER_SPECS"]
 
 # tier name -> truncation unit for date_trunc
 TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
@@ -225,4 +225,44 @@ def percentile_rollup(
             F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
         )
         .agg(*aggs, F.count("*").alias("n"))
+    )
+
+
+def ohlc_rollup(
+    points: DataFrame,
+    unit: str,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-(source, time-bucket) open/high/low/close + count — the
+    canonical financial/metrics downsample (first and last value of the
+    bucket by event time, plus the extrema).
+
+    ``open``/``close`` use ``min_by``/``max_by`` on the (ts, tiebreak)
+    ordering key: a single two-phase hash aggregate whose partial
+    states merge associatively, so the plan is identical in shape to
+    any sum rollup — one shuffle carrying one small state per group,
+    mergeable across tiers exactly like the entropy cascade.  Pass
+    ``tiebreak_col`` (e.g. the event id) whenever timestamps can
+    collide — without it, equal-ts opens/closes are
+    partitioning-dependent and not reproducible.
+    """
+    ts = F.col(ts_col)
+    okey = (
+        F.struct(ts.alias("t"), F.col(tiebreak_col).alias("k"))
+        if tiebreak_col is not None
+        else ts
+    )
+    v = F.col(value_col)
+    return points.groupBy(
+        F.col(source_col).alias("source"),
+        F.date_trunc(unit, ts).alias("bucket"),
+    ).agg(
+        F.min_by(v, okey).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, okey).alias("close"),
+        F.count("*").alias("n"),
     )

@@ -282,4 +282,25 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 15. ohlc_rollup: ONE exchange with a two-phase aggregate (min_by
+    # on a struct key is sort-based, but partial+final still means
+    # map-side combine — the shuffle carries one small state per
+    # group); acf: in-row array math — no shuffle beyond tokenize's
+    # one, no Python
+    oh = entrymod.queries()["ohlc_rollup"](spark, sf_dir)
+    p = plan_of(oh)
+    checks.append(
+        ("ohlc_rollup: one Exchange, two-phase (partial+final) aggregate, no Python",
+         p.count("Exchange") == 1
+         and (p.count("SortAggregate") + p.count("HashAggregate")
+              + p.count("ObjectHashAggregate")) >= 2
+         and _py_node_count(p) == 0, p)
+    )
+    ac = entrymod.queries()["acf"](spark, sf_dir)
+    p = plan_of(ac)
+    checks.append(
+        ("acf: in-row array math — only tokenize's Exchange, zero Python",
+         p.count("Exchange") == 1 and _py_node_count(p) == 0, p)
+    )
+
     return checks

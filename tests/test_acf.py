@@ -1,0 +1,79 @@
+"""Per-signal autocorrelation: numpy parity, lag clamping, constant and
+short-series pins, partition invariance."""
+
+import math
+
+import numpy as np
+import pytest
+
+from eristropy_spark.operators.acf import acf_long
+
+
+def _local_acf(vals, max_lag):
+    x = np.asarray(vals, dtype=float)
+    n = x.size
+    if n < 2:
+        return {}
+    d = x - x.mean()
+    den = float(d @ d)
+    out = {}
+    for k in range(1, min(max_lag, n - 1) + 1):
+        num = float(d[: n - k] @ d[k:])
+        out[k] = num / den if den != 0 else None
+    return out
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_acf_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        ("a", [int(v) for v in rng.randint(-50, 50, size=40)]),
+        ("b", [int(v) for v in np.round(10 * np.sin(np.arange(30)))]),
+        ("c", [1, 2, 3, 4, 5]),
+    ]
+    df = _mk(spark, rows)
+    got = {}
+    for r in acf_long(df, max_lag=8).collect():
+        got.setdefault(r.doc_id, {})[r.lag] = r.acf
+    for doc, vals in rows:
+        want = _local_acf(vals, 8)
+        assert set(got[doc]) == set(want)
+        for k in want:
+            assert math.isclose(got[doc][k], want[k], rel_tol=1e-12)
+    # sine series: strong positive ACF near the period, negative at half
+    assert got["b"][6] > 0.5 and got["b"][3] < 0
+
+
+def test_acf_degenerate_series(spark):
+    rows = [
+        ("const", [5, 5, 5, 5]),   # den = 0 -> NULL acf rows
+        ("single", [1]),           # < 2 points -> no rows
+        ("pair", [1, 2]),          # exactly one lag
+    ]
+    df = _mk(spark, rows)
+    res = acf_long(df, max_lag=10).collect()
+    by_doc = {}
+    for r in res:
+        by_doc.setdefault(r.doc_id, []).append((r.lag, r.acf))
+    assert "single" not in by_doc
+    assert sorted(k for k, _ in by_doc["const"]) == [1, 2, 3]
+    assert all(v is None for _, v in by_doc["const"])
+    # 2-point series, biased estimator: (-d²)/(2d²) = -0.5 exactly
+    assert by_doc["pair"] == [(1, -0.5)]
+
+
+def test_acf_partition_invariant_and_validation(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        (f"d{i}", [int(v) for v in rng.randint(0, 100, size=20)])
+        for i in range(10)
+    ]
+    df = _mk(spark, rows)
+    a = sorted(map(tuple, acf_long(df, max_lag=5).collect()))
+    b = sorted(map(tuple, acf_long(df.repartition(4), max_lag=5).collect()))
+    assert a == b and a
+    with pytest.raises(ValueError):
+        acf_long(df, max_lag=0)

@@ -172,3 +172,65 @@ def test_cardinality_rollup_exact_and_hll(spark):
     }
     for k, (_, exact_n) in got.items():
         assert abs(approx[k] - exact_n) / exact_n < 0.1
+
+
+# -------------------------------------------------------------- ohlc_rollup
+
+def test_ohlc_rollup_matches_local(spark):
+    import datetime as dt
+
+    from eristropy_spark.operators.rollup import ohlc_rollup
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        # (source, ts, event_id, value); one bucket with a ts TIE at open
+        ("a", b + dt.timedelta(minutes=0), 2, 5.0),
+        ("a", b + dt.timedelta(minutes=0), 1, 3.0),  # tie: lower id opens
+        ("a", b + dt.timedelta(minutes=30), 3, 9.0),
+        ("a", b + dt.timedelta(minutes=59), 4, 1.0),
+        ("a", b + dt.timedelta(hours=1, minutes=5), 5, 7.0),  # next bucket
+        ("b", b + dt.timedelta(minutes=10), 6, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp_ntz, event_id long, value double"
+    )
+    got = {
+        (r.source, r.bucket): (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc_rollup(df, "hour", tiebreak_col="event_id").collect()
+    }
+    assert got[("a", b)] == (3.0, 9.0, 1.0, 1.0, 4)
+    assert got[("a", b + dt.timedelta(hours=1))] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert got[("b", b)] == (2.0, 2.0, 2.0, 2.0, 1)
+
+
+def test_ohlc_rollup_partition_invariant(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from eristropy_spark.operators.rollup import ohlc_rollup
+
+    rng = np.random.RandomState(11)
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            "s" + str(int(rng.randint(3))),
+            b + dt.timedelta(seconds=int(rng.randint(7200))),
+            i,
+            float(rng.randn()),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp_ntz, event_id long, value double"
+    )
+    a = sorted(map(tuple, ohlc_rollup(df, "hour", tiebreak_col="event_id").collect()))
+    c = sorted(
+        map(
+            tuple,
+            ohlc_rollup(
+                df.repartition(13), "hour", tiebreak_col="event_id"
+            ).collect(),
+        )
+    )
+    assert a == c and a
