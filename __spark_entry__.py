@@ -51,6 +51,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   sessionize        timeseries   gap-based sessionization
   rolling_stats     timeseries   trailing time-range window stats + z-score
   ohlc_rollup       timeseries   open/high/low/close bucket downsample
+  histogram_rollup  timeseries   fixed-bin value histogram (long form)
   acf               timeseries   per-signal autocorrelation (lags 1..10)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
@@ -1901,6 +1902,29 @@ FROM x GROUP BY source, bucket
 """
 
 
+def _q_histogram_rollup(spark, sf_dir):
+    """Per-(source, hour) fixed-bin value histogram in long form —
+    two-phase count keyed by (source, bucket, bin), exact-binary bin
+    width so the floor boundary is engine-identical
+    (operators/rollup.histogram_rollup)."""
+    from eristropy_spark.operators.rollup import histogram_rollup
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    return histogram_rollup(ev, "hour", lo=-3.0, hi=3.0, n_bins=12)
+
+
+_ORACLE_HISTOGRAM_ROLLUP = """
+SELECT event_type AS source, date_trunc('hour', ts) AS bucket,
+       CAST(LEAST(GREATEST(floor((value - (-3.0)) / 0.5), 0), 11)
+            AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_acf(spark, sf_dir):
     """Per-signal autocorrelation at lags 1..10 over the tokenized
     event series — in-row zip_with/aggregate over the array layout,
@@ -2448,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "rolling_stats": _q_rolling_stats,
         "ohlc_rollup": _q_ohlc_rollup,
+        "histogram_rollup": _q_histogram_rollup,
         "acf": _q_acf,
         "percentile_rollup": _q_percentile_rollup,
         "cardinality_rollup": _q_cardinality_rollup,
@@ -2510,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "rolling_stats": _ORACLE_ROLLING_STATS,
         "ohlc_rollup": _ORACLE_OHLC_ROLLUP,
+        "histogram_rollup": _ORACLE_HISTOGRAM_ROLLUP,
         "acf": _ORACLE_ACF,
         "percentile_rollup": _ORACLE_PERCENTILE_ROLLUP,
         "cardinality_rollup": _ORACLE_CARDINALITY_ROLLUP,

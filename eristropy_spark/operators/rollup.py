@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
-__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "TIER_SPECS"]
+__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "histogram_rollup", "TIER_SPECS"]
 
 # tier name -> truncation unit for date_trunc
 TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
@@ -265,4 +265,45 @@ def ohlc_rollup(
         F.min(v).alias("low"),
         F.max_by(v, okey).alias("close"),
         F.count("*").alias("n"),
+    )
+
+
+def histogram_rollup(
+    points: DataFrame,
+    unit: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(source, time-bucket) fixed-bin histogram in long form:
+    (source, bucket, bin, cnt) — the distribution rollup behind
+    heat-map dashboards and drift monitors.
+
+    ``bin`` = floor((value - lo) / width) clamped to [0, n_bins-1]
+    (underflow collapses into bin 0, overflow into the last bin — the
+    standard closed histogram, so counts always total the row count).
+    Long form keeps the aggregate a plain two-phase count keyed by
+    (source, bucket, bin): map-side partials, one shuffle, mergeable
+    across tiers exactly like every cascade aggregate — and empty bins
+    cost nothing at 100 TB (no dense n_bins-wide row per group).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        points.groupBy(
+            F.col(source_col).alias("source"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            bin_.alias("bin"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
     )

@@ -234,3 +234,58 @@ def test_ohlc_rollup_partition_invariant(spark):
         )
     )
     assert a == c and a
+
+
+# --------------------------------------------------------- histogram_rollup
+
+def test_histogram_rollup_matches_local(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from eristropy_spark.operators.rollup import histogram_rollup
+
+    rng = np.random.RandomState(5)
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            "s" + str(i % 2),
+            b + dt.timedelta(minutes=int(rng.randint(0, 120))),
+            float(rng.randn() * 3),  # some values beyond [lo, hi)
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp_ntz, value double")
+    lo, hi, nb = -2.0, 2.0, 8
+    width = (hi - lo) / nb
+
+    def clamp(v):
+        import math
+
+        return min(max(int(math.floor((v - lo) / width)), 0), nb - 1)
+
+    want = {}
+    for s, ts, v in rows:
+        key = (s, ts.replace(minute=0, second=0, microsecond=0), clamp(v))
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.source, r.bucket, r.bin): r.cnt
+        for r in histogram_rollup(df, "hour", lo, hi, nb).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 400  # closed histogram: nothing dropped
+
+
+def test_histogram_rollup_validation(spark):
+    import pytest
+
+    from eristropy_spark.operators.rollup import histogram_rollup
+
+    df = spark.createDataFrame(
+        [("a", __import__("datetime").datetime(2024, 1, 1), 1.0)],
+        "source string, ts timestamp_ntz, value double",
+    )
+    with pytest.raises(ValueError):
+        histogram_rollup(df, "hour", 0.0, 1.0, n_bins=0)
+    with pytest.raises(ValueError):
+        histogram_rollup(df, "hour", 1.0, 1.0)
