@@ -9,14 +9,22 @@ denominator over the full series — what statsmodels' ``acf`` and every
 textbook compute).
 
 Scale shape: zero shuffle — each signal is one row carrying its value
-array (the engine's tokenize layout), and mean / deviations /
-denominator are materialized as row-level columns FIRST (one aggregate
-pass each), then every lag is one ``zip_with`` + ``aggregate`` over
-slices of the materialized deviation array: O(n · max_lag) work per
-signal, all whole-stage codegen, no Python.  (Nesting the mean
-aggregate inside the lag lambda instead would re-evaluate it per
-element — the Catalyst no-CSE hazard documented in
-``functions/arrays.znorm_array``.)
+array (the engine's tokenize layout).  Two implementations, identical
+semantics (equivalence-tested):
+
+* ``impl="arrow"`` (default): one ``mapInArrow`` boundary, per-batch
+  numpy dot products over zero-copy views of the Arrow list buffer —
+  the same fast-path shape as the entropy projection.  Spark's
+  higher-order functions are evaluated INTERPRETED per element (not
+  codegen), so the pure-expression form pays ~10⁷ boxed lambda calls
+  for work that is a handful of vectorized dots; measured ~20x at
+  sf0.1.
+* ``impl="expr"``: pure JVM expressions (no Python workers at all) —
+  mean / deviations / denominator materialized as row-level columns
+  FIRST (one aggregate pass each), then every lag is one ``zip_with``
+  + ``aggregate`` over slices.  (Nesting the mean aggregate inside the
+  lag lambda instead would re-evaluate it per element — the Catalyst
+  no-CSE hazard documented in ``functions/arrays.znorm_array``.)
 
 Degenerate series pin: signals with fewer than 2 points emit no lag
 rows (Spark's ``sequence(1, 0)`` would count DOWN — the round-2
@@ -27,8 +35,11 @@ oracle).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 __all__ = ["acf_long"]
 
@@ -38,11 +49,16 @@ def acf_long(
     array_col: str = "tokens",
     max_lag: int = 10,
     keep_cols: tuple[str, ...] = ("doc_id",),
+    impl: str = "arrow",
 ) -> DataFrame:
     """(``*keep_cols``, lag, acf) — one row per signal per lag in
     [1, min(max_lag, n-1)]."""
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
+    if impl == "arrow":
+        return _acf_arrow(df, array_col, max_lag, keep_cols)
+    if impl != "expr":
+        raise ValueError('impl must be "arrow" or "expr"')
     arr = F.transform(F.col(array_col), lambda x: x.cast("double"))
     n = F.size(arr)
     staged = (
@@ -83,3 +99,55 @@ def acf_long(
             "acf",
         )
     )
+
+
+def _acf_arrow(
+    df: DataFrame,
+    array_col: str,
+    max_lag: int,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """mapInArrow path: numpy dots over zero-copy list-buffer views,
+    passthrough columns re-emitted via ``take`` on the lag-exploded row
+    indices.  NaN/None handling mirrors the expression path exactly:
+    <2 points -> no rows, zero denominator -> NULL acf rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [StructField("lag", IntegerType()), StructField("acf", DoubleType())]
+    )
+
+    def _compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            idx: list[int] = []
+            lags: list[int] = []
+            acfs: list[float | None] = []
+            for i, v in enumerate(views):
+                if v is None or v.size < 2:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                d = x - x.mean()
+                den = float(d @ d)
+                m = min(max_lag, x.size - 1)
+                for k in range(1, m + 1):
+                    idx.append(i)
+                    lags.append(k)
+                    acfs.append(
+                        float(d[: x.size - k] @ d[k:]) / den
+                        if den != 0.0
+                        else None
+                    )
+            take = pa.array(idx, type=pa.int32())
+            arrays = [batch.column(c).take(take) for c in keep_cols]
+            arrays.append(pa.array(lags, type=pa.int32()))
+            arrays.append(pa.array(acfs, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, [*keep_cols, "lag", "acf"])
+
+    return src.mapInArrow(_compute, schema)

@@ -299,8 +299,9 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     ac = entrymod.queries()["acf"](spark, sf_dir)
     p = plan_of(ac)
     checks.append(
-        ("acf: in-row array math — only tokenize's Exchange, zero Python",
-         p.count("Exchange") == 1 and _py_node_count(p) == 0, p)
+        ("acf: ONE Arrow boundary, only tokenize's Exchange (HOF-interpreted "
+         "expr path quarantined to impl='expr')",
+         p.count("Exchange") == 1 and _py_node_count(p) == 1, p)
     )
 
     return checks
