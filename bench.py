@@ -130,10 +130,31 @@ def _phase_queries(cores: int) -> None:
     # min-of-three gives each query a better chance of one quiet rep.
     # Each rep additionally waits (bounded) for a quiet window — a wave
     # spanning the whole phase would otherwise taint all three reps.
+    # phase wall budget AFTER the first full rep: every query always
+    # gets one timing; extra reps run only while the budget holds (a
+    # contention wave makes all 50+ queries 2-5x slower — unbudgeted,
+    # 3 full reps have blown past an hour).  Heavy queries (best >= 5 s)
+    # skip the third rep once they already own a QUIET best — their
+    # extra signal per rep is the smallest and their cost the largest.
+    t_phase = time.time()
+    budget_sec = 900.0
+    truncated = False
     for _rep in range(3):
+        if _rep > 0 and time.time() - t_phase > budget_sec:
+            truncated = True
+            break
         _wait_quiet(max_wait_sec=180.0)
         for name, fn in entrymod.queries().items():
             if name in SKIP_AT_BENCH_SF:
+                continue
+            if _rep > 0 and time.time() - t_phase > budget_sec:
+                truncated = True
+                break
+            if (
+                _rep == 2
+                and out.get(name, 0.0) >= 5.0
+                and quiet.get(name, False)
+            ):
                 continue
             # per-query probe (~0.25 s): a wave starting mid-rep would
             # otherwise taint every later query invisibly.  The flag
@@ -159,7 +180,9 @@ def _phase_queries(cores: int) -> None:
             # the cache between queries keeps timings independent and
             # the block manager lean across 27x2 query runs
             spark.catalog.clearCache()
-    print(json.dumps({"timings": out, "quiet": quiet}))
+    print(json.dumps(
+        {"timings": out, "quiet": quiet, "budget_truncated": truncated}
+    ))
     spark.stop()
 
 
@@ -330,7 +353,11 @@ def _best_of(phase: str, cores: int, reps: int = 3) -> dict:
 
 
 def _ladder(
-    lo_cores: int, hi_cores: int, pairs: int = 3, quiet_gate: bool = False
+    lo_cores: int,
+    hi_cores: int,
+    pairs: int = 3,
+    quiet_gate: bool = False,
+    budget_sec: float | None = None,
 ) -> dict:
     """Scaling ladder measured in back-to-back (lo, hi) PAIRS.
 
@@ -346,9 +373,20 @@ def _ladder(
     los, his, effs, probes, valid = [], [], [], [], []
     max_attempts = pairs + 3 if quiet_gate else pairs
     attempts = 0
+    t0 = time.time()
     while attempts < max_attempts and (
         sum(valid) < pairs if quiet_gate else attempts < pairs
     ):
+        # wall budget: a long contention wave makes every pair 2-3x
+        # slower AND invalid, so the retry loop (up to pairs+3
+        # attempts) could otherwise run ~40 min for one ladder — twice
+        # this bench timed out that way.  At least 2 pairs always run;
+        # a budget-truncated ladder is visible as n_pairs < pairs in
+        # the artifact.
+        if budget_sec is not None and attempts >= 2 and (
+            time.time() - t0 > budget_sec
+        ):
+            break
         attempts += 1
         pre = _wait_quiet() if quiet_gate else None
         lo = _run_sub("headline", lo_cores)
@@ -418,8 +456,8 @@ def main() -> None:
     # samples that one wave can't drag it; aux 2→8 ladder likewise
     # (its round-2 recording caught a wave: 0.634 recorded vs 0.803
     # clean)
-    primary = _ladder(1, 4, pairs=5, quiet_gate=True)
-    aux2_8 = _ladder(2, 8, pairs=3, quiet_gate=True)
+    primary = _ladder(1, 4, pairs=5, quiet_gate=True, budget_sec=1500.0)
+    aux2_8 = _ladder(2, 8, pairs=3, quiet_gate=True, budget_sec=600.0)
     _wait_quiet()
     aux = _best_of("headline", CPUS, reps=2)
     lo, hi = primary["lo"], primary["hi"]
@@ -516,6 +554,8 @@ def main() -> None:
         "tiers_equal": result["headline"]["tiers_equal_across_parallelism"],
         "contended_queries": contended,
     }
+    if qres.get("budget_truncated"):
+        summary["queries_budget_truncated"] = True
     print(
         json.dumps(
             {
