@@ -50,6 +50,9 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
                                  vs DuckDB's NATIVE ASOF JOIN oracle)
   sessionize        timeseries   gap-based sessionization
   rolling_stats     timeseries   trailing time-range window stats + z-score
+  counter_rate      timeseries   reset-aware counter increase + per-second rate
+  sax_symbols       timeseries   PAA + SAX symbolization (Lin & Keogh 2003)
+  ewma              timeseries   running EWMA recursion (grouped Pandas scan)
   ohlc_rollup       timeseries   open/high/low/close bucket downsample
   histogram_rollup  timeseries   fixed-bin value histogram (long form)
   acf               timeseries   per-signal autocorrelation (lags 1..10)
@@ -1966,6 +1969,121 @@ GROUP BY l.doc_id, l.lag, l.den
 """
 
 
+def _q_counter_rate(spark, sf_dir):
+    """Reset-aware Prometheus-style counter increase + per-second rate
+    per user (operators/counters.counter_rate): one keyed shuffle, a
+    streaming lag frame (O(1) state per key), elapsed time in exact
+    integer microseconds, decreases treated as counter resets."""
+    from eristropy_spark.operators.counters import counter_rate
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = counter_rate(ev, "user_id", tiebreak_col="event_id")
+    return r.select(
+        "event_id",
+        "user_id",
+        _r6("increase").alias("increase"),
+        _r6("rate").alias("rate"),
+    )
+
+
+_ORACLE_COUNTER_RATE = """
+WITH d AS (
+  SELECT event_id, user_id, value,
+         value - lag(value) OVER w AS delta,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), inc AS (
+  SELECT event_id, user_id, dt_us,
+         CASE WHEN delta < 0 THEN value ELSE delta END AS increase
+  FROM d
+)
+SELECT event_id, user_id,
+       CASE WHEN isnan(increase) OR increase IS NULL THEN increase
+            ELSE floor(increase * 1000000.0 + 0.5) / 1000000.0 END AS increase,
+       CASE WHEN dt_us > 0 THEN
+            floor((increase * 1000000.0 / dt_us) * 1000000.0 + 0.5) / 1000000.0
+       END AS rate
+FROM inc
+"""
+
+
+def _q_sax(spark, sf_dir):
+    """PAA + SAX symbolization (Lin & Keogh 2003) of each user's value
+    series: z-norm, 16 equal segments by exact integer division, segment
+    means mapped to a 4-letter alphabet at the standard-normal
+    breakpoints (operators/sax.sax_symbols).  Two aggregations over the
+    same key prefix, map-side combined, no arrays collected per task."""
+    from eristropy_spark.operators.sax import sax_symbols
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return sax_symbols(
+        ev, "user_id", tiebreak_col="event_id", n_segments=16, alphabet=4
+    )
+
+
+_ORACLE_SAX = """
+WITH pts AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+), st AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd,
+         count(*) AS n
+  FROM events GROUP BY user_id
+), z AS (
+  SELECT p.user_id,
+         CAST((p.idx * 16) // s.n AS INT) AS segment,
+         CASE WHEN s.sd > 0 THEN (p.value - s.mu) / s.sd END AS zval
+  FROM pts p JOIN st s USING (user_id)
+), paa AS (
+  SELECT user_id, segment,
+         floor(avg(zval) * 1000000.0 + 0.5) / 1000000.0 AS paa
+  FROM z GROUP BY user_id, segment
+)
+SELECT user_id, segment, paa,
+       CASE WHEN paa IS NOT NULL THEN CAST(
+              (CASE WHEN paa > -0.67 THEN 1 ELSE 0 END)
+            + (CASE WHEN paa > 0.0  THEN 1 ELSE 0 END)
+            + (CASE WHEN paa > 0.67 THEN 1 ELSE 0 END) AS INT)
+       END AS symbol
+FROM paa
+"""
+
+
+def _q_ewma(spark, sf_dir):
+    """Running EWMA (alpha=0.25, adjust=False recursion) per user —
+    the one inherently-sequential per-key scan in the contract, run as
+    a grouped Pandas stage (operators/smoothing.ewma): one key shuffle,
+    C-side ewm per group, bit-identical to the literal recursion the
+    oracle's recursive CTE evaluates."""
+    from eristropy_spark.operators.smoothing import ewma
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = ewma(ev, "user_id", alpha=0.25, tiebreak_col="event_id")
+    return r.select("event_id", "user_id", _r6("ewma").alias("ewma"))
+
+
+_ORACLE_EWMA = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, i, value AS ewma FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.i,
+         (1.0 - 0.25) * r.ewma + 0.25 * p.value
+  FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.i = r.i + 1
+)
+SELECT user_id, event_id,
+       floor(ewma * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM rec
+"""
+
+
 def _q_percentile_rollup(spark, sf_dir):
     """Per-(source, hour) exact interpolated percentiles of event value
     — the continuous-aggregate shape for distribution metrics; Spark's
@@ -2473,6 +2591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
         "rolling_stats": _q_rolling_stats,
+        "counter_rate": _q_counter_rate,
+        "sax_symbols": _q_sax,
+        "ewma": _q_ewma,
         "ohlc_rollup": _q_ohlc_rollup,
         "histogram_rollup": _q_histogram_rollup,
         "acf": _q_acf,
@@ -2536,6 +2657,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "rolling_stats": _ORACLE_ROLLING_STATS,
+        "counter_rate": _ORACLE_COUNTER_RATE,
+        "sax_symbols": _ORACLE_SAX,
+        "ewma": _ORACLE_EWMA,
         "ohlc_rollup": _ORACLE_OHLC_ROLLUP,
         "histogram_rollup": _ORACLE_HISTOGRAM_ROLLUP,
         "acf": _ORACLE_ACF,

@@ -163,14 +163,21 @@ def _phase_queries(cores: int) -> None:
             # is visibly contended instead of looking like a regression.
             q = _probe_now()["quiet"]
             t0 = time.time()
-            df = fn(spark, SF_DIR)
-            # hash-consume EVERY column: a bare count() lets Catalyst
-            # prune deterministic UDF projections, silently timing only
-            # the scan (round-1 under-measured sampen_permen /
-            # gorilla_roundtrip / multimodal this way)
-            df.select(
-                F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
-            ).collect()
+            try:
+                df = fn(spark, SF_DIR)
+                # hash-consume EVERY column: a bare count() lets Catalyst
+                # prune deterministic UDF projections, silently timing only
+                # the scan (round-1 under-measured sampen_permen /
+                # gorilla_roundtrip / multimodal this way)
+                df.select(
+                    F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+                ).collect()
+            except Exception as exc:  # noqa: BLE001 - one bad query must
+                # not zero the whole per-round artifact; record it loudly
+                sys.stderr.write(f"QUERY-ERROR {name}: {exc}\n")
+                out.setdefault(name, -1.0)
+                quiet.setdefault(name, False)
+                continue
             dt = round(time.time() - t0, 3)
             if name not in out or dt < out[name]:
                 out[name] = dt
@@ -556,8 +563,9 @@ def main() -> None:
     }
     if qres.get("budget_truncated"):
         summary["queries_budget_truncated"] = True
-    print(
-        json.dumps(
+
+    def _final_line() -> str:
+        return json.dumps(
             {
                 "metric": "entropy_rollup_pipeline_wall_sec",
                 "value": aux["wall_sec"],
@@ -568,7 +576,23 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-    )
+
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # last complete line — the claim of record must fit there whole.
+    # Degrade deterministically if the query set has grown past the
+    # budget: the dropped detail always remains on the "detail" line.
+    line = _final_line()
+    if len(line) > 1900:
+        summary["n_contended"] = len(summary.pop("contended_queries", []))
+        line = _final_line()
+    if len(line) > 1900:
+        compact_queries = {k: round(v, 1) for k, v in queries.items()}
+        line = _final_line()
+    if len(line) > 1900:
+        compact_queries = {"see": "detail line"}
+        summary["n_queries"] = len(queries)
+        line = _final_line()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 __all__ = ["plan_of", "audit_checks"]
 
 # nodes that mark a Python-worker boundary in an executed plan
-_PY_NODES = ("ArrowEvalPython", "MapInArrow", "PythonMapInArrow", "MapInPandas")
+_PY_NODES = (
+    "ArrowEvalPython",
+    "MapInArrow",
+    "PythonMapInArrow",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
 
 
 def plan_of(df) -> str:
@@ -302,6 +308,46 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         ("acf: ONE Arrow boundary, only tokenize's Exchange (HOF-interpreted "
          "expr path quarantined to impl='expr')",
          p.count("Exchange") == 1 and _py_node_count(p) == 1, p)
+    )
+
+    # 16. counter_rate: ONE key shuffle feeding a streaming lag frame
+    # (O(1) window state per key — lag is an offset frame, never a
+    # buffered one); sax_symbols: the per-key moment window reuses that
+    # same single key exchange, then the (key, segment) aggregate is
+    # two-phase so the SECOND exchange carries only ~n_segments rows
+    # per key (partial combine does the heavy reduction)
+    cr = entrymod.queries()["counter_rate"](spark, sf_dir)
+    p = plan_of(cr)
+    checks.append(
+        ("counter_rate: one key Exchange, offset lag frame, no Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+    sx = entrymod.queries()["sax_symbols"](spark, sf_dir)
+    p = plan_of(sx)
+    checks.append(
+        ("sax_symbols: two Exchanges (key window + two-phase segment agg), "
+         "no single-partition stage, no Python",
+         p.count("Exchange") <= 2
+         and "SinglePartition" not in p
+         and (p.count("HashAggregate") + p.count("SortAggregate")
+              + p.count("ObjectHashAggregate")) >= 2
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 17. ewma: the one inherently-sequential per-key scan — exactly
+    # ONE key Exchange feeding ONE grouped-Pandas boundary; must never
+    # degrade to a single-partition stage or pick up extra shuffles
+    ew = entrymod.queries()["ewma"](spark, sf_dir)
+    p = plan_of(ew)
+    checks.append(
+        ("ewma: one key Exchange, one grouped-Pandas boundary, "
+         "no single-partition stage",
+         p.count("Exchange") == 1
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 1, p)
     )
 
     return checks

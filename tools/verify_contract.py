@@ -93,6 +93,13 @@ def main() -> int:
         failures.append("entry() returned 0 rows")
 
     qs = entrymod.queries()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     for name, fn in qs.items():
         t0 = time.time()
