@@ -56,6 +56,11 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   ohlc_rollup       timeseries   open/high/low/close bucket downsample
   histogram_rollup  timeseries   fixed-bin value histogram (long form)
   acf               timeseries   per-signal autocorrelation (lags 1..10)
+  cusum             timeseries   two-sided CUSUM change-point chart (Page 1954)
+  seasonal_decompose timeseries  classical additive trend/seasonal/remainder
+  anomaly_episodes  timeseries   rolling-z excursions merged gaps-and-islands
+  crosscorr         timeseries   lagged cross-correlation between signals
+  bm25_topk         pipeline     Okapi BM25 ranked retrieval (Lucene idf)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -2084,6 +2089,292 @@ FROM rec
 """
 
 
+def _q_cusum(spark, sf_dir):
+    """Two-sided CUSUM change-point chart per user (Page 1954;
+    operators/changepoint.cusum_changepoints): the max(0,...) recursion
+    factored into prefix-sum + running-min reflection — two streaming
+    frames over one keyed shuffle, no Python.  The alarm is recomputed
+    from the ROUNDED statistics so the boolean is engine-deterministic."""
+    from eristropy_spark.operators.changepoint import cusum_changepoints
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = cusum_changepoints(
+        ev, "user_id", tiebreak_col="event_id", k=0.25, h=3.0
+    )
+    pos = _r6("cusum_pos")
+    neg = _r6("cusum_neg")
+    return r.select(
+        "event_id",
+        "user_id",
+        pos.alias("cusum_pos"),
+        neg.alias("cusum_neg"),
+        ((pos > F.lit(3.0)) | (neg > F.lit(3.0))).alias("alarm"),
+    )
+
+
+_ORACLE_CUSUM = """
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(26, 6)) AS v
+  FROM events
+), mu AS (
+  SELECT event_id, user_id, ts, v,
+         CAST(floor(avg(CAST(v AS DOUBLE)) OVER (PARTITION BY user_id)
+                    * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(26, 6)) AS mu
+  FROM q
+), p AS (
+  SELECT event_id, user_id, ts,
+         sum(v - mu - CAST(0.25 AS DECIMAL(26, 6))) OVER w AS p_pos,
+         sum(mu - v - CAST(0.25 AS DECIMAL(26, 6))) OVER w AS p_neg
+  FROM mu
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT event_id, user_id,
+         CAST(p_pos - least(CAST(0 AS DECIMAL(26, 6)), min(p_pos) OVER w)
+              AS DOUBLE) AS cusum_pos,
+         CAST(p_neg - least(CAST(0 AS DECIMAL(26, 6)), min(p_neg) OVER w)
+              AS DOUBLE) AS cusum_neg
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       floor(cusum_pos * 1000000.0 + 0.5) / 1000000.0 AS cusum_pos,
+       floor(cusum_neg * 1000000.0 + 0.5) / 1000000.0 AS cusum_neg,
+       (floor(cusum_pos * 1000000.0 + 0.5) / 1000000.0 > 3.0
+        OR floor(cusum_neg * 1000000.0 + 0.5) / 1000000.0 > 3.0) AS alarm
+FROM s
+"""
+
+
+def _q_seasonal_decompose(spark, sf_dir):
+    """Classical additive trend/seasonal/remainder decomposition per
+    user at period 12 (operators/decompose.seasonal_decompose): 2xMA
+    trend from two sliding sums, (key, phase) seasonal indexes centered
+    per key, broadcast re-attach — one keyed shuffle plus a dimension-
+    sized join, all codegen."""
+    from eristropy_spark.operators.decompose import seasonal_decompose
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = seasonal_decompose(ev, "user_id", period=12, tiebreak_col="event_id")
+    return r.select(
+        "event_id",
+        "user_id",
+        _r6("trend").alias("trend"),
+        _r6("seasonal").alias("seasonal"),
+        _r6("remainder").alias("remainder"),
+    )
+
+
+_ORACLE_SEASONAL_DECOMPOSE = """
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         floor(value * 1000000.0 + 0.5) / 1000000.0 AS v6,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(26, 6)) AS vd
+  FROM events
+), tr AS (
+  SELECT event_id, user_id, v6,
+         CASE WHEN count(vd) OVER wl = 12 AND count(vd) OVER wr = 12
+              THEN CAST(sum(vd) OVER wl + sum(vd) OVER wr AS DOUBLE) / 24.0
+         END AS trend,
+         (row_number() OVER o - 1) % 12 AS phase
+  FROM q
+  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wl AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+), idx AS (
+  SELECT user_id, phase,
+         CAST(sum(CAST(floor((v6 - trend) * 1000000000000.0 + 0.5)
+                         / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE)
+           / count(*) AS raw_idx
+  FROM tr WHERE trend IS NOT NULL
+  GROUP BY user_id, phase
+), cen AS (
+  SELECT user_id, phase,
+         raw_idx
+         - CAST(sum(CAST(floor(raw_idx * 1000000000000.0 + 0.5)
+                           / 1000000000000.0
+                         AS DECIMAL(38, 12))) OVER pk AS DOUBLE)
+           / count(*) OVER pk AS seasonal
+  FROM idx
+  WINDOW pk AS (PARTITION BY user_id)
+)
+SELECT t.event_id, t.user_id,
+       floor(t.trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor(c.seasonal * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+       floor((t.v6 - t.trend - c.seasonal) * 1000000.0 + 0.5)
+         / 1000000.0 AS remainder
+FROM tr t LEFT JOIN cen c ON c.user_id = t.user_id AND c.phase = t.phase
+"""
+
+
+def _q_anomaly_episodes(spark, sf_dir):
+    """Consecutive rolling-z excursions merged into one row per
+    incident (operators/anomaly.anomaly_episodes): trailing 72 h
+    z-score (the events table's median per-user cadence is ~7 h, so a
+    72 h window holds ~6-10 points), |z| >= 1.5 flags, gaps-and-islands
+    merge and a (key, island) aggregate — all on ONE keyed shuffle."""
+    from eristropy_spark.operators.anomaly import anomaly_episodes
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = anomaly_episodes(
+        ev, "user_id", window_sec=259200.0, threshold=1.5,
+        min_points=3, tiebreak_col="event_id",
+    )
+    return r.select(
+        "user_id", "start_ts", "end_ts", "n_points",
+        _r6("peak_z").alias("peak_z"),
+    )
+
+
+_ORACLE_ANOMALY_EPISODES = """
+WITH z AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN count(value) OVER w >= 3 AND stddev_samp(value) OVER w > 0
+              THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+         END AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT *, (z IS NOT NULL AND abs(z) >= 1.5) AS flag,
+         row_number() OVER o AS rn,
+         sum(CASE WHEN z IS NOT NULL AND abs(z) >= 1.5 THEN 1 ELSE 0 END)
+           OVER orun AS rnf
+  FROM z
+  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+         orun AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+       count(*) AS n_points,
+       floor(max(abs(z)) * 1000000.0 + 0.5) / 1000000.0 AS peak_z
+FROM m WHERE flag
+GROUP BY user_id, rn - rnf
+"""
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 top-5 retrieval (operators/retrieval.bm25_topk) for a
+    deterministic query batch: the 30 most frequent lowercased corpus
+    tokens (count desc, token asc) dealt round-robin into 10 three-term
+    queries.  Corpus tf/df/dl are two-phase hash aggregates; the query
+    and corpus-stats sides broadcast; scoring shuffles ids only."""
+    from eristropy_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(30)
+    )
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    queries_df = vocab.select(
+        ((F.row_number().over(wv) - F.lit(1)) % F.lit(10))
+        .cast("long")
+        .alias("query_id"),
+        "token",
+    )
+    return bm25_topk(docs, queries_df, k=5)
+
+
+_ORACLE_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks2 GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+), corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY cnt DESC, token) AS r
+  FROM (SELECT token, count(*) AS cnt FROM toks2 GROUP BY token)
+), q AS (
+  SELECT CAST((r - 1) % 10 AS BIGINT) AS query_id, token
+  FROM vocab WHERE r <= 30
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         floor(sum(
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))
+         ) * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM tf
+  JOIN q USING (token)
+  JOIN dfreq d USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_crosscorr(spark, sf_dir):
+    """Lagged cross-correlation between event-type signals on a
+    60-second grid, lags 0..5 (operators/crosscorr.crosscorr_pairs):
+    grid aggregate -> in-row lag explode -> bucket equi-join ->
+    co-moment aggregate; quadratic in SIGNALS only, never samples."""
+    from eristropy_spark.operators.crosscorr import crosscorr_pairs
+
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("event_type").alias("source"), "value"
+    )
+    r = crosscorr_pairs(ev, bucket_sec=60, max_lag=5, min_overlap=3)
+    return r.select(
+        "source_a", "source_b", "lag", "n", _r6("ccf").alias("ccf")
+    )
+
+
+_ORACLE_CROSSCORR = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 60000000 AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY event_type, epoch_us(ts) // 60000000
+), j AS (
+  SELECT a.source AS source_a, b.source AS source_b, l.lag,
+         a.v AS va, b.v AS vb
+  FROM grid a
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS lag) l
+  JOIN grid b ON b.bucket = a.bucket + l.lag AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(lag AS INT) AS lag,
+       count(*) AS n,
+       CASE WHEN stddev_samp(va) > 0 AND stddev_samp(vb) > 0 THEN
+            floor((covar_samp(va, vb)
+                   / (stddev_samp(va) * stddev_samp(vb)))
+                  * 1000000.0 + 0.5) / 1000000.0
+       END AS ccf
+FROM j
+GROUP BY source_a, source_b, lag
+HAVING count(*) >= 3
+"""
+
+
 def _q_percentile_rollup(spark, sf_dir):
     """Per-(source, hour) exact interpolated percentiles of event value
     — the continuous-aggregate shape for distribution metrics; Spark's
@@ -2594,6 +2885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": _q_counter_rate,
         "sax_symbols": _q_sax,
         "ewma": _q_ewma,
+        "cusum": _q_cusum,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "anomaly_episodes": _q_anomaly_episodes,
+        "bm25_topk": _q_bm25,
+        "crosscorr": _q_crosscorr,
         "ohlc_rollup": _q_ohlc_rollup,
         "histogram_rollup": _q_histogram_rollup,
         "acf": _q_acf,
@@ -2660,6 +2956,11 @@ def oracle_sql() -> dict[str, str]:
         "counter_rate": _ORACLE_COUNTER_RATE,
         "sax_symbols": _ORACLE_SAX,
         "ewma": _ORACLE_EWMA,
+        "cusum": _ORACLE_CUSUM,
+        "seasonal_decompose": _ORACLE_SEASONAL_DECOMPOSE,
+        "anomaly_episodes": _ORACLE_ANOMALY_EPISODES,
+        "bm25_topk": _ORACLE_BM25,
+        "crosscorr": _ORACLE_CROSSCORR,
         "ohlc_rollup": _ORACLE_OHLC_ROLLUP,
         "histogram_rollup": _ORACLE_HISTOGRAM_ROLLUP,
         "acf": _ORACLE_ACF,

@@ -1,0 +1,150 @@
+"""CUSUM change-point detection — Page's cumulative-sum control chart
+(Page 1954, Biometrika; the tabular two-sided form in every SPC text,
+e.g. NIST/SEMATECH e-Handbook §6.3.2.3): per key in time order, the
+upper and lower CUSUM statistics
+
+    s+_t = max(0, s+_{t-1} + (x_t - target - k))
+    s-_t = max(0, s-_{t-1} + (target - x_t - k))
+
+with allowance ``k`` (half the shift worth detecting, in value units)
+and decision threshold ``h``; a point alarms when either statistic
+exceeds ``h``.  This is the NON-resetting chart: the statistic keeps
+accumulating after an alarm (flagging the whole excursion), which is
+the form whose recursion factors into pure prefix arithmetic.
+
+Scale shape: the max(0, ...) recursion looks sequential but is exactly
+
+    s_t = P_t - min(0, min_{j<=t} P_j),    P_t = sum_{i<=t} y_i
+
+(the running-minimum reflection of the prefix sum), so the whole chart
+is a handful of streaming window frames — running sums and running
+mins — over ONE per-key shuffle, all whole-stage codegen, O(1) state
+per key in Spark's running-frame evaluator.  No Python, no per-key
+arrays; a key with a billion points streams.  The reference engine has
+no change-point operator; this is engine capability for the monitoring
+tier (same family as counter_rate / rolling_zscore).
+
+``exact_decimals`` (default 6) quantizes inputs to that decimal grid
+(the engine-portable floor-round) and runs every ACCUMULATION in
+DECIMAL — long float prefix sums are otherwise association-order-
+dependent, so the same chart evaluated by a different engine (or a
+re-partitioned retry) can flip a rounding digit near alarm thresholds;
+decimal accumulation makes the statistic bit-reproducible everywhere.
+Pass ``None`` for raw double arithmetic (fastest, non-portable tails).
+
+``target=None`` (default) centers each key on its own full-series mean
+via an unbounded window over the same partitioning (no extra shuffle);
+pass a float to monitor against a known process target instead — the
+streaming-friendly form, since the per-key mean needs the whole series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cusum_changepoints"]
+
+
+def _floor_round(c: Column, d: int) -> Column:
+    """floor(x*10^d + 0.5)/10^d — the engine-portable fixed-grid round
+    (same family as functions/numeric.round6, generalized scale)."""
+    s = F.lit(float(10**d))
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    k: float = 0.5,
+    h: float = 5.0,
+    target: float | None = None,
+    exact_decimals: int | None = 6,
+) -> DataFrame:
+    """Append ``cusum_pos``, ``cusum_neg`` and the boolean ``alarm``
+    per row of ``df``, per ``key`` ordered by (``ts_col``,
+    ``tiebreak_col``).
+
+    ``k`` and ``h`` are in the same units as ``value_col`` (the
+    classic parameterization uses k = delta/2 and h ~ 4-5 sigma; scale
+    them by the series sigma upstream, or z-norm first).  With
+    ``exact_decimals=d``, ``k`` (and ``target`` if given) must be
+    exactly representable at d decimals.  Rows pass through unchanged;
+    no rows are dropped.
+    """
+    if k < 0:
+        raise ValueError(f"allowance k must be >= 0, got {k}")
+    if h <= 0:
+        raise ValueError(f"threshold h must be > 0, got {h}")
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    v = F.col(value_col).cast("double")
+    if exact_decimals is not None:
+        d = int(exact_decimals)
+        if not 0 < d <= 12:
+            raise ValueError(f"exact_decimals must be in 1..12, got {d}")
+        for name, val in (("k", k), ("target", target)):
+            if val is not None and round(val, d) != val:
+                raise ValueError(
+                    f"{name}={val} is not exact at {d} decimals; "
+                    "quantize it or pass exact_decimals=None"
+                )
+        # quantize, then accumulate in DECIMAL: sums of fixed-grid
+        # decimals are EXACT, so the statistic is identical under any
+        # summation order (engines, partitionings, retries).  20+d
+        # digits of precision leaves >= 10^14 units of headroom above
+        # any realistic per-key magnitude; Spark widens window sums to
+        # precision+10 internally.
+        dec = f"decimal({20 + d}, {d})"
+        v = _floor_round(v, d).cast(dec)
+        if target is None:
+            # full-series mean over the SAME partitioning (no extra
+            # shuffle), floor-rounded onto the grid so mu itself is one
+            # engine-portable decimal
+            mu = _floor_round(
+                F.avg(v.cast("double")).over(Window.partitionBy(*keys)), d
+            ).cast(dec)
+        else:
+            mu = F.lit(float(target)).cast(dec)
+        k_lit = F.lit(float(k)).cast(dec)
+        zero = F.lit(0).cast(dec)
+    else:
+        if target is None:
+            mu = F.avg(v).over(Window.partitionBy(*keys))
+        else:
+            mu = F.lit(float(target))
+        k_lit = F.lit(float(k))
+        zero = F.lit(0.0)
+
+    # stage 1: prefix sums (windows can't nest in one projection);
+    # stage 2: running min of each prefix sum; stage 3: the reflection
+    # s_t = P_t - min(0, min_{j<=t} P_j).  All three are streaming
+    # frames over the same window spec — one Exchange, one sort.
+    out = df.withColumn(
+        "_p_pos", F.sum(v - mu - k_lit).over(w)
+    ).withColumn("_p_neg", F.sum(mu - v - k_lit).over(w))
+    out = out.withColumn(
+        "cusum_pos",
+        (F.col("_p_pos") - F.least(zero, F.min("_p_pos").over(w)))
+        .cast("double"),
+    ).withColumn(
+        "cusum_neg",
+        (F.col("_p_neg") - F.least(zero, F.min("_p_neg").over(w)))
+        .cast("double"),
+    )
+    return out.drop("_p_pos", "_p_neg").withColumn(
+        "alarm",
+        (F.col("cusum_pos") > F.lit(float(h)))
+        | (F.col("cusum_neg") > F.lit(float(h))),
+    )
