@@ -60,6 +60,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   seasonal_decompose timeseries  classical additive trend/seasonal/remainder
   anomaly_episodes  timeseries   rolling-z excursions merged gaps-and-islands
   crosscorr         timeseries   lagged cross-correlation between signals
+  dominant_period   timeseries   epoch-folding period scan (PDM, no trig)
   bm25_topk         pipeline     Okapi BM25 ranked retrieval (Lucene idf)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
@@ -2375,6 +2376,78 @@ HAVING count(*) >= 3
 """
 
 
+def _q_dominant_period(spark, sf_dir):
+    """Dominant period per user by equal-n epoch folding over the
+    candidate grid 2..16 samples (operators/period.dominant_period,
+    Stellingwerf 1978 PDM / ANOVA form): exact integer fold sums, a
+    bounded in-row grid explode, two map-side-combined aggregates —
+    no trigonometry, so the scan is bit-reproducible across engines."""
+    from eristropy_spark.operators.period import dominant_period
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = dominant_period(
+        ev, "user_id", periods=range(2, 17), tiebreak_col="event_id"
+    )
+    return r.select("user_id", "period", "k", "strength")
+
+
+_ORACLE_DOMINANT_PERIOD = """
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(19, 0)) AS xi
+  FROM events
+), pos AS (
+  SELECT user_id, xi,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM q
+), ex AS (
+  SELECT user_id, xi, t, p.period, n // p.period AS k
+  FROM pos
+  CROSS JOIN (SELECT unnest(generate_series(2, 16)) AS period) p
+  WHERE n // p.period >= 2 AND t < (n // p.period) * p.period
+), ph AS (
+  SELECT user_id, period, t % period AS phase,
+         CAST(sum(xi) AS DECIMAL(19, 0)) AS s_ph,
+         sum(xi * xi) AS u_ph,
+         max(k) AS k
+  FROM ex GROUP BY user_id, period, t % period
+), ag AS (
+  SELECT user_id, period,
+         sum(s_ph * s_ph) AS q2,
+         sum(CAST(s_ph AS DECIMAL(38, 0))) AS t_sum,
+         sum(u_ph) AS u,
+         max(k) AS k
+  FROM ph GROUP BY user_id, period
+), st AS (
+  SELECT user_id, period, k,
+         CASE WHEN CAST(u AS DOUBLE)
+                   - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+                     / (CAST(k AS DOUBLE) * CAST(period AS DOUBLE)) > 0.0
+              THEN (CAST(q2 AS DOUBLE) / CAST(k AS DOUBLE)
+                    - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+                      / (CAST(k AS DOUBLE) * CAST(period AS DOUBLE)))
+                   / (CAST(u AS DOUBLE)
+                      - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+                        / (CAST(k AS DOUBLE) * CAST(period AS DOUBLE)))
+         END AS strength
+  FROM ag
+), r AS (
+  SELECT user_id, CAST(period AS INT) AS period, k,
+         floor(strength * 1000000.0 + 0.5) / 1000000.0 AS s6,
+         max(floor(strength * 1000000.0 + 0.5) / 1000000.0)
+           OVER (PARTITION BY user_id) AS smax
+  FROM st WHERE strength IS NOT NULL
+), pick AS (
+  SELECT user_id, period, k, s6,
+         row_number() OVER (PARTITION BY user_id ORDER BY period ASC) AS rn
+  FROM r WHERE s6 >= smax - 0.01
+)
+SELECT user_id, period, k, s6 AS strength FROM pick WHERE rn = 1
+"""
+
+
 def _q_percentile_rollup(spark, sf_dir):
     """Per-(source, hour) exact interpolated percentiles of event value
     — the continuous-aggregate shape for distribution metrics; Spark's
@@ -2890,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_episodes": _q_anomaly_episodes,
         "bm25_topk": _q_bm25,
         "crosscorr": _q_crosscorr,
+        "dominant_period": _q_dominant_period,
         "ohlc_rollup": _q_ohlc_rollup,
         "histogram_rollup": _q_histogram_rollup,
         "acf": _q_acf,
@@ -2961,6 +3035,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_episodes": _ORACLE_ANOMALY_EPISODES,
         "bm25_topk": _ORACLE_BM25,
         "crosscorr": _ORACLE_CROSSCORR,
+        "dominant_period": _ORACLE_DOMINANT_PERIOD,
         "ohlc_rollup": _ORACLE_OHLC_ROLLUP,
         "histogram_rollup": _ORACLE_HISTOGRAM_ROLLUP,
         "acf": _ORACLE_ACF,

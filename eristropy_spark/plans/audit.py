@@ -350,4 +350,96 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
+    # 18. cusum: the max(0,..) recursion factored into streaming frames
+    # means the whole two-sided chart rides ONE key Exchange with zero
+    # Python — the prefix sums, running mins and reflection are all
+    # running window frames over the same sort
+    cu = entrymod.queries()["cusum"](spark, sf_dir)
+    p = plan_of(cu)
+    checks.append(
+        ("cusum: one key Exchange, streaming frames only, no Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 19. anomaly_episodes: rolling z, island frames AND the episode
+    # aggregate all share the one key partitioning (the final
+    # (key, island) groupBy partial-aggregates in place) — one Exchange
+    an = entrymod.queries()["anomaly_episodes"](spark, sf_dir)
+    p = plan_of(an)
+    checks.append(
+        ("anomaly_episodes: one key Exchange end-to-end, no Python",
+         p.count("Exchange") == 1
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 20. seasonal_decompose: key window shuffle + (key, phase) agg
+    # shuffle + broadcast exchange for the <= period-rows-per-key
+    # seasonal-index join — and that join must BROADCAST, never
+    # sort-merge (the index side is dimension-sized by construction)
+    sd = entrymod.queries()["seasonal_decompose"](spark, sf_dir)
+    p = plan_of(sd)
+    checks.append(
+        ("seasonal_decompose: broadcast index join, <=3 Exchanges, no Python",
+         p.count("Exchange") <= 3
+         and "BroadcastHashJoin" in p
+         and "SortMergeJoin" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 21. crosscorr: the pair stage joins GRID rows on bucket (one row
+    # per signal per bucket), never raw events, and never via a
+    # nested-loop/cartesian plan; everything JVM
+    cc = entrymod.queries()["crosscorr"](spark, sf_dir)
+    p = plan_of(cc)
+    checks.append(
+        ("crosscorr: bucket equi-join on aggregated grid, no cartesian, "
+         "no Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 22. bm25 operator (direct, with a literal query batch — the
+    # contract query's 30-row vocab ranking legitimately uses a global
+    # window, so audit the operator itself): the query side must
+    # BROADCAST (corpus tf never reshuffles for it), the one-row corpus
+    # stats ride a 1-row broadcast nested loop, and nothing is Python
+    from eristropy_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(
+        [(0, "the"), (0, "a"), (1, "of")], "query_id long, token string"
+    )
+    p = plan_of(bm25_topk(docs, qdf, k=5))
+    checks.append(
+        ("bm25_topk: query side broadcast-joined, no cartesian, no Python",
+         "BroadcastHashJoin" in p
+         and "CartesianProduct" not in p
+         and p.count("BroadcastNestedLoopJoin") <= 1
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 23. dominant_period: the whole fold scan — position window, grid
+    # explode, (key, period, phase) and (key, period) aggregates, the
+    # tolerance-band window and the final argmin — rides ONE key
+    # Exchange (hashpartitioning(key) satisfies every downstream
+    # ClusteredDistribution whose cluster keys are a superset), zero
+    # joins, zero Python
+    dp = entrymod.queries()["dominant_period"](spark, sf_dir)
+    p = plan_of(dp)
+    checks.append(
+        ("dominant_period: one key Exchange for the whole fold scan, "
+         "no joins, no Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
