@@ -2914,6 +2914,298 @@ FROM grp GROUP BY doc_id, isl
 """
 
 
+def _q_rolling_quantile(spark, sf_dir):
+    """Trailing 600-second EXACT interpolated p50/p95 per user — the
+    rolling latency-quantile monitoring primitive
+    (operators/rolling.rolling_quantile): one keyed shuffle, bounded
+    RANGE frame, interpolation identical to quantile_cont."""
+    from eristropy_spark.operators.rolling import rolling_quantile
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = rolling_quantile(ev, "user_id", window_sec=600.0, probs=(0.5, 0.95))
+    return r.select(
+        "event_id",
+        "user_id",
+        _r6("roll_p50").alias("roll_p50"),
+        _r6("roll_p95").alias("roll_p95"),
+    )
+
+
+_ORACLE_ROLLING_QUANTILE = """
+SELECT event_id, user_id,
+       floor(quantile_cont(value, 0.5) OVER w * 1000000 + 0.5) / 1000000
+           AS roll_p50,
+       floor(quantile_cont(value, 0.95) OVER w * 1000000 + 0.5) / 1000000
+           AS roll_p95
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_theilsen(spark, sf_dir):
+    """Theil–Sen robust trend per signal over the tokenize array layout
+    (operators/robust.theilsen_trend): median of pairwise slopes +
+    robust intercept, vectorized O(n²) numpy inside one mapInArrow
+    boundary, zero extra shuffle.  Medians use the quantile_cont lerp
+    form so the SQL replay is bit-identical."""
+    from eristropy_spark.operators.robust import theilsen_trend
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = theilsen_trend(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        _r6("slope").alias("slope"),
+        _r6("intercept").alias("intercept"),
+    )
+
+
+_ORACLE_THEILSEN = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), sl AS (
+  SELECT a.doc_id,
+         quantile_cont((b.tok - a.tok) / CAST(b.i - a.i AS DOUBLE), 0.5)
+             AS slope
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.i > a.i
+  GROUP BY a.doc_id
+), ic AS (
+  SELECT p.doc_id,
+         quantile_cont(p.tok - s.slope * CAST(p.i AS DOUBLE), 0.5)
+             AS intercept
+  FROM pts p JOIN sl s USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT n.doc_id, n.n,
+       floor(s.slope * 1000000 + 0.5) / 1000000 AS slope,
+       floor(i.intercept * 1000000 + 0.5) / 1000000 AS intercept
+FROM (SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id) n
+LEFT JOIN sl s USING (doc_id)
+LEFT JOIN ic i USING (doc_id)
+"""
+
+
+def _q_holt(spark, sf_dir):
+    """Holt linear-trend smoothing (alpha=0.5, beta=0.25) per user —
+    the two-state sequential scan class, one grouped-Pandas stage
+    (operators/smoothing.holt); every level/trend/fitted double is
+    reproduced bit-for-bit by the oracle's recursive CTE."""
+    from eristropy_spark.operators.smoothing import holt
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = holt(ev, "user_id", alpha=0.5, beta=0.25, tiebreak_col="event_id")
+    return r.select(
+        "event_id",
+        "user_id",
+        _r6("level").alias("level"),
+        _r6("trend").alias("trend"),
+        _r6("fitted").alias("fitted"),
+    )
+
+
+_ORACLE_HOLT = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER w AS i,
+         lead(value) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), rec AS (
+  SELECT user_id, event_id, i,
+         value AS level,
+         nxt - value AS trend,
+         CAST(NULL AS DOUBLE) AS fitted
+  FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.i,
+         0.5 * p.value + 0.5 * (r.level + r.trend) AS level,
+         0.25 * ((0.5 * p.value + 0.5 * (r.level + r.trend)) - r.level)
+             + 0.75 * r.trend AS trend,
+         r.level + r.trend AS fitted
+  FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.i = r.i + 1
+)
+SELECT user_id, event_id,
+       floor(level * 1000000.0 + 0.5) / 1000000.0 AS level,
+       floor(trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor(fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted
+FROM rec
+"""
+
+
+def _q_ar2(spark, sf_dir):
+    """AR(2) Yule–Walker fit + one-step forecast per signal over the
+    array layout (operators/acf.ar2_forecast): closed forms from
+    6dp-quantized autocorrelations (the quantize-then-derive rule), so
+    phi/forecast doubles are bit-reproducible in SQL."""
+    from eristropy_spark.operators.acf import ar2_forecast
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = ar2_forecast(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        "r1",
+        "r2",
+        _r6("phi1").alias("phi1"),
+        _r6("phi2").alias("phi2"),
+        _r6("forecast").alias("forecast"),
+    )
+
+
+_ORACLE_AR2 = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), st AS (
+  SELECT doc_id, sum(tok) / count(*) AS mu, CAST(count(*) AS INT) AS n
+  FROM pts GROUP BY doc_id
+), dev AS (
+  SELECT p.doc_id, p.i, p.tok - s.mu AS d
+  FROM pts p JOIN st s USING (doc_id)
+), den AS (
+  SELECT doc_id, sum(d * d) AS den FROM dev GROUP BY doc_id
+), nums AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN b.i = a.i + 1 THEN a.d * b.d END) AS num1,
+         sum(CASE WHEN b.i = a.i + 2 THEN a.d * b.d END) AS num2
+  FROM dev a JOIN dev b ON b.doc_id = a.doc_id
+                       AND b.i BETWEEN a.i + 1 AND a.i + 2
+  GROUP BY a.doc_id
+), rr AS (
+  SELECT s.doc_id, s.mu, s.n,
+         CASE WHEN s.n >= 3 AND d.den > 0
+              THEN floor(m.num1 / d.den * 1000000.0 + 0.5) / 1000000.0
+         END AS r1,
+         CASE WHEN s.n >= 3 AND d.den > 0
+              THEN floor(m.num2 / d.den * 1000000.0 + 0.5) / 1000000.0
+         END AS r2
+  FROM st s LEFT JOIN den d USING (doc_id) LEFT JOIN nums m USING (doc_id)
+), lasts AS (
+  SELECT p.doc_id,
+         max(CASE WHEN p.i = s.n - 1 THEN p.tok END) AS x1,
+         max(CASE WHEN p.i = s.n - 2 THEN p.tok END) AS x2
+  FROM pts p JOIN st s USING (doc_id) GROUP BY p.doc_id
+), fit AS (
+  SELECT r.doc_id, r.n, r.r1, r.r2,
+         (r.r1 * (1.0 - r.r2)) / (1.0 - r.r1 * r.r1) AS phi1,
+         (r.r2 - r.r1 * r.r1) / (1.0 - r.r1 * r.r1) AS phi2,
+         r.mu, l.x1, l.x2
+  FROM rr r JOIN lasts l USING (doc_id)
+)
+SELECT doc_id, n, r1, r2,
+       floor(phi1 * 1000000.0 + 0.5) / 1000000.0 AS phi1,
+       floor(phi2 * 1000000.0 + 0.5) / 1000000.0 AS phi2,
+       floor((mu + phi1 * (x1 - mu) + phi2 * (x2 - mu)) * 1000000.0 + 0.5)
+           / 1000000.0 AS forecast
+FROM fit
+"""
+
+
+def _q_pmi(spark, sf_dir):
+    """Top-40 bigram collocations by PMI over the document corpus
+    (operators/corpus.pmi_collocations): in-row bigram enumeration,
+    two-phase counts, token-keyed joins, deterministic quantized
+    ranking."""
+    from eristropy_spark.operators.corpus import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=40)
+
+
+_ORACLE_PMI = """
+WITH uni AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), uc AS (
+  SELECT token, count(*) AS cnt FROM uni GROUP BY token
+), w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), bi AS (
+  SELECT ws[i] AS x, ws[i + 1] AS y
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+  WHERE len(ws) >= 2
+), bc AS (
+  SELECT x, y, count(*) AS cnt FROM bi GROUP BY x, y
+  HAVING count(*) >= 5
+), tot AS (
+  SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM uc) AS nu,
+         (SELECT CAST(sum(cnt) AS DOUBLE) FROM bc) AS nbi
+)
+SELECT bc.x, bc.y, CAST(bc.cnt AS BIGINT) AS cnt,
+       floor(ln((CAST(bc.cnt AS DOUBLE) * tot.nu * tot.nu)
+                / (tot.nbi * CAST(cx.cnt AS DOUBLE) * CAST(cy.cnt AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM bc
+JOIN uc cx ON cx.token = bc.x
+JOIN uc cy ON cy.token = bc.y
+CROSS JOIN tot
+ORDER BY pmi DESC, x, y
+LIMIT 40
+"""
+
+
+def _q_corpus_divergence(spark, sf_dir):
+    """Per-token KL/JS divergence terms between the train and val
+    md5-split slices of the corpus (operators/corpus.corpus_divergence
+    over operators/sampling.md5_split): the training-mix drift
+    detector, token-keyed full-outer join + one-row totals broadcast."""
+    from eristropy_spark.operators.corpus import corpus_divergence
+    from eristropy_spark.operators.sampling import md5_split
+
+    docs = md5_split(_docs(spark, sf_dir), "doc_id")
+    a = docs.where(F.col("split") == "train").select("doc_id", "text")
+    b = docs.where(F.col("split") == "val").select("doc_id", "text")
+    return corpus_divergence(a, b, alpha=0.5)
+
+
+_ORACLE_CORPUS_DIVERGENCE = """
+WITH s AS (
+  SELECT doc_id, text,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+  FROM documents
+), ca AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM s WHERE h < 'e6'
+), cb AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM s WHERE h >= 'e6' AND h < 'f3'
+), gca AS (SELECT token, count(*) AS cnt FROM ca GROUP BY token),
+gcb AS (SELECT token, count(*) AS cnt FROM cb GROUP BY token),
+uab AS (
+  SELECT coalesce(gca.token, gcb.token) AS token,
+         coalesce(gca.cnt, 0) AS cnt_a,
+         coalesce(gcb.cnt, 0) AS cnt_b
+  FROM gca FULL OUTER JOIN gcb ON gca.token = gcb.token
+), tot AS (
+  SELECT CAST(sum(cnt_a) AS DOUBLE) AS na,
+         CAST(sum(cnt_b) AS DOUBLE) AS nb,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM uab
+), pq AS (
+  SELECT token, cnt_a, cnt_b,
+         (CAST(cnt_a AS DOUBLE) + 0.5) / (tot.na + 0.5 * tot.v) AS p,
+         (CAST(cnt_b AS DOUBLE) + 0.5) / (tot.nb + 0.5 * tot.v) AS q
+  FROM uab CROSS JOIN tot
+)
+SELECT token,
+       CAST(cnt_a AS BIGINT) AS cnt_a,
+       CAST(cnt_b AS BIGINT) AS cnt_b,
+       floor(p * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+       floor(q * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+       floor(p * ln(p / q) * 1000000.0 + 0.5) / 1000000.0 AS kl_ab,
+       floor((0.5 * p * ln(p / (0.5 * (p + q)))
+              + 0.5 * q * ln(q / (0.5 * (p + q)))) * 1000000.0 + 0.5)
+           / 1000000.0 AS js
+FROM pq
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -2955,6 +3247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
         "rolling_stats": _q_rolling_stats,
+        "rolling_quantile": _q_rolling_quantile,
+        "theilsen_trend": _q_theilsen,
+        "holt": _q_holt,
+        "ar2_forecast": _q_ar2,
+        "pmi_collocations": _q_pmi,
+        "corpus_divergence": _q_corpus_divergence,
         "counter_rate": _q_counter_rate,
         "sax_symbols": _q_sax,
         "ewma": _q_ewma,
@@ -3027,6 +3325,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "rolling_stats": _ORACLE_ROLLING_STATS,
+        "rolling_quantile": _ORACLE_ROLLING_QUANTILE,
+        "theilsen_trend": _ORACLE_THEILSEN,
+        "holt": _ORACLE_HOLT,
+        "ar2_forecast": _ORACLE_AR2,
+        "pmi_collocations": _ORACLE_PMI,
+        "corpus_divergence": _ORACLE_CORPUS_DIVERGENCE,
         "counter_rate": _ORACLE_COUNTER_RATE,
         "sax_symbols": _ORACLE_SAX,
         "ewma": _ORACLE_EWMA,

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-__all__ = ["acf_long"]
+__all__ = ["acf_long", "ar2_forecast"]
 
 
 def acf_long(
@@ -99,6 +99,107 @@ def acf_long(
             "acf",
         )
     )
+
+
+def ar2_forecast(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-signal AR(2) fit via the Yule–Walker equations + one-step
+    forecast — the Box–Jenkins closed form on top of the same biased
+    autocorrelations ``acf_long`` computes:
+
+        phi1 = r1*(1 - r2) / (1 - r1²)
+        phi2 = (r2 - r1²)  / (1 - r1²)
+        x̂_{n+1} = mu + phi1*(x_n - mu) + phi2*(x_{n-1} - mu)
+
+    Emits (``*keep_cols``, n, r1, r2, phi1, phi2, forecast), one row
+    per signal.  r1/r2 are quantized to the engine's 6-dp grid
+    (floor(x*1e6+0.5)/1e6) BEFORE the closed forms: the raw
+    autocovariance sums are float reductions whose summation order is
+    engine-specific, and the (1 - r1²) denominator would amplify those
+    last-ulp differences past any rounding — quantizing the
+    correlations first makes every downstream double bit-reproducible
+    by an independent SQL replay (the repo's quantize-then-derive
+    rule; cf. the decimal-grid CUSUM).  mu itself is exact: the token
+    values are integers, so sum/n is a single deterministic division.
+
+    Guards: n < 3 or a zero-variance series emit NULL fit columns;
+    |r1| = 1 (degenerate denominator) emits NULL phi/forecast.  Zero
+    shuffle — one ``mapInArrow`` boundary over the array layout.
+    """
+    import math
+    from typing import Iterator as _It
+
+    import numpy as np
+    import pyarrow as pa
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("n", IntegerType()),
+            StructField("r1", DoubleType()),
+            StructField("r2", DoubleType()),
+            StructField("phi1", DoubleType()),
+            StructField("phi2", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def _r6(v: float) -> float:
+        return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+
+    def _compute(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            cols: dict[str, list] = {
+                k: [] for k in ("n", "r1", "r2", "phi1", "phi2", "forecast")
+            }
+            for v in views:
+                n = 0 if v is None else int(v.size)
+                cols["n"].append(n)
+                if n < 3:
+                    for k in ("r1", "r2", "phi1", "phi2", "forecast"):
+                        cols[k].append(None)
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                mu = float(x.sum()) / n
+                d = x - mu
+                den = float(d @ d)
+                if den == 0.0:
+                    for k in ("r1", "r2", "phi1", "phi2", "forecast"):
+                        cols[k].append(None)
+                    continue
+                r1 = _r6(float(d[:-1] @ d[1:]) / den)
+                r2 = _r6(float(d[:-2] @ d[2:]) / den)
+                cols["r1"].append(r1)
+                cols["r2"].append(r2)
+                denom = 1.0 - r1 * r1
+                if denom == 0.0:
+                    for k in ("phi1", "phi2", "forecast"):
+                        cols[k].append(None)
+                    continue
+                phi1 = r1 * (1.0 - r2) / denom
+                phi2 = (r2 - r1 * r1) / denom
+                cols["phi1"].append(phi1)
+                cols["phi2"].append(phi2)
+                cols["forecast"].append(
+                    mu + phi1 * (float(x[-1]) - mu) + phi2 * (float(x[-2]) - mu)
+                )
+            arrays = [batch.column(c) for c in keep_cols]
+            arrays.append(pa.array(cols["n"], type=pa.int32()))
+            for k in ("r1", "r2", "phi1", "phi2", "forecast"):
+                arrays.append(pa.array(cols[k], type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, "n", "r1", "r2", "phi1", "phi2", "forecast"]
+            )
+
+    return src.mapInArrow(_compute, schema)
 
 
 def _acf_arrow(

@@ -1,0 +1,159 @@
+"""Corpus-level token statistics for training-data curation:
+
+* ``pmi_collocations`` — top-k bigram collocations by pointwise mutual
+  information (Church & Hanks 1990): the classic phrase/ entity-mining
+  signal ("new york" scores high because its joint count dwarfs what
+  its parts predict).
+* ``corpus_divergence`` — per-token KL / Jensen–Shannon divergence
+  terms between the unigram distributions of two corpora (train vs
+  val, old crawl vs new crawl): THE drift/shift detector for training
+  mixes, and the per-token form names the tokens responsible.
+
+Both are pure DataFrame compositions: in-row tokenization (split /
+slice / explode — no Python), two-phase hash aggregates for the count
+tables, token-keyed shuffle joins for vocab-sized sides (a corpus
+vocabulary is NOT broadcast-sized at 100 TB), and one-row totals that
+cross-join as broadcasts.  Document text itself never shuffles —
+everything past the explode carries (token, count) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eristropy_spark.functions.numeric import round6
+
+__all__ = ["pmi_collocations", "corpus_divergence"]
+
+
+def _unigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-bigram collocations by PMI:
+
+        pmi(x, y) = ln( (c_xy * N_u * N_u) / (N_bi * c_x * c_y) )
+
+    with c_xy the bigram count, c_x/c_y unigram counts, N_bi/N_u the
+    bigram/unigram totals.  Bigrams below ``min_count`` are dropped
+    first (hapax pairs otherwise own the ranking — the standard PMI
+    failure mode).  Returns (x, y, cnt, pmi) with pmi quantized to the
+    engine's 6-dp grid and the ranking cut on (pmi desc, x, y) so the
+    top-k is deterministic across engines and partitionings.
+
+    Scale shape: bigram enumeration is in-row (slice + zip_with +
+    explode); both count tables are two-phase aggregates; the
+    bigram↔unigram joins are token-keyed equi-joins (vocab-sized
+    sides, NOT broadcast); totals are one-row broadcast cross-joins;
+    the final top-k plans as TakeOrderedAndProject (bounded heap, no
+    full sort).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    uni = _unigrams(docs, text_col)
+    totals = uni.agg(
+        F.sum("cnt").cast("double").alias("_nu"),
+    ).crossJoin(
+        bi.agg(F.sum("cnt").cast("double").alias("_nbi"))
+    )
+    cx = uni.select(F.col("token").alias("x"), F.col("cnt").alias("_cx"))
+    cy = uni.select(F.col("token").alias("y"), F.col("cnt").alias("_cy"))
+    joined = (
+        bi.join(cx, "x")
+        .join(cy, "y")
+        .join(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("cnt").cast("double") * F.col("_nu") * F.col("_nu"))
+        / (F.col("_nbi") * F.col("_cx").cast("double") * F.col("_cy").cast("double"))
+    )
+    return (
+        joined.select("x", "y", "cnt", round6(pmi).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "x", "y")
+        .limit(top_k)
+    )
+
+
+def corpus_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-token divergence terms between two corpora's unigram
+    distributions, over the UNION vocabulary with additive smoothing:
+
+        p = (c_a + alpha) / (N_a + alpha*V)    (q likewise for b)
+        kl_ab = p * ln(p / q)                  (sums to KL(P||Q))
+        js    = 0.5*p*ln(p/m) + 0.5*q*ln(q/m), m = 0.5*(p + q)
+                                               (sums to JS(P, Q))
+
+    Returns (token, cnt_a, cnt_b, p_a, p_b, kl_ab, js), one row per
+    union-vocab token.  Sum kl_ab / js downstream for the corpus-level
+    number; sort by js for the tokens that drive the shift.  Smoothing
+    keeps every term finite (both p and q > 0 on the union vocab).
+
+    Scale shape: two two-phase count aggregates, one full-outer
+    token-keyed join (vocab-sized — NOT broadcast), one-row totals
+    broadcast back.  Text never shuffles.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (zero divides on disjoint vocab)")
+    ca = _unigrams(docs_a, text_col).withColumnRenamed("cnt", "cnt_a")
+    cb = _unigrams(docs_b, text_col).withColumnRenamed("cnt", "cnt_b")
+    both = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    totals = both.agg(
+        F.sum("cnt_a").cast("double").alias("_na"),
+        F.sum("cnt_b").cast("double").alias("_nb"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    al = F.lit(float(alpha))
+    j = both.join(F.broadcast(totals))
+    p = (F.col("cnt_a").cast("double") + al) / (F.col("_na") + al * F.col("_v"))
+    q = (F.col("cnt_b").cast("double") + al) / (F.col("_nb") + al * F.col("_v"))
+    m = F.lit(0.5) * (p + q)
+    kl_ab = p * F.log(p / q)
+    js = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    return j.select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        round6(p).alias("p_a"),
+        round6(q).alias("p_b"),
+        round6(kl_ab).alias("kl_ab"),
+        round6(js).alias("js"),
+    )

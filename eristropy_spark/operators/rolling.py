@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_stats", "rolling_zscore"]
+__all__ = ["rolling_stats", "rolling_zscore", "rolling_quantile"]
 
 _STATS = ("mean", "std", "min", "max", "n")
 
@@ -99,6 +99,46 @@ def rolling_stats(
     out = df
     for s in stats:
         out = out.withColumn(prefix + s, exprs[s])
+    return out
+
+
+def rolling_quantile(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: float = 300.0,
+    probs: tuple[float, ...] = (0.5, 0.95),
+    prefix: str = "roll_",
+) -> DataFrame:
+    """Append trailing-window EXACT interpolated quantiles of
+    ``value_col`` over the last ``window_sec`` seconds per ``key`` —
+    the rolling p50/p95/p99 of latency/size monitoring.  Column names
+    use the collision-free percent encoding (p50, p95, p99_9).
+
+    Exact (linear-interpolated) quantiles buffer the frame's values —
+    bounded by one window span per row, but each frame move re-sorts
+    the buffer, so cost is O(rows x window x log window) per signal.
+    That is the honest price of EXACT moving quantiles on any engine;
+    for very dense signals pre-aggregate to a coarser grain first
+    (``rollup_tier``) or use ``percentile_rollup(exact=False)`` on
+    tumbling buckets (mergeable sketch, constant memory).  The
+    interpolation is identical to DuckDB's ``quantile_cont`` —
+    verified bit-for-bit, same as ``percentile_rollup``.
+    """
+    for p in probs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    names = [f"p{p * 100:g}".replace(".", "_").replace("-", "m") for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs produce duplicate column aliases: {names}")
+    w = _rolling_window(df, key, ts_col, window_sec)
+    v = F.col(value_col)
+    out = df
+    for p, name in zip(probs, names):
+        out = out.withColumn(
+            prefix + name, F.percentile(v, F.lit(float(p))).over(w)
+        )
     return out
 
 

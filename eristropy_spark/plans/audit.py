@@ -442,4 +442,74 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 24. rolling_quantile: same shape as rolling_stats — one keyed
+    # shuffle, bounded RANGE trailing frame (percentile buffers one
+    # window span, never the partition), no Python
+    rq = entrymod.queries()["rolling_quantile"](spark, sf_dir)
+    p = plan_of(rq)
+    checks.append(
+        ("rolling_quantile: one key Exchange, bounded RANGE frame, no Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and "RangeFrame" in p
+         and "unboundedfollowing" not in p.lower()
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 25. theilsen_trend + ar2_forecast: in-row array math over the
+    # tokenize layout — exactly one Arrow boundary each, no shuffle
+    # beyond tokenize's own
+    for qname in ("theilsen_trend", "ar2_forecast"):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (f"{qname}: ONE Arrow boundary, only tokenize's Exchange",
+             p.count("Exchange") == 1 and _py_node_count(p) == 1, p)
+        )
+
+    # 26. holt: the two-state sequential scan — same shape as ewma:
+    # one key Exchange into one grouped-Pandas stage, never a global
+    # sort / single partition
+    hq = entrymod.queries()["holt"](spark, sf_dir)
+    p = plan_of(hq)
+    checks.append(
+        ("holt: one key Exchange, one grouped-Pandas boundary, "
+         "no single-partition stage",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and "FlatMapGroupsInPandas" in p
+         and _py_node_count(p) == 1, p)
+    )
+
+    # 27. pmi_collocations: token-keyed equi-joins (vocab-sized sides
+    # may broadcast at test scale — but never a cartesian/nested-loop),
+    # one-row totals broadcast, top-k as TakeOrdered (bounded heap,
+    # no global Sort), zero Python
+    pm = entrymod.queries()["pmi_collocations"](spark, sf_dir)
+    p = plan_of(pm)
+    checks.append(
+        ("pmi_collocations: equi-joins only, TakeOrdered top-k, no Python",
+         "CartesianProduct" not in p
+         # two 1-row broadcasts: N_u x N_bi compose, then attach
+         and p.count("BroadcastNestedLoopJoin") <= 2
+         and "TakeOrderedAndProject" in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 28. corpus_divergence: two count aggregates + one token-keyed
+    # full-outer join + 1-row totals broadcast; no cartesian beyond
+    # that single-row cross join, zero Python
+    cd = entrymod.queries()["corpus_divergence"](spark, sf_dir)
+    p = plan_of(cd)
+    checks.append(
+        ("corpus_divergence: token-keyed outer join + 1-row totals "
+         "broadcast, no Python",
+         "CartesianProduct" not in p
+         and p.count("BroadcastNestedLoopJoin") <= 1
+         and "FullOuter" in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
