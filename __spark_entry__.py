@@ -2914,6 +2914,157 @@ FROM grp GROUP BY doc_id, isl
 """
 
 
+def _q_apen(spark, sf_dir):
+    """Approximate Entropy (Pincus 1991) per signal at m=1, r=0.2 over
+    the z-normed tokenize layout (operators/apen.apen_points): the
+    third regularity kernel next to SampEn/PermEn — published <=r
+    predicate, self-matches included, sequential Phi folds so the
+    O(n²) SQL replay matches bit-for-bit pre-rounding."""
+    from eristropy_spark.operators.apen import apen_points
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = apen_points(tokens, array_col="tokens", keep_cols=("doc_id",),
+                    m=1, r=0.2, normalize=True)
+    return r.select("doc_id", "n", _r6("apen").alias("apen"))
+
+
+_ORACLE_APEN = """
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+z AS (
+  SELECT doc_id, i, n, tok,
+         (tok - avg(tok) OVER d) / nullif(stddev_samp(tok) OVER d, 0) AS zv
+  FROM seq
+  WINDOW d AS (PARTITION BY doc_id)
+),
+z2 AS (
+  SELECT *, lead(zv) OVER (PARTITION BY doc_id ORDER BY i) AS zv1 FROM z
+),
+ok AS (
+  SELECT doc_id FROM z GROUP BY doc_id
+  HAVING max(n) >= 3 AND count(zv) = max(n)
+),
+c1 AS (
+  SELECT a.doc_id, a.i, a.n,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) <= 0.2) AS c
+  FROM z2 a JOIN z2 b ON a.doc_id = b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM ok)
+  GROUP BY a.doc_id, a.i, a.n
+),
+c2 AS (
+  SELECT a.doc_id, a.i, a.n,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) <= 0.2
+                            AND abs(a.zv1 - b.zv1) <= 0.2) AS c
+  FROM z2 a JOIN z2 b ON a.doc_id = b.doc_id AND b.i <= b.n - 1
+  WHERE a.i <= a.n - 1 AND a.doc_id IN (SELECT doc_id FROM ok)
+  GROUP BY a.doc_id, a.i, a.n
+),
+phi1 AS (
+  SELECT doc_id,
+         sum(ln(CAST(c AS DOUBLE) / n) ORDER BY i) / max(n) AS phi
+  FROM c1 GROUP BY doc_id
+),
+phi2 AS (
+  SELECT doc_id,
+         sum(ln(CAST(c AS DOUBLE) / (n - 1)) ORDER BY i) / max(n - 1) AS phi
+  FROM c2 GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS INT) AS n,
+       floor((p1.phi - p2.phi) * 1000000.0 + 0.5) / 1000000.0 AS apen
+FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
+LEFT JOIN phi1 p1 USING (doc_id)
+LEFT JOIN phi2 p2 USING (doc_id)
+"""
+
+
+def _q_hurst(spark, sf_dir):
+    """Hurst exponent by R/S analysis per USER series (all that user's
+    events in time order — long enough for >= 2 dyadic sizes at sf0.01,
+    unlike the per-(user,type) split): operators/hurst.hurst_points,
+    quantize-then-fit so the full SQL replay is exact."""
+    from eristropy_spark.operators.hurst import hurst_points
+
+    ev = _events(spark, sf_dir)
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.transform(
+                "seq", lambda s: F.round(s["value"] * 100).cast("int")
+            ).alias("tokens"),
+        )
+    )
+    r = hurst_points(per_user, array_col="tokens", keep_cols=("user_id",),
+                     min_size=4)
+    return r.select("user_id", "n", "n_sizes", _r6("hurst").alias("hurst"))
+
+
+_ORACLE_HURST = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS tok,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), docs AS (
+  SELECT user_id, max(n) AS n FROM seq GROUP BY user_id
+), sz AS (
+  SELECT user_id, n, s
+  FROM docs, LATERAL (SELECT unnest([4, 8, 16, 32, 64, 128, 256, 512,
+                                     1024, 2048, 4096, 8192]) AS s)
+  WHERE 2 * s <= n
+), blk AS (
+  SELECT q.user_id, z.s, CAST((q.i - 1) // z.s AS INT) AS b, q.i, q.tok
+  FROM seq q JOIN sz z ON z.user_id = q.user_id
+  WHERE q.i <= (q.n // z.s) * z.s
+), bmu AS (
+  SELECT user_id, s, b, CAST(sum(tok) AS DOUBLE) / s AS mu
+  FROM blk GROUP BY user_id, s, b
+), y AS (
+  SELECT k.user_id, k.s, k.b, k.i, k.tok, m.mu,
+         sum(k.tok - m.mu) OVER (PARTITION BY k.user_id, k.s, k.b
+                                 ORDER BY k.i) AS y
+  FROM blk k JOIN bmu m USING (user_id, s, b)
+), brs AS (
+  SELECT user_id, s, b,
+         max(y) - min(y) AS r,
+         stddev_samp(tok) AS sd
+  FROM y GROUP BY user_id, s, b
+), rs AS (
+  SELECT user_id, s,
+         floor(sum(r / sd ORDER BY b) / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS rsq
+  FROM brs WHERE sd > 0 GROUP BY user_id, s
+), pts AS (
+  SELECT user_id, s, ln(CAST(s AS DOUBLE)) AS lx, ln(rsq) AS ly
+  FROM rs WHERE rsq > 0
+), fit AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS k,
+         CAST(count(*) AS INT) AS n_sizes,
+         sum(lx ORDER BY s) AS sx, sum(ly ORDER BY s) AS sy,
+         sum(lx * ly ORDER BY s) AS sxy, sum(lx * lx ORDER BY s) AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT d.user_id, CAST(d.n AS INT) AS n,
+       coalesce(f.n_sizes, 0) AS n_sizes,
+       CASE WHEN f.n_sizes >= 2 AND (f.k * f.sxx - f.sx * f.sx) <> 0
+            THEN floor((f.k * f.sxy - f.sx * f.sy)
+                       / (f.k * f.sxx - f.sx * f.sx) * 1000000.0 + 0.5)
+                 / 1000000.0
+       END AS hurst
+FROM docs d LEFT JOIN fit f USING (user_id)
+"""
+
+
 def _q_rolling_quantile(spark, sf_dir):
     """Trailing 600-second EXACT interpolated p50/p95 per user — the
     rolling latency-quantile monitoring primitive
@@ -3247,6 +3398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
         "rolling_stats": _q_rolling_stats,
+        "apen": _q_apen,
+        "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
         "theilsen_trend": _q_theilsen,
         "holt": _q_holt,
@@ -3325,6 +3478,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "rolling_stats": _ORACLE_ROLLING_STATS,
+        "apen": _ORACLE_APEN,
+        "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "theilsen_trend": _ORACLE_THEILSEN,
         "holt": _ORACLE_HOLT,

@@ -589,6 +589,29 @@ def main() -> None:
         compact_queries = {k: round(v, 1) for k, v in queries.items()}
         line = _final_line()
     if len(line) > 1900:
+        # the per-query timings are the POINT of the final line (round-4
+        # lesson) — shed verbose summary keys before ever touching them.
+        # Legend: wall=wall_sec, sps=seq_per_sec_maxcores,
+        # p_med=primary_median_valid_pair, p_all=primary_median_all_pairs,
+        # nv=n_valid_pairs, aux=aux_2_to_8_median, k28=kernel_mp_eff_2_to_8,
+        # tiers=tiers_equal, ncont=n_contended, qtrunc=queries_budget_
+        # truncated (full-key forms live on the detail line above)
+        summary = {
+            "wall": summary["wall_sec"],
+            "sps": summary["seq_per_sec_maxcores"],
+            "p_med": summary["primary_median_valid_pair"],
+            "p_all": summary["primary_median_all_pairs"],
+            "nv": summary["n_valid_pairs"],
+            "aux": summary["aux_2_to_8_median"],
+            "k28": summary["kernel_mp_eff_2_to_8"],
+            "tiers": summary["tiers_equal"],
+            "ncont": summary.get("n_contended",
+                                 len(summary.get("contended_queries", []))),
+            **({"qtrunc": True} if summary.get("queries_budget_truncated")
+               else {}),
+        }
+        line = _final_line()
+    if len(line) > 1900:
         compact_queries = {"see": "detail line"}
         summary["n_queries"] = len(queries)
         line = _final_line()

@@ -468,6 +468,25 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              p.count("Exchange") == 1 and _py_node_count(p) == 1, p)
         )
 
+    # 25b. apen: same zero-extra-shuffle projection shape as the
+    # entropy path; hurst: per-user collect_list agg (one Exchange)
+    # into one Arrow boundary
+    ap = entrymod.queries()["apen"](spark, sf_dir)
+    p = plan_of(ap)
+    checks.append(
+        ("apen: ONE Arrow boundary, only tokenize's Exchange",
+         p.count("Exchange") == 1 and _py_node_count(p) == 1, p)
+    )
+    hu = entrymod.queries()["hurst"](spark, sf_dir)
+    p = plan_of(hu)
+    checks.append(
+        ("hurst: ONE Arrow boundary, one key Exchange, no joins",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 1, p)
+    )
+
     # 26. holt: the two-state sequential scan — same shape as ewma:
     # one key Exchange into one grouped-Pandas stage, never a global
     # sort / single partition
