@@ -60,6 +60,25 @@ FNV_PRIME = 1099511628211
 _LONG_MAX = (1 << 63) - 1
 
 
+def _widen_narrow_input(docs: DataFrame) -> DataFrame:
+    """Spread a too-narrow input across the cluster before the
+    CPU-heavy per-document hashing.
+
+    Gram hashing is in-row (md5 per word + an interpreted HOF fold per
+    gram) — its parallelism is exactly the INPUT partition count.  A
+    small corpus in one parquet row group therefore hashes on ONE core
+    (measured 40+ s at sf0.1) while the cluster idles.  When the input
+    has fewer than half the session's shuffle partitions, one doc-level
+    repartition buys full-width hashing; at real scale the input
+    already arrives in thousands of splits and this is a no-op, so the
+    100 TB path never pays the extra text shuffle.
+    """
+    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() * 2 <= target:
+        return docs.repartition(target)
+    return docs
+
+
 def _word_hashes(text: Column) -> Column:
     """array<long> of 60-bit md5 word hashes (exactly replayable:
     DuckDB parses the same 15 hex digits via CAST('0x…' AS BIGINT))."""
@@ -108,7 +127,7 @@ def fingerprint_winnow(
     if w < 1:
         raise ValueError("w must be >= 1")
     m = (F.size(F.split(F.col(text_col), " ")) - k + 1).cast("int")
-    staged = docs.select(
+    staged = _widen_narrow_input(docs).select(
         F.col(id_col).alias("doc_id"),
         m.alias("_m"),
         _word_hashes(F.col(text_col)).alias("_whs"),
@@ -144,8 +163,11 @@ def fingerprint_winnow(
         )
 
     sel = F.array_distinct(F.transform(starts, _pick))
+    # explode_outer + null filter for the same InferFiltersFromGenerate
+    # reason documented in _grams_long
     return (
-        staged.select("doc_id", F.explode(sel).alias("s"))
+        staged.select("doc_id", F.explode_outer(sel).alias("s"))
+        .where(F.col("s").isNotNull())
         .select(
             "doc_id",
             F.col("s.pos").alias("pos"),
@@ -204,7 +226,7 @@ def _grams_long(
 ) -> DataFrame:
     """(doc_id, i, g): one row per gram position (1-based)."""
     m = (F.size(F.split(F.col(text_col), " ")) - k + 1).cast("int")
-    staged = docs.select(
+    staged = _widen_narrow_input(docs).select(
         F.col(id_col).alias("doc_id"),
         m.alias("_m"),
         _word_hashes(F.col(text_col)).alias("_whs"),
@@ -212,9 +234,19 @@ def _grams_long(
         "doc_id",
         _gram_hashes(F.col("_whs"), F.col("_m"), k).alias("_g"),
     )
+    # posexplode_OUTER, not posexplode: the inner Generate makes
+    # Spark's InferFiltersFromGenerate rule synthesize a
+    # ``size(_g) > 0`` filter and push it below the widening Exchange —
+    # inlining the ENTIRE gram-hash expression into a Filter that runs
+    # serially on the (often single-partition) scan side.  Measured
+    # 20+ s of duplicated single-core hashing at sf0.1; the outer
+    # variant infers nothing, and the null row an empty array emits is
+    # dropped by a cheap post-explode filter instead.
     return staged.select(
-        "doc_id", F.posexplode(F.col("_g")).alias("i0", "g")
-    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "g")
+        "doc_id", F.posexplode_outer(F.col("_g")).alias("i0", "g")
+    ).where(F.col("g").isNotNull()).select(
+        "doc_id", (F.col("i0") + 1).cast("long").alias("i"), "g"
+    )
 
 
 def duplicate_spans(

@@ -222,8 +222,19 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     fw = entrymod.queries()["fingerprint_winnow"](spark, sf_dir)
     p = plan_of(fw)
     checks.append(
-        ("fingerprint_winnow: in-row codegen, zero shuffle/Python",
-         "Exchange" not in p and _py_node_count(p) == 0, p)
+        # the one allowed Exchange is the input-widening round-robin
+        # repartition (narrow local input -> full-width hashing); the
+        # fingerprinting itself stays in-row — no key shuffle, no
+        # inferred-filter serial re-hash (Generate must be OUTER so
+        # InferFiltersFromGenerate can't push the hash into the scan)
+        ("fingerprint_winnow: in-row codegen, widen-only Exchange, "
+         "no inferred-filter re-hash, no Python",
+         p.count("Exchange") <= 1
+         and "hashpartitioning" not in p
+         # the word-hash expression exists in exactly ONE projection —
+         # an inferred size()>0 filter would duplicate it into the scan
+         and p.count("md5") == 1
+         and _py_node_count(p) == 0, p)
     )
     ds = entrymod.queries()["duplicate_spans"](spark, sf_dir)
     p = plan_of(ds)
