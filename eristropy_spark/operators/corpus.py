@@ -73,14 +73,20 @@ def pmi_collocations(
             lambda x, y: F.struct(x.alias("x"), y.alias("y")),
         ),
     ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    # both count tables PERSIST (vocab-sized): the bigram table feeds
+    # its own total and the ranked rows, the unigram table feeds the
+    # total and BOTH join probes — uncached, Spark would re-scan and
+    # re-explode the corpus for every reference (5 scans instead of 2)
     bi = (
-        docs.select(F.explode(pairs).alias("p"))
+        docs.select(F.explode_outer(pairs).alias("p"))
+        .where(F.col("p").isNotNull())
         .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .groupBy("x", "y")
         .agg(F.count("*").cast("long").alias("cnt"))
         .where(F.col("cnt") >= min_count)
+        .persist()
     )
-    uni = _unigrams(docs, text_col)
+    uni = _unigrams(docs, text_col).persist()
     totals = uni.agg(
         F.sum("cnt").cast("double").alias("_nu"),
     ).crossJoin(
@@ -129,12 +135,30 @@ def corpus_divergence(
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (zero divides on disjoint vocab)")
-    ca = _unigrams(docs_a, text_col).withColumnRenamed("cnt", "cnt_a")
-    cb = _unigrams(docs_b, text_col).withColumnRenamed("cnt", "cnt_b")
-    both = ca.join(cb, "token", "full_outer").select(
-        "token",
-        F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
-        F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+    # ONE tagged union-count pass instead of two counts + a full-outer
+    # join: each corpus explodes once, one token-keyed two-phase
+    # aggregate builds both columns.  The vocab-sized count table
+    # PERSISTS (memory-and-disk) because both the one-row totals and
+    # the per-token rows read it — uncached, the totals' broadcast
+    # subtree would re-scan and re-explode both corpora a second time.
+    tagged = docs_a.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        F.lit(1).alias("_a"),
+        F.lit(0).alias("_b"),
+    ).unionByName(
+        docs_b.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+            F.lit(0).alias("_a"),
+            F.lit(1).alias("_b"),
+        )
+    )
+    both = (
+        tagged.groupBy("token")
+        .agg(
+            F.sum("_a").cast("long").alias("cnt_a"),
+            F.sum("_b").cast("long").alias("cnt_b"),
+        )
+        .persist()
     )
     totals = both.agg(
         F.sum("cnt_a").cast("double").alias("_na"),

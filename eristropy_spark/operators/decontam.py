@@ -79,32 +79,41 @@ def ngram_overlap_decontaminate(
     if min_hits < 1:
         raise ValueError("min_hits must be >= 1")
 
+    from eristropy_spark.functions.partitioning import widen_narrow_input
+
     bench_grams = (
-        benchmark.select(F.explode(_gram_hashes(F.col(text_col), n)).alias("g"))
+        benchmark.select(
+            F.explode_outer(_gram_hashes(F.col(text_col), n)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
 
-    doc_grams = corpus.select(
+    # ONE corpus scan: grams built once, the per-doc size rides along
+    # the explode, and the benchmark probe is a broadcast LEFT join
+    # whose marks the per-doc aggregate counts.  (The previous shape —
+    # separate hits + size branches re-joined on doc_id — hashed the
+    # corpus twice and let InferFiltersFromGenerate push the whole gram
+    # expression into a serial scan-side Filter; explode_outer infers
+    # nothing, and _grams is never empty by construction.)
+    doc_grams = widen_narrow_input(corpus).select(
         F.col(id_col),
         _gram_hashes(F.col(text_col), n).alias("_grams"),
     )
-    hits = (
-        doc_grams.select(id_col, F.explode("_grams").alias("g"))
-        .join(bench_grams, "g")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_hits"))
+    exploded = doc_grams.select(
+        id_col,
+        F.size("_grams").alias("_ng"),
+        F.explode_outer("_grams").alias("g"),
     )
     return (
-        doc_grams.select(id_col, F.size("_grams").alias("n_grams"))
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce("_hits", F.lit(0)).cast("long").alias("n_contaminated"),
-            (F.coalesce("_hits", F.lit(0)) >= F.lit(min_hits)).alias(
-                "contaminated"
-            ),
+        exploded.join(bench_grams, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("_ng").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+            (F.count("_hit") >= F.lit(min_hits)).alias("contaminated"),
         )
     )

@@ -60,23 +60,9 @@ FNV_PRIME = 1099511628211
 _LONG_MAX = (1 << 63) - 1
 
 
-def _widen_narrow_input(docs: DataFrame) -> DataFrame:
-    """Spread a too-narrow input across the cluster before the
-    CPU-heavy per-document hashing.
-
-    Gram hashing is in-row (md5 per word + an interpreted HOF fold per
-    gram) — its parallelism is exactly the INPUT partition count.  A
-    small corpus in one parquet row group therefore hashes on ONE core
-    (measured 40+ s at sf0.1) while the cluster idles.  When the input
-    has fewer than half the session's shuffle partitions, one doc-level
-    repartition buys full-width hashing; at real scale the input
-    already arrives in thousands of splits and this is a no-op, so the
-    100 TB path never pays the extra text shuffle.
-    """
-    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if docs.rdd.getNumPartitions() * 2 <= target:
-        return docs.repartition(target)
-    return docs
+from eristropy_spark.functions.partitioning import (  # noqa: E402
+    widen_narrow_input as _widen_narrow_input,
+)
 
 
 def _word_hashes(text: Column) -> Column:

@@ -167,9 +167,16 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     dc = entrymod.queries()["decontaminate"](spark, sf_dir)
     p = plan_of(dc)
     checks.append(
-        ("decontaminate: benchmark grams broadcast, no Python",
+        ("decontaminate: ONE corpus gram pass, benchmark grams "
+         "broadcast, no Python",
          "BroadcastHashJoin" in p
          and "SortMergeJoin" not in p
+         # each _gram_hashes expression prints the hash twice (lambda +
+         # whole-text branch); corpus once + benchmark once = 4.  The
+         # old two-branch shape re-hashed the corpus and let an
+         # inferred size()>0 filter push a third copy into the scan
+         # (6+ occurrences)
+         and p.count("xxhash64(concat_ws") == 4
          and _py_node_count(p) == 0, p)
     )
     sp = entrymod.queries()["scrub_pii"](spark, sf_dir)
@@ -534,11 +541,12 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     cd = entrymod.queries()["corpus_divergence"](spark, sf_dir)
     p = plan_of(cd)
     checks.append(
-        ("corpus_divergence: token-keyed outer join + 1-row totals "
-         "broadcast, no Python",
+        ("corpus_divergence: one tagged union-count pass (cached, read "
+         "by totals + rows), 1-row totals broadcast, no Python",
          "CartesianProduct" not in p
          and p.count("BroadcastNestedLoopJoin") <= 1
-         and "FullOuter" in p
+         and "Union" in p
+         and "InMemoryTableScan" in p
          and _py_node_count(p) == 0, p)
     )
 
