@@ -333,8 +333,12 @@ def minhash_lsh_pairs(
     them being exactly the blowup to avoid (test pins this semantic).
     Pass ``None`` to disable.
     """
+    from eristropy_spark.functions.partitioning import widen_narrow_input
+
     rows = k // bands
-    sig = docs.select(
+    # signature building is the CPU-heavy Arrow-batched stage — its
+    # parallelism is the INPUT partition count (functions/partitioning)
+    sig = widen_narrow_input(docs).select(
         "doc_id", make_minhash_udf(k, n, seed)(F.col("text")).alias("sig")
     )
     banded = sig.select(
@@ -465,7 +469,11 @@ def simhash_pairs(
         offsets.append(off)
         widths.append(w)
         off += w
-    sig = docs.select("doc_id", make_simhash_udf(2, seed)(F.col("text")).alias("sim"))
+    from eristropy_spark.functions.partitioning import widen_narrow_input
+
+    sig = widen_narrow_input(docs).select(
+        "doc_id", make_simhash_udf(2, seed)(F.col("text")).alias("sim")
+    )
     banded = sig.select(
         "doc_id",
         "sim",

@@ -91,8 +91,10 @@ def embedding_dup_pairs_lsh(
 
     if dim is None:
         dim = probe_dim(emb)
+    from eristropy_spark.functions.partitioning import widen_narrow_input
+
     bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
-    tabled = emb.select(
+    tabled = widen_narrow_input(emb).select(
         "vec_id", bucket_udf(F.col("embedding")).alias("codes")
     ).select("vec_id", F.posexplode("codes").alias("table_id", "bucket"))
     tabled = _drop_hot_buckets(

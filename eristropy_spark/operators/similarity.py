@@ -145,8 +145,10 @@ def cosine_topk_lsh(
 
     if dim is None:
         dim = probe_dim(emb)
+    from eristropy_spark.functions.partitioning import widen_narrow_input
+
     bucket_udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
-    with_b = emb.select(
+    with_b = widen_narrow_input(emb).select(
         "vec_id", bucket_udf(F.col("embedding")).alias("codes")
     )
     tabled = with_b.select(
