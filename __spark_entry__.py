@@ -3357,6 +3357,332 @@ FROM pq
 """
 
 
+
+
+# ------------------------------------------------- round-5 batch: trend
+# tests, distribution entropies, visualization downsample, drawdown
+
+
+def _q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotonic-trend test per signal
+    (operators/robust.mann_kendall): exact-integer S + tie-corrected
+    variance, vectorized O(n²) sign census inside one mapInArrow
+    boundary — zero shuffle beyond tokenize's own."""
+    from eristropy_spark.operators.robust import mann_kendall
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = mann_kendall(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        "s",
+        "var_s",
+        _r6("z").alias("z"),
+        _r6("tau").alias("tau"),
+    )
+
+
+_ORACLE_MANN_KENDALL = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+), sgn AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN b.tok > a.tok THEN 1
+                       WHEN b.tok < a.tok THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.i > a.i
+  GROUP BY a.doc_id
+), ties AS (
+  SELECT doc_id,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS t
+        FROM pts GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), st AS (
+  SELECT n.doc_id, n.n, s.s,
+         CASE WHEN n.n < 2 THEN NULL
+              ELSE (CAST(n.n AS BIGINT) * (n.n - 1) * (2 * n.n + 5)
+                    - t.tie_term) / 18.0 END AS var_s
+  FROM nn n LEFT JOIN sgn s USING (doc_id) LEFT JOIN ties t USING (doc_id)
+)
+SELECT doc_id, n, s, var_s,
+       floor((CASE WHEN var_s IS NULL THEN NULL
+                   WHEN var_s <= 0 THEN NULL
+                   WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                   WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                   ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS z,
+       floor((s / (n * (n - 1) / 2.0)) * 1000000 + 0.5) / 1000000 AS tau
+FROM st
+"""
+
+
+def _q_pettitt(spark, sf_dir):
+    """Pettitt rank-based change-point test per signal
+    (operators/changepoint.pettitt): exact-integer U_t prefix
+    statistics inside one mapInArrow boundary; the single exp() in the
+    p-value is the only float op."""
+    from eristropy_spark.operators.changepoint import pettitt
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = pettitt(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        "k_stat",
+        "t_star",
+        "u_at_t",
+        _r6("p_approx").alias("p_approx"),
+    )
+
+
+_ORACLE_PETTITT = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+), cv AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM pts GROUP BY doc_id, tok
+), cl AS (
+  SELECT doc_id, tok, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY tok)
+              AS BIGINT) - c AS less
+  FROM cv
+), si AS (
+  SELECT p.doc_id, p.i, 2 * cl.less - nn.n + cl.c AS s
+  FROM pts p
+  JOIN cl ON cl.doc_id = p.doc_id AND cl.tok = p.tok
+  JOIN nn ON nn.doc_id = p.doc_id
+), u AS (
+  SELECT doc_id, i,
+         CAST(sum(s) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS ut
+  FROM si
+), cand AS (
+  SELECT u.doc_id, u.i, u.ut, abs(u.ut) AS au,
+         row_number() OVER (PARTITION BY u.doc_id
+                            ORDER BY abs(u.ut) DESC, u.i) AS rn
+  FROM u JOIN nn ON nn.doc_id = u.doc_id
+  WHERE u.i <= nn.n - 2
+)
+SELECT nn.doc_id, nn.n,
+       c.au AS k_stat,
+       CAST(c.i + 1 AS INT) AS t_star,
+       c.ut AS u_at_t,
+       floor(least(1.0, 2.0 * exp(-6.0 * (c.au * c.au)
+             / CAST(CAST(nn.n AS BIGINT) * nn.n * nn.n
+                    + CAST(nn.n AS BIGINT) * nn.n AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS p_approx
+FROM nn LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (doc_id)
+"""
+
+
+def _q_renyi_entropy(spark, sf_dir):
+    """Rényi entropy spectrum of each document's token histogram
+    (operators/distribution.renyi_entropy): Shannon H1, collision H2,
+    min-entropy, type-token ratio — two two-phase hash aggregates,
+    DECIMAL-exact quantized sums, no Python anywhere."""
+    from eristropy_spark.operators.distribution import renyi_entropy
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = renyi_entropy(tokens, array_col="tokens", id_col="doc_id")
+    return r.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        _r6("ttr").alias("ttr"),
+        _r6("h_shannon").alias("h_shannon"),
+        _r6("h_renyi2").alias("h_renyi2"),
+        _r6("h_min").alias("h_min"),
+    )
+
+
+_ORACLE_RENYI = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok
+  FROM events
+), cv AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM pts GROUP BY doc_id, tok
+), nn AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS cmax
+  FROM cv GROUP BY doc_id
+), terms AS (
+  SELECT cv.doc_id, CAST(cv.c AS DOUBLE) / CAST(nn.n AS DOUBLE) AS p
+  FROM cv JOIN nn USING (doc_id)
+), red AS (
+  SELECT doc_id,
+         -CAST(sum(CAST(floor(p * ln(p) * 1000000000000.0 + 0.5)
+                          / 1000000000000.0 AS DECIMAL(38, 12)))
+               AS DOUBLE) AS h_shannon,
+         -ln(CAST(sum(CAST(floor(p * p * 1000000000000.0 + 0.5)
+                             / 1000000000000.0 AS DECIMAL(38, 12)))
+                  AS DOUBLE)) AS h_renyi2
+  FROM terms GROUP BY doc_id
+)
+SELECT n.doc_id, n.n AS n_tok, n.n_distinct,
+       floor(CAST(n.n_distinct AS DOUBLE) / CAST(n.n AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS ttr,
+       floor(r.h_shannon * 1000000 + 0.5) / 1000000 AS h_shannon,
+       floor(r.h_renyi2 * 1000000 + 0.5) / 1000000 AS h_renyi2,
+       floor(-ln(CAST(n.cmax AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS h_min
+FROM nn n JOIN red r USING (doc_id)
+"""
+
+
+def _q_m4_downsample(spark, sf_dir):
+    """M4 pixel-exact visualization downsample per (source, hour)
+    (operators/rollup.m4_downsample): first/last/min/max points WITH
+    their timestamps via min_by/max_by — ONE two-phase hash aggregate,
+    mergeable states, no window functions."""
+    from eristropy_spark.operators.rollup import m4_downsample
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "event_id", "value"
+    )
+    return m4_downsample(ev, "hour", tiebreak_col="event_id")
+
+
+_ORACLE_M4 = """
+WITH x AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket, ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY value, ts, event_id) AS rn_vmin,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY value DESC, ts DESC, event_id DESC)
+             AS rn_vmax
+  FROM events
+)
+SELECT source, bucket,
+       max(CASE WHEN rn_a = 1 THEN ts END) AS t_first,
+       max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       max(CASE WHEN rn_d = 1 THEN ts END) AS t_last,
+       max(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+       max(CASE WHEN rn_vmin = 1 THEN ts END) AS t_min,
+       max(CASE WHEN rn_vmin = 1 THEN value END) AS v_min,
+       max(CASE WHEN rn_vmax = 1 THEN ts END) AS t_max,
+       max(CASE WHEN rn_vmax = 1 THEN value END) AS v_max,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY source, bucket
+"""
+
+
+def _q_max_drawdown(spark, sf_dir):
+    """Per-user maximum drawdown (operators/rolling.max_drawdown):
+    running-max window (O(1) streaming state) + per-key argmax via
+    two-phase min_by — ONE per-key exchange, every double one exact
+    arithmetic op."""
+    from eristropy_spark.operators.rolling import max_drawdown
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return max_drawdown(ev, "user_id", tiebreak_col="event_id")
+
+
+_ORACLE_MAX_DRAWDOWN = """
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM events
+), d AS (
+  SELECT user_id, ts, event_id, value, peak, peak - value AS dd,
+         max(peak - value) OVER (PARTITION BY user_id) AS maxdd,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM x
+), f AS (
+  SELECT user_id, n, peak, value, ts, maxdd,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM d WHERE dd = maxdd
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, peak AS peak_value,
+       value AS trough_value, ts AS trough_ts, maxdd AS max_drawdown
+FROM f WHERE rn = 1
+"""
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Zipf's-law OLS fit over the corpus top-300 unigram table
+    (operators/corpus.zipf_fit): two-phase vocab count, TakeOrdered
+    top-k, DECIMAL-exact quantized moment sums, closed-form fit."""
+    from eristropy_spark.operators.corpus import zipf_fit
+
+    docs = _docs(spark, sf_dir)
+    r = zipf_fit(docs, top_k=300)
+    return r.select(
+        "n_tokens",
+        _r6("slope").alias("slope"),
+        _r6("intercept").alias("intercept"),
+        _r6("r2").alias("r2"),
+    )
+
+
+_ORACLE_ZIPF = """
+WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  ORDER BY cnt DESC, token
+  LIMIT 300
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, cnt
+  FROM vocab
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE))
+                             * 1000000000000.0 + 0.5) / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE))
+                             * 1000000000000.0 + 0.5) / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE))
+                             * ln(CAST(rank AS DOUBLE))
+                             * 1000000000000.0 + 0.5) / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE))
+                             * ln(CAST(cnt AS DOUBLE))
+                             * 1000000000000.0 + 0.5) / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE))
+                             * ln(CAST(cnt AS DOUBLE))
+                             * 1000000000000.0 + 0.5) / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT k AS n_tokens,
+       floor(((sxy - sx * sy / CAST(k AS DOUBLE))
+              / (sxx - sx * sx / CAST(k AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS slope,
+       floor((sy / CAST(k AS DOUBLE)
+              - ((sxy - sx * sy / CAST(k AS DOUBLE))
+                 / (sxx - sx * sx / CAST(k AS DOUBLE)))
+                * (sx / CAST(k AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS intercept,
+       floor((((sxy - sx * sy / CAST(k AS DOUBLE))
+               * (sxy - sx * sy / CAST(k AS DOUBLE)))
+              / ((sxx - sx * sx / CAST(k AS DOUBLE))
+                 * (syy - sy * sy / CAST(k AS DOUBLE))))
+             * 1000000 + 0.5) / 1000000 AS r2
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -3435,6 +3761,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": _q_fingerprint_winnow,
         "fingerprint_overlap": _q_fingerprint_overlap,
         "duplicate_spans": _q_duplicate_spans,
+        "mann_kendall": _q_mann_kendall,
+        "pettitt": _q_pettitt,
+        "renyi_entropy": _q_renyi_entropy,
+        "m4_downsample": _q_m4_downsample,
+        "max_drawdown": _q_max_drawdown,
+        "zipf_fit": _q_zipf_fit,
     }
 
 
@@ -3518,6 +3850,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_winnow": _ORACLE_FINGERPRINT_WINNOW,
         "fingerprint_overlap": _ORACLE_FINGERPRINT_OVERLAP,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
+        "mann_kendall": _ORACLE_MANN_KENDALL,
+        "pettitt": _ORACLE_PETTITT,
+        "renyi_entropy": _ORACLE_RENYI,
+        "m4_downsample": _ORACLE_M4,
+        "max_drawdown": _ORACLE_MAX_DRAWDOWN,
+        "zipf_fit": _ORACLE_ZIPF,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum_changepoints"]
+__all__ = ["cusum_changepoints", "pettitt"]
 
 
 def _floor_round(c: Column, d: int) -> Column:
@@ -148,3 +148,121 @@ def cusum_changepoints(
         (F.col("cusum_pos") > F.lit(float(h)))
         | (F.col("cusum_neg") > F.lit(float(h))),
     )
+
+
+def pettitt(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Pettitt single change-point test per signal (Pettitt 1979,
+    Applied Statistics 28) — the rank-based (distribution-free) test
+    for an abrupt level shift at an unknown time: the non-parametric
+    partner to CUSUM (which needs a target/allowance in value units).
+    Standard in hydrology/climate homogeneity screening; here, "did
+    this source's token statistics jump somewhere mid-ingest, and
+    when?".
+
+    For x_1..x_n define U_t = Σ_{i<=t} Σ_{j>t} sign(x_i - x_j).
+    The test statistic is K = max_{1<=t<n} |U_t| with changepoint
+    estimate t* = argmax (earliest on ties), and the classic
+    approximate significance p ≈ min(1, 2·exp(-6K²/(n³+n²))).
+
+    U_t is computed exactly in integers via the prefix identity
+
+        U_t = Σ_{i<=t} s_i,   s_i = Σ_j sign(x_i - x_j)
+                                 = 2·(#less than x_i) - n + (#tied with x_i)
+
+    so K, t*, and U_{t*} are exact (no float accumulation anywhere);
+    the single exp() in the p-value is the only float op, giving an
+    independent SQL replay bit-identical doubles.
+
+    Returns (*keep_cols, n, k_stat, t_star, u_at_t, p_approx); signals
+    with n < 2 emit NULL statistics.  t_star is 1-based: the shift is
+    between positions t_star and t_star+1.
+
+    Scale shape: zero shuffle — one row per signal (the tokenize array
+    layout), O(n log n) per signal (one sort for the rank census)
+    inside ONE ``mapInArrow`` boundary over zero-copy list views.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("n", IntegerType()),
+            StructField("k_stat", LongType()),
+            StructField("t_star", IntegerType()),
+            StructField("u_at_t", LongType()),
+            StructField("p_approx", DoubleType()),
+        ]
+    )
+
+    def _compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            ns: list[int] = []
+            ks: list[int | None] = []
+            ts: list[int | None] = []
+            us: list[int | None] = []
+            ps: list[float | None] = []
+            for v in views:
+                n = 0 if v is None else int(v.size)
+                ns.append(n)
+                if n < 2:
+                    ks.append(None)
+                    ts.append(None)
+                    us.append(None)
+                    ps.append(None)
+                    continue
+                x = np.asarray(v)
+                uniq, inv, counts = np.unique(
+                    x, return_inverse=True, return_counts=True
+                )
+                counts = counts.astype(np.int64)
+                cum_less = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                s = 2 * cum_less[inv] - n + counts[inv]
+                u = np.cumsum(s)[:-1]  # t = 1..n-1
+                absu = np.abs(u)
+                t0 = int(np.argmax(absu))  # earliest max (argmax rule)
+                k = int(absu[t0])
+                ks.append(k)
+                ts.append(t0 + 1)
+                us.append(int(u[t0]))
+                # math.exp, not np.exp: the scalar libm call is what the
+                # SQL replay's exp() evaluates; numpy's vectorized exp can
+                # differ in the last ulp
+                ps.append(
+                    min(
+                        1.0,
+                        2.0 * math.exp(-6.0 * (k * k) / (n**3 + float(n * n))),
+                    )
+                )
+            arrays = [batch.column(c) for c in keep_cols]
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array(ks, type=pa.int64()))
+            arrays.append(pa.array(ts, type=pa.int32()))
+            arrays.append(pa.array(us, type=pa.int64()))
+            arrays.append(pa.array(ps, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, "n", "k_stat", "t_star", "u_at_t", "p_approx"]
+            )
+
+    return src.mapInArrow(_compute, schema)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.numeric import round6
 
-__all__ = ["pmi_collocations", "corpus_divergence"]
+__all__ = ["pmi_collocations", "corpus_divergence", "zipf_fit"]
 
 
 def _unigrams(docs: DataFrame, text_col: str) -> DataFrame:
@@ -180,4 +180,78 @@ def corpus_divergence(
         round6(q).alias("p_b"),
         round6(kl_ab).alias("kl_ab"),
         round6(js).alias("js"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+    min_rank: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram frequency table: OLS of
+    ln(count) on ln(rank) across the ``top_k`` most frequent tokens —
+    the classic corpus-health diagnostic (natural text shows slope
+    ≈ -1; a shallow slope flags boilerplate-heavy or deduplicated-flat
+    corpora, a steep one template spam; Zipf 1949, and Piantadosi 2014
+    for the modern two-regime reading, which ``min_rank`` lets you
+    probe by excluding the function-word head).
+
+    Returns ONE row: (n_tokens, slope, intercept, r2) with
+    intercept = mean(y) - slope * mean(x) in ln space.
+
+    Exactness: ranks are dense integers (count desc, token asc — total
+    order, so the ranking is deterministic); each ln(rank)/ln(count)
+    term and each product is 12-dp-quantized and summed as
+    DECIMAL(38, 12) (associative-exact under any partitioning), and
+    the closed-form slope/intercept/r² are then a fixed sequence of
+    double ops — an independent SQL engine reproduces every double.
+
+    Scale shape: the unigram count is the standard two-phase hash
+    aggregate (text never shuffles past the in-row explode); the
+    top-k selection is a global TakeOrdered over (count, token) —
+    K rows to the driver-side stage, never the vocabulary; the fit
+    itself is one tiny aggregate over K rows.
+    """
+    if top_k < 3:
+        raise ValueError("top_k must be >= 3 (a 2-point fit is exact noise)")
+    if min_rank < 1:
+        raise ValueError("min_rank must be >= 1")
+    from pyspark.sql import Window
+
+    from eristropy_spark.operators.changepoint import _floor_round
+
+    vocab = _unigrams(docs, text_col)
+    top = vocab.orderBy(F.col("cnt").desc(), "token").limit(top_k + min_rank - 1)
+    # K + min_rank - 1 rows: the window below is a single tiny task
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .alias("rank"),
+        "cnt",
+    ).where(F.col("rank") >= min_rank)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def _d(c):
+        return _floor_round(c, 12).cast("decimal(38, 12)")
+
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(_d(x)).cast("double").alias("sx"),
+        F.sum(_d(y)).cast("double").alias("sy"),
+        F.sum(_d(x * x)).cast("double").alias("sxx"),
+        F.sum(_d(y * y)).cast("double").alias("syy"),
+        F.sum(_d(x * y)).cast("double").alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / kd
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / kd
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / kd
+    slope = cov / varx
+    return agg.select(
+        F.col("k").alias("n_tokens"),
+        slope.alias("slope"),
+        (F.col("sy") / kd - slope * (F.col("sx") / kd)).alias("intercept"),
+        ((cov * cov) / (varx * vary)).alias("r2"),
     )

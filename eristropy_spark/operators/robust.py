@@ -29,9 +29,15 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
-__all__ = ["theilsen_trend"]
+__all__ = ["theilsen_trend", "mann_kendall"]
 
 
 def _qcont(sorted_vals, p: float):
@@ -110,6 +116,115 @@ def theilsen_trend(
             arrays.append(pa.array(icepts, type=pa.float64()))
             yield pa.RecordBatch.from_arrays(
                 arrays, [*keep_cols, "n", "slope", "intercept"]
+            )
+
+    return src.mapInArrow(_compute, schema)
+
+
+def mann_kendall(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    max_points: int = 4096,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per signal (Mann 1945,
+    Kendall 1975) — the standard non-parametric companion to the
+    Theil–Sen slope: does this series trend at all, before asking how
+    steeply?  Distribution-free, tie-aware, and the hypothesis test the
+    WMO recommends for hydrological/climate drift — here, the detector
+    for "is this source's token statistics drifting over ingest time".
+
+    Per signal x_0..x_{n-1}:
+
+        S     = sum over i<j of sign(x_j - x_i)
+        var_S = [n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18
+                (t_g = size of each tied-value group)
+        z     = (S-1)/sqrt(var_S) if S>0, 0 if S=0, (S+1)/sqrt(var_S)
+        tau   = S / (n(n-1)/2)           (Kendall's tau-a)
+
+    S and the tie term are exact integers; the only float ops are the
+    two final divisions and one sqrt, evaluated in the same order as
+    the SQL replay, so an independent engine reproduces every double
+    bit-for-bit.  Signals with n < 2 emit NULL stats; a degenerate
+    all-tied signal (var_S = 0) emits NULL z.
+
+    Scale shape: zero shuffle — one row per signal carrying its value
+    array (the tokenize layout), the O(n²) sign comparison vectorized
+    inside ONE ``mapInArrow`` boundary over zero-copy list views.
+    ``max_points`` fail-louds a series whose pair matrix would blow
+    task memory (the n² is inherent to the exact statistic; pre-bucket
+    longer series, or note S is computable in O(n log n) via inversion
+    counting if an exact long-series variant is ever needed).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("n", IntegerType()),
+            StructField("s", LongType()),
+            StructField("var_s", DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("tau", DoubleType()),
+        ]
+    )
+
+    def _compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            ns: list[int] = []
+            ss: list[int | None] = []
+            vs: list[float | None] = []
+            zs: list[float | None] = []
+            taus: list[float | None] = []
+            for v in views:
+                n = 0 if v is None else int(v.size)
+                ns.append(n)
+                if n < 2:
+                    ss.append(None)
+                    vs.append(None)
+                    zs.append(None)
+                    taus.append(None)
+                    continue
+                if n > max_points:
+                    raise ValueError(
+                        f"mann_kendall: signal has {n} points > "
+                        f"max_points={max_points}; the O(n²) sign matrix "
+                        "would blow task memory — pre-aggregate to a "
+                        "coarser grain or raise max_points explicitly"
+                    )
+                x = np.asarray(v)
+                i, j = np.triu_indices(n, k=1)
+                s = int(np.sign(x[j].astype(np.int64) - x[i].astype(np.int64)).sum())
+                _, counts = np.unique(x, return_counts=True)
+                t = counts.astype(np.int64)
+                tie_term = int((t * (t - 1) * (2 * t + 5)).sum())
+                var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+                if s > 0:
+                    z = (s - 1) / np.sqrt(var_s) if var_s > 0.0 else None
+                elif s < 0:
+                    z = (s + 1) / np.sqrt(var_s) if var_s > 0.0 else None
+                else:
+                    z = 0.0 if var_s > 0.0 else None
+                ss.append(s)
+                vs.append(var_s)
+                zs.append(float(z) if z is not None else None)
+                taus.append(s / (n * (n - 1) / 2.0))
+            arrays = [batch.column(c) for c in keep_cols]
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array(ss, type=pa.int64()))
+            arrays.append(pa.array(vs, type=pa.float64()))
+            arrays.append(pa.array(zs, type=pa.float64()))
+            arrays.append(pa.array(taus, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, "n", "s", "var_s", "z", "tau"]
             )
 
     return src.mapInArrow(_compute, schema)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_stats", "rolling_zscore", "rolling_quantile"]
+__all__ = ["rolling_stats", "rolling_zscore", "rolling_quantile", "max_drawdown"]
 
 _STATS = ("mean", "std", "min", "max", "n")
 
@@ -171,3 +171,83 @@ def rolling_zscore(
     std = F.stddev_samp(v).over(w)
     z = F.when((n >= min_points) & (std > 0), (v - mean) / std)
     return df.withColumn(z_col, z)
+
+
+def max_drawdown(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key maximum drawdown — the largest peak-to-trough drop of a
+    series in time order: max_t (max_{i<=t} x_i - x_t).  The canonical
+    "how far did this metric fall from its best" monitor (finance's
+    risk staple, equally the regression detector for throughput/quality
+    series in a pipeline dashboard).
+
+    Returns one row per key: (key..., n, peak_value, trough_value,
+    trough_ts, max_drawdown) where trough_ts is the EARLIEST time the
+    maximum drawdown is attained and peak_value the running maximum at
+    that moment.  Keys with a single point report zero drawdown.
+
+    Exactness: the running max is pure comparison, the drawdown a
+    single subtraction per row, and the argmax resolves ties by
+    (ts, tiebreak) — every output double is produced by one arithmetic
+    op on exact operands, so an independent window-SQL replay matches
+    bit-for-bit.
+
+    Scale shape: ONE per-key exchange; the running max is a streaming
+    unbounded-preceding frame (O(1) state in Spark's running-frame
+    evaluator, whole-stage codegen), the per-key max an aggregate over
+    the same partitioning (no second shuffle), and the final argmax a
+    two-phase min_by.  No Python, no per-key buffering: a key with a
+    billion points streams.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    tb = [F.col("_k")] if tiebreak_col is not None else []
+    staged = df.select(
+        *keys,
+        F.col(ts_col).alias("_t"),
+        F.col(value_col).alias("_v"),
+        *([F.col(tiebreak_col).alias("_k")] if tiebreak_col is not None else []),
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t"), *tb)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    staged = (
+        staged.withColumn("_peak", F.max("_v").over(w_run))
+        .withColumn("_dd", F.col("_peak") - F.col("_v"))
+        .withColumn("_maxdd", F.max("_dd").over(w_all))
+        .withColumn("_n", F.count("*").over(w_all))
+    )
+    okey = (
+        F.struct(F.col("_t"), F.col("_k"))
+        if tiebreak_col is not None
+        else F.col("_t")
+    )
+    at_tr = F.struct(
+        F.col("_peak").alias("p"),
+        F.col("_v").alias("v"),
+        F.col("_t").alias("t"),
+    )
+    return (
+        staged.where(F.col("_dd") == F.col("_maxdd"))
+        .groupBy(*keys)
+        .agg(
+            F.first("_n").cast("long").alias("n"),
+            F.min_by(at_tr, okey).alias("_at"),
+            F.first("_maxdd").alias("max_drawdown"),
+        )
+        .select(
+            *keys,
+            "n",
+            F.col("_at.p").alias("peak_value"),
+            F.col("_at.v").alias("trough_value"),
+            F.col("_at.t").alias("trough_ts"),
+            "max_drawdown",
+        )
+    )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
-__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "histogram_rollup", "TIER_SPECS"]
+__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "histogram_rollup", "m4_downsample", "TIER_SPECS"]
 
 # tier name -> truncation unit for date_trunc
 TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
@@ -306,4 +306,71 @@ def histogram_rollup(
             bin_.alias("bin"),
         )
         .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def m4_downsample(
+    points: DataFrame,
+    unit: str,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """M4 visualization downsample (Jugel et al., VLDB 2014): per
+    (source, time-bucket), the four points that make a line rendering
+    pixel-exact — first/last by event time plus the value extrema WITH
+    their timestamps (which plain OHLC discards; the extremum's
+    x-position is what keeps the rendered polyline error-free).
+
+    Output is wide form, one row per bucket:
+    (source, bucket, t_first, v_first, t_last, v_last,
+     t_min, v_min, t_max, v_max, n).
+
+    Every column is a ``min_by``/``max_by`` over an ordering key, so
+    the whole operator is ONE two-phase hash aggregate with small
+    mergeable partial states — the same plan shape as a sum rollup:
+    map-side combine, one shuffle carrying one ~80-byte state per
+    group, no window functions, no second pass.  At 100 TB the input
+    never re-sorts; each task folds its rows into per-group states.
+
+    Value extrema tiebreak on the lexicographic (value, ts, tiebreak)
+    struct key, so an equal-valued minimum picks its earliest
+    occurrence and an equal-valued maximum its latest — deterministic
+    either way; pass
+    ``tiebreak_col`` whenever timestamps can collide (same contract as
+    ``ohlc_rollup``).
+    """
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    if tiebreak_col is not None:
+        k = F.col(tiebreak_col)
+        okey = F.struct(ts.alias("t"), k.alias("k"))
+        vkey = F.struct(v.alias("v"), ts.alias("t"), k.alias("k"))
+    else:
+        okey = ts
+        vkey = F.struct(v.alias("v"), ts.alias("t"))
+    pt = F.struct(ts.alias("t"), v.alias("v"))
+    agg = points.groupBy(
+        F.col(source_col).alias("source"),
+        F.date_trunc(unit, ts).alias("bucket"),
+    ).agg(
+        F.min_by(pt, okey).alias("_first"),
+        F.max_by(pt, okey).alias("_last"),
+        F.min_by(pt, vkey).alias("_vmin"),
+        F.max_by(pt, vkey).alias("_vmax"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "source",
+        "bucket",
+        F.col("_first.t").alias("t_first"),
+        F.col("_first.v").alias("v_first"),
+        F.col("_last.t").alias("t_last"),
+        F.col("_last.v").alias("v_last"),
+        F.col("_vmin.t").alias("t_min"),
+        F.col("_vmin.v").alias("v_min"),
+        F.col("_vmax.t").alias("t_max"),
+        F.col("_vmax.v").alias("v_max"),
+        "n",
     )
