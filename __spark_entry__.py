@@ -3513,32 +3513,28 @@ WITH pts AS (
 ), cv AS (
   SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
   FROM pts GROUP BY doc_id, tok
-), nn AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-         CAST(count(*) AS BIGINT) AS n_distinct,
-         CAST(max(c) AS BIGINT) AS cmax
-  FROM cv GROUP BY doc_id
-), terms AS (
-  SELECT cv.doc_id, CAST(cv.c AS DOUBLE) / CAST(nn.n AS DOUBLE) AS p
-  FROM cv JOIN nn USING (doc_id)
 ), red AS (
   SELECT doc_id,
-         -CAST(sum(CAST(floor(p * ln(p) * 1000000000000.0 + 0.5)
-                          / 1000000000000.0 AS DECIMAL(38, 12)))
-               AS DOUBLE) AS h_shannon,
-         -ln(CAST(sum(CAST(floor(p * p * 1000000000000.0 + 0.5)
-                             / 1000000000000.0 AS DECIMAL(38, 12)))
-                  AS DOUBLE)) AS h_renyi2
-  FROM terms GROUP BY doc_id
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS cmax,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                             * 1000000000000.0 + 0.5) / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS slog
+  FROM cv GROUP BY doc_id
 )
-SELECT n.doc_id, n.n AS n_tok, n.n_distinct,
-       floor(CAST(n.n_distinct AS DOUBLE) / CAST(n.n AS DOUBLE)
+SELECT doc_id, n AS n_tok, n_distinct,
+       floor(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)
              * 1000000 + 0.5) / 1000000 AS ttr,
-       floor(r.h_shannon * 1000000 + 0.5) / 1000000 AS h_shannon,
-       floor(r.h_renyi2 * 1000000 + 0.5) / 1000000 AS h_renyi2,
-       floor(-ln(CAST(n.cmax AS DOUBLE) / CAST(n.n AS DOUBLE))
+       floor((ln(CAST(n AS DOUBLE)) - slog / CAST(n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS h_shannon,
+       floor(-ln(CAST(s2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS h_renyi2,
+       floor(-ln(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE))
              * 1000000 + 0.5) / 1000000 AS h_min
-FROM nn n JOIN red r USING (doc_id)
+FROM red
 """
 
 

@@ -550,4 +550,65 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 29. mann_kendall / pettitt: the array-layout kernel class — ONE
+    # mapInArrow boundary, only tokenize's own Exchange, no joins
+    for qname in ("mann_kendall", "pettitt"):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (f"{qname}: ONE Arrow boundary, only tokenize's Exchange",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and _py_node_count(p) == 1, p)
+        )
+
+    # 30. renyi_entropy: tokenize + two two-phase hash aggregates +
+    # the pruned empties-union scan — no joins, no windows, no Python
+    rq = entrymod.queries()["renyi_entropy"](spark, sf_dir)
+    p = plan_of(rq)
+    checks.append(
+        ("renyi_entropy: <=3 Exchanges, no Join/Window, zero Python",
+         p.count("Exchange") <= 3
+         and "Join" not in p
+         and "Window" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 31. m4_downsample: ONE two-phase hash aggregate — a single
+    # Exchange, no window functions, no Python (the whole point of the
+    # min_by/max_by formulation)
+    mq = entrymod.queries()["m4_downsample"](spark, sf_dir)
+    p = plan_of(mq)
+    checks.append(
+        ("m4_downsample: ONE Exchange, no Window, zero Python",
+         p.count("Exchange") == 1
+         and "Window" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 32. max_drawdown: one per-key Exchange feeds the running-max
+    # window, the full-key window, AND the final aggregate (same
+    # partitioning reused) — never a single-partition stage, no Python
+    dq = entrymod.queries()["max_drawdown"](spark, sf_dir)
+    p = plan_of(dq)
+    checks.append(
+        ("max_drawdown: one key Exchange reused by windows+agg, "
+         "no single-partition stage, zero Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 33. zipf_fit: top-k as TakeOrdered (bounded heap, no global
+    # Sort), the fit a tiny final aggregate — no cartesian, no Python
+    zq = entrymod.queries()["zipf_fit"](spark, sf_dir)
+    p = plan_of(zq)
+    checks.append(
+        ("zipf_fit: TakeOrdered top-k, no cartesian, zero Python",
+         "TakeOrderedAndProject" in p
+         and "CartesianProduct" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
