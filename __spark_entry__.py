@@ -3679,6 +3679,355 @@ FROM t
 """
 
 
+def _q_ks_drift(spark, sf_dir):
+    """Two-sample KS drift per signal (operators/drift.ks_drift):
+    first-half vs second-half empirical CDFs, exact-integer sup
+    statistic (|cumA·nB − cumB·nA|), one-term Smirnov bound — three
+    keyed Exchanges, all streaming frames, no joins, no Python."""
+    from eristropy_spark.operators.drift import ks_drift
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id", "value")
+    r = ks_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "d_num",
+        _r6("d").alias("d"),
+        _r6("lambda_sq").alias("lambda_sq"),
+        _r6("p_bound").alias("p_bound"),
+    )
+
+
+_ORACLE_KS_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER w AS BIGINT) AS cumb
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT user_id, event_type, cuma, cumb,
+         max(cuma) OVER (PARTITION BY user_id, event_type) AS na,
+         max(cumb) OVER (PARTITION BY user_id, event_type) AS nb
+  FROM cum
+), red AS (
+  SELECT user_id, event_type,
+         max(na) AS n_ref, max(nb) AS n_cur,
+         max(abs(cuma * nb - cumb * na)) AS d_num
+  FROM tot GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_ref, n_cur, d_num,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor((CAST(d_num AS DOUBLE)
+                / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 END AS d,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(((CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                 / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))
+                * (CAST(d_num AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+                * (CAST(d_num AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 END AS lambda_sq,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(least(1.0, 2.0 * exp(-2.0
+                 * ((CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                     / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))
+                    * (CAST(d_num AS DOUBLE)
+                       / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+                    * (CAST(d_num AS DOUBLE)
+                       / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))))))
+               * 1000000 + 0.5) / 1000000 END AS p_bound
+FROM red
+"""
+
+
+def _q_psi_drift(spark, sf_dir):
+    """PSI drift per signal (operators/drift.psi_drift): 10 equal-width
+    bins of the key's own range, Laplace-smoothed Jeffreys-divergence
+    terms on the 12-dp DECIMAL grid, missing bins via the analytic
+    closure — no joins, no scaffold rows, no Python."""
+    from eristropy_spark.operators.drift import psi_drift
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id", "value")
+    r = psi_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id", n_bins=10)
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "n_bins_used",
+        _r6("psi").alias("psi"),
+    )
+
+
+_ORACLE_PSI_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n,
+         min(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id, event_type) AS lo,
+         max(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id, event_type) AS hi
+  FROM events
+), binned AS (
+  SELECT user_id, event_type, (i < n // 2) AS ref,
+         CASE WHEN hi > lo THEN
+           least(CAST(9 AS BIGINT),
+                 CAST(floor((v - lo) * 10.0 / (hi - lo)) AS BIGINT))
+         ELSE CAST(0 AS BIGINT) END AS bin
+  FROM pts
+), cv AS (
+  SELECT user_id, event_type, bin,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM binned GROUP BY user_id, event_type, bin
+), tot AS (
+  SELECT user_id, event_type, ca, cb,
+         CAST(sum(ca) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS na,
+         CAST(sum(cb) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS nb
+  FROM cv
+), terms AS (
+  SELECT user_id, event_type, na, nb,
+         CAST(floor((((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0)
+                      - (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))
+                     * ln(((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+                          / ((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))))
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS term,
+         floor(((0.5 / (CAST(na AS DOUBLE) + 5.0)
+                 - 0.5 / (CAST(nb AS DOUBLE) + 5.0))
+                * ln((0.5 / (CAST(na AS DOUBLE) + 5.0))
+                     / (0.5 / (CAST(nb AS DOUBLE) + 5.0))))
+               * 1000000000000.0 + 0.5) / 1000000000000.0 AS term0
+  FROM tot
+), red AS (
+  SELECT user_id, event_type,
+         max(na) AS n_ref, max(nb) AS n_cur,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(term) AS DOUBLE) AS s,
+         max(term0) AS t0
+  FROM terms GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_ref, n_cur, CAST(10 AS INT) AS n_bins_used,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor((s + (10.0 - CAST(m AS DOUBLE)) * t0) * 1000000 + 0.5)
+         / 1000000 END AS psi
+FROM red
+"""
+
+
+def _q_hill_tail(spark, sf_dir):
+    """Hill tail-index estimator per signal (operators/tails.hill_tail):
+    per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
+    log sums, closed-form H and alpha — one keyed Exchange total."""
+    from eristropy_spark.operators.tails import hill_tail
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "event_id", "value")
+    r = hill_tail(ev, ("user_id", "event_type"), tiebreak_cols=("event_id",), k=20)
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_pos",
+        _r6("x_kth").alias("x_kth"),
+        _r6("hill").alias("hill"),
+        _r6("alpha").alias("alpha"),
+    )
+
+
+_ORACLE_HILL = """
+WITH pts AS (
+  SELECT user_id, event_type, abs(CAST(value AS DOUBLE)) AS x, event_id
+  FROM events WHERE abs(CAST(value AS DOUBLE)) > 0
+), ranked AS (
+  SELECT user_id, event_type, x,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY x DESC, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS np
+  FROM pts
+), kept AS (
+  SELECT * FROM ranked WHERE rn <= 21
+), red AS (
+  SELECT user_id, event_type,
+         CAST(max(np) AS BIGINT) AS n_pos,
+         min(x) AS xref,
+         CAST(sum(CASE WHEN rn <= 20 THEN
+           CAST(floor(ln(x) * 1000000000000.0 + 0.5) / 1000000000000.0
+                AS DECIMAL(38, 12)) END) AS DOUBLE) AS slog
+  FROM kept GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_pos,
+       CASE WHEN n_pos >= 21 THEN
+         floor(xref * 1000000 + 0.5) / 1000000 END AS x_kth,
+       CASE WHEN n_pos >= 21 THEN
+         floor(((slog - 20.0 * (floor(ln(xref) * 1000000000000.0 + 0.5)
+                                / 1000000000000.0)) / 20.0)
+               * 1000000 + 0.5) / 1000000 END AS hill,
+       CASE WHEN n_pos >= 21
+             AND (slog - 20.0 * (floor(ln(xref) * 1000000000000.0 + 0.5)
+                                 / 1000000000000.0)) / 20.0 <> 0.0 THEN
+         floor((1.0 / ((slog - 20.0 * (floor(ln(xref) * 1000000000000.0 + 0.5)
+                                       / 1000000000000.0)) / 20.0))
+               * 1000000 + 0.5) / 1000000 END AS alpha
+FROM red
+"""
+
+
+def _q_benford(spark, sf_dir):
+    """Benford leading-digit conformity per signal
+    (operators/tails.benford): exact-integer leading digit via the
+    token string head, χ² + Nigrini MAD with analytic missing-digit
+    closures, 12-dp DECIMAL term sums — one (key, digit) two-phase
+    aggregate, no joins, no Python."""
+    from eristropy_spark.operators.tails import benford
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    r = benford(ev, ("user_id", "event_type"), scale=2)
+    return r.select(
+        "user_id",
+        "event_type",
+        "n",
+        "n_digits_present",
+        _r6("chi2").alias("chi2"),
+        _r6("mad").alias("mad"),
+    )
+
+
+def _benford_oracle() -> str:
+    from eristropy_spark.operators.tails import BENFORD_P
+
+    p_case = " ".join(
+        f"WHEN d = {i + 1} THEN {BENFORD_P[i]!r}" for i in range(9)
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS tok
+  FROM events
+), digits AS (
+  SELECT user_id, event_type,
+         CAST(substr(CAST(abs(tok) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM pts WHERE tok <> 0
+), cv AS (
+  SELECT user_id, event_type, d, CAST(count(*) AS BIGINT) AS c
+  FROM digits GROUP BY user_id, event_type, d
+), tot AS (
+  SELECT user_id, event_type, d, c,
+         CAST(sum(c) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n,
+         CASE {p_case} END AS p
+  FROM cv
+), terms AS (
+  SELECT user_id, event_type, n,
+         CAST(floor(((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                     * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                     / (CAST(n AS DOUBLE) * p) - CAST(n AS DOUBLE) * p)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS t_chi,
+         CAST(floor((abs(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) - p) - p)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS t_mad
+  FROM tot
+), red AS (
+  SELECT user_id, event_type,
+         max(n) AS n,
+         CAST(count(*) AS INT) AS n_digits_present,
+         CAST(sum(t_chi) AS DOUBLE) AS schi,
+         CAST(sum(t_mad) AS DOUBLE) AS smad
+  FROM terms GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n, n_digits_present,
+       floor((schi + CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS chi2,
+       floor(((smad + 1.0) / 9.0) * 1000000 + 0.5) / 1000000 AS mad
+FROM red
+"""
+
+
+def _q_ljung_box(spark, sf_dir):
+    """Ljung–Box white-noise test per signal (operators/acf.ljung_box):
+    quantized-ρ portmanteau Q over 10 lags + the even-df closed-form
+    χ² tail — ONE mapInArrow boundary over the array layout, zero
+    shuffle beyond tokenize's own."""
+    from eristropy_spark.operators.acf import ljung_box
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = ljung_box(tokens, array_col="tokens", max_lag=10, keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        "h",
+        _r6("q_stat").alias("q_stat"),
+        _r6("p_value").alias("p_value"),
+    )
+
+
+_ORACLE_LJUNG_BOX = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), st AS (
+  SELECT doc_id, avg(tok) AS mu, CAST(count(*) AS INT) AS n
+  FROM pts GROUP BY doc_id
+), dev AS (
+  SELECT p.doc_id, p.i, p.tok - s.mu AS d, s.n
+  FROM pts p JOIN st s USING (doc_id)
+), den AS (
+  SELECT doc_id, sum(d * d) AS den, max(n) AS n FROM dev GROUP BY doc_id
+), lags AS (
+  SELECT doc_id, den, n, unnest(generate_series(1, 10)) AS lag
+  FROM den WHERE n >= 12 AND den > 0
+), rho AS (
+  SELECT l.doc_id, l.lag, l.n,
+         floor((sum(a.d * b.d) / l.den) * 1000000 + 0.5) / 1000000 AS r6
+  FROM lags l
+  JOIN dev a ON a.doc_id = l.doc_id
+  JOIN dev b ON b.doc_id = l.doc_id AND b.i = a.i + l.lag
+  GROUP BY l.doc_id, l.lag, l.n, l.den
+), terms AS (
+  SELECT doc_id, n,
+         CAST(floor((CAST(n * (n + 2) AS DOUBLE) * r6 * r6
+                     / CAST(n - lag AS DOUBLE))
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS term
+  FROM rho
+), q AS (
+  SELECT doc_id, max(n) AS n, CAST(sum(term) AS DOUBLE) AS qv
+  FROM terms GROUP BY doc_id
+)
+SELECT s.doc_id, s.n, CAST(10 AS INT) AS h,
+       floor(q.qv * 1000000 + 0.5) / 1000000 AS q_stat,
+       -- DuckDB's least() SKIPS NULLs (least(1.0, NULL) = 1.0), so the
+       -- no-statistic docs must be guarded explicitly
+       CASE WHEN q.qv IS NULL THEN NULL ELSE
+       floor(least(1.0, exp(-(q.qv / 2.0))
+               * (1.0 + (q.qv / 2.0)
+                  + ((q.qv / 2.0) * (q.qv / 2.0)) / 2.0
+                  + (((q.qv / 2.0) * (q.qv / 2.0)) * (q.qv / 2.0)) / 6.0
+                  + ((((q.qv / 2.0) * (q.qv / 2.0)) * (q.qv / 2.0))
+                     * (q.qv / 2.0)) / 24.0))
+             * 1000000 + 0.5) / 1000000 END AS p_value
+FROM st s LEFT JOIN q ON q.doc_id = s.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -3763,6 +4112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": _q_m4_downsample,
         "max_drawdown": _q_max_drawdown,
         "zipf_fit": _q_zipf_fit,
+        "ks_drift": _q_ks_drift,
+        "psi_drift": _q_psi_drift,
+        "hill_tail": _q_hill_tail,
+        "benford": _q_benford,
+        "ljung_box": _q_ljung_box,
     }
 
 
@@ -3852,6 +4206,11 @@ def oracle_sql() -> dict[str, str]:
         "m4_downsample": _ORACLE_M4,
         "max_drawdown": _ORACLE_MAX_DRAWDOWN,
         "zipf_fit": _ORACLE_ZIPF,
+        "ks_drift": _ORACLE_KS_DRIFT,
+        "psi_drift": _ORACLE_PSI_DRIFT,
+        "hill_tail": _ORACLE_HILL,
+        "benford": _benford_oracle(),
+        "ljung_box": _ORACLE_LJUNG_BOX,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-__all__ = ["acf_long", "ar2_forecast"]
+__all__ = ["acf_long", "ar2_forecast", "ljung_box"]
 
 
 def acf_long(
@@ -197,6 +197,117 @@ def ar2_forecast(
                 arrays.append(pa.array(cols[k], type=pa.float64()))
             yield pa.RecordBatch.from_arrays(
                 arrays, [*keep_cols, "n", "r1", "r2", "phi1", "phi2", "forecast"]
+            )
+
+    return src.mapInArrow(_compute, schema)
+
+
+def ljung_box(
+    df: DataFrame,
+    array_col: str = "tokens",
+    max_lag: int = 10,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test per signal (Ljung & Box
+    1978, Biometrika 65) on the same biased autocorrelations
+    ``acf_long`` computes:
+
+        Q = n (n+2) Σ_{k=1..h} ρ_k² / (n−k),    h = max_lag
+
+    with the χ²(h) survival probability.  ``max_lag`` must be EVEN:
+    for even degrees of freedom the χ² tail has the elementary closed
+    form  P(χ²_{2m} > Q) = exp(−Q/2) Σ_{j<m} (Q/2)^j / j!  — no
+    incomplete-gamma special function, so an independent SQL engine
+    replays the p-value bit-for-bit (the same trick as Pettitt's
+    single exp()).
+
+    Determinism protocol (quantize-then-derive): each ρ_k is quantized
+    to the 6-dp grid first (the raw autocovariances are float
+    reductions whose summation order is engine-specific — the ar2 rule),
+    then each term n(n+2)·ρ6_k²/(n−k) is floor-quantized to the 12-dp
+    grid and accumulated as an EXACT integer; Q is the one float
+    division at the end, and p is elementary arithmetic on Q — every
+    output double is bit-reproducible by the SQL replay.
+
+    Emits (``*keep_cols``, n, h, q_stat, p_value); signals with
+    n < max_lag + 2 or zero variance emit NULL statistics.  Zero
+    shuffle — one ``mapInArrow`` boundary over the array layout,
+    O(n·h) per signal.
+    """
+    import math
+    from typing import Iterator as _It
+
+    import numpy as np
+    import pyarrow as pa
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    if max_lag < 2 or max_lag % 2 != 0:
+        raise ValueError(f"max_lag must be even and >= 2, got {max_lag}")
+    h = int(max_lag)
+    m = h // 2
+    fact = [math.factorial(j) for j in range(m)]
+
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("n", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("q_stat", DoubleType()),
+            StructField("p_value", DoubleType()),
+        ]
+    )
+
+    def _r6(v: float) -> float:
+        return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+
+    def _compute(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            ns: list[int] = []
+            qs: list[float | None] = []
+            ps: list[float | None] = []
+            for v in views:
+                n = 0 if v is None else int(v.size)
+                ns.append(n)
+                if n < h + 2:
+                    qs.append(None)
+                    ps.append(None)
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                d = x - x.mean()
+                den = float(d @ d)
+                if den == 0.0:
+                    qs.append(None)
+                    ps.append(None)
+                    continue
+                nn2 = float(n * (n + 2))
+                s_int = 0  # Σ of 12-dp-quantized terms, exact integer
+                for k in range(1, h + 1):
+                    rho6 = _r6(float(d[: n - k] @ d[k:]) / den)
+                    s_int += math.floor(
+                        (nn2 * rho6 * rho6 / float(n - k)) * 1e12 + 0.5
+                    )
+                q = float(s_int) / 1e12
+                hh = q / 2.0
+                poly = 0.0
+                tj = 1.0
+                for j in range(m):
+                    if j > 0:
+                        tj = tj * hh
+                    poly = poly + tj / float(fact[j])
+                p = min(1.0, math.exp(-hh) * poly)
+                qs.append(q)
+                ps.append(p)
+            arrays = [batch.column(c) for c in keep_cols]
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array([h] * len(ns), type=pa.int32()))
+            arrays.append(pa.array(qs, type=pa.float64()))
+            arrays.append(pa.array(ps, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, "n", "h", "q_stat", "p_value"]
             )
 
     return src.mapInArrow(_compute, schema)

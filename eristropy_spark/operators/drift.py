@@ -1,0 +1,219 @@
+"""Distribution-drift monitors — "did this signal's VALUE DISTRIBUTION
+move between the first and second half of its history?"  The two
+standard ML-monitoring statistics, each per signal key:
+
+* ``ks_drift`` — the two-sample Kolmogorov–Smirnov statistic
+  D = sup_x |F_ref(x) - F_cur(x)| between the reference window (first
+  half of the series in time order) and the current window (second
+  half), with the classic one-term asymptotic significance bound
+  p <= 2·exp(-2·ne·D²), ne = n_ref·n_cur/(n_ref+n_cur)
+  (Smirnov 1948; the leading term of the Kolmogorov series, the form
+  drift monitors actually threshold on).
+* ``psi_drift`` — the Population Stability Index over K equal-width
+  bins of the signal's own [min, max] range,
+  PSI = Σ_b (p_ref,b - p_cur,b) · ln(p_ref,b / p_cur,b)
+  with Laplace-smoothed proportions p = (c + 0.5)/(n + 0.5K) so empty
+  bins are defined (the credit-scoring / model-monitoring standard;
+  PSI is the symmetrized discrete KL, i.e. Jeffreys divergence).
+
+Neither has a reference-engine counterpart — both are engine
+capability for the monitoring tier (family: cusum / rolling_zscore /
+anomaly_episodes).
+
+Scale shape (both): pure DataFrame composition over the long row
+layout — a per-key window pass (row_number / count / min / max: one
+keyed Exchange, streaming or unbounded frames), a (key, value-or-bin)
+two-phase hash aggregate (second Exchange), and a per-key reduce.  No
+joins, no Python, no arrays across shuffles; a key with a billion
+points streams through every stage.  KS's D is computed on EXACT
+integers (|cumA·nB - cumB·nA|, a BIGINT) so the statistic itself has
+no float path at all; PSI quantizes each bin's term onto the 12-dp
+grid before the (tiny, <= K-term) sum, the repo's quantize-then-derive
+rule, so an independent SQL replay reproduces every double bit-for-bit.
+
+Missing-bin closure (PSI): bins absent from BOTH halves still carry
+smoothing mass.  Each such bin contributes the per-key constant
+t0 = (pA0 - pB0)·ln(pA0/pB0) with pX0 = 0.5/(nX + 0.5K), so
+PSI = Σ_present t_b + (K - m_present)·t0 — no scaffold rows, no join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eristropy_spark.operators.changepoint import _floor_round
+
+__all__ = ["ks_drift", "psi_drift"]
+
+
+def _keys(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def ks_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, d_num, d, lambda_sq, p_bound) — one row per
+    key.  ``d_num`` = max|cumA·nB − cumB·nA| is the exact-integer
+    numerator (D = d_num/(n_ref·n_cur)); ``lambda_sq`` = ne·D² and
+    ``p_bound`` = min(1, 2·exp(−2·ne·D²)).  Keys where either half is
+    empty (n < 2) emit NULL statistics.
+
+    The time split is i < floor(n/2) over (ts, tiebreak) order — the
+    deterministic first-half/second-half protocol, so the statistic is
+    reproducible under any partitioning.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    v = F.col(value_col)
+    pts = df.select(
+        *keys,
+        v.alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    # (key, value) census with per-half counts: the explodes of both
+    # empirical CDFs evaluated at every distinct value — ties between
+    # halves are handled exactly (both CDFs step at the same x).
+    cnt = pts.groupBy(*keys, "_v").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w_cdf = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        *keys,
+        F.sum("_ca").over(w_cdf).alias("_cuma"),
+        F.sum("_cb").over(w_cdf).alias("_cumb"),
+    )
+    # half totals are the final cumulative counts: an unbounded max
+    # over the SAME key partitioning (no extra Exchange), then the
+    # exact-integer sup-statistic in one per-key reduce
+    totals = cum.withColumn(
+        "_na", F.max("_cuma").over(Window.partitionBy(*keys))
+    ).withColumn("_nb", F.max("_cumb").over(Window.partitionBy(*keys)))
+    red = totals.groupBy(*keys).agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.max(
+            F.abs(F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na"))
+        ).alias("d_num"),
+    )
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    d = F.col("d_num").cast("double") / (na * nb)
+    ne = na * nb / (na + nb)
+    lam2 = ne * d * d
+    ok = (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    nulld = F.lit(None).cast("double")
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "d_num",
+        F.when(ok, d).otherwise(nulld).alias("d"),
+        F.when(ok, lam2).otherwise(nulld).alias("lambda_sq"),
+        F.when(ok, F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam2)))
+        .otherwise(nulld)
+        .alias("p_bound"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, n_bins_used, psi) — one row per key.  Bins
+    are K equal-width slices of the key's own [min, max] value range
+    (top edge inclusive: bin = min(K-1, floor((v-lo)·K/(hi-lo)))); a
+    constant series (hi == lo) puts all mass in bin 0 and yields
+    PSI = 0.  Keys where either half is empty emit NULL psi.
+
+    PSI with Laplace smoothing (+0.5 per bin) over FIXED K bins; bins
+    empty in both halves enter via the analytic closure (module
+    docstring) rather than scaffold rows.  Every per-bin term is
+    floor-quantized to the 12-dp grid before summation, so the result
+    is partition-invariant and bit-replayable in SQL.
+    """
+    if not 2 <= n_bins <= 1000:
+        raise ValueError(f"n_bins must be in 2..1000, got {n_bins}")
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    v = F.col(value_col).cast("double")
+    pts = df.select(
+        *keys,
+        v.alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+        F.min(v).over(w_key).alias("_lo"),
+        F.max(v).over(w_key).alias("_hi"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+    kf = F.lit(float(n_bins))
+    bin_ = F.when(F.col("_hi") > F.col("_lo"),
+                  F.least(
+                      F.lit(n_bins - 1).cast("long"),
+                      F.floor((F.col("_v") - F.col("_lo")) * kf
+                              / (F.col("_hi") - F.col("_lo"))),
+                  )).otherwise(F.lit(0).cast("long"))
+
+    cnt = pts.select(*keys, bin_.alias("_bin"), "_ref").groupBy(
+        *keys, "_bin"
+    ).agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w_tot = Window.partitionBy(*keys)
+    tot = cnt.withColumn("_na", F.sum("_ca").over(w_tot)).withColumn(
+        "_nb", F.sum("_cb").over(w_tot)
+    )
+    half_k = F.lit(0.5 * n_bins)
+    dena = F.col("_na").cast("double") + half_k
+    denb = F.col("_nb").cast("double") + half_k
+    pa = (F.col("_ca").cast("double") + F.lit(0.5)) / dena
+    pb = (F.col("_cb").cast("double") + F.lit(0.5)) / denb
+    term = _floor_round((pa - pb) * F.log(pa / pb), 12).cast("decimal(38, 12)")
+    # per-key constant: the contribution of a bin empty in BOTH halves
+    pa0 = F.lit(0.5) / dena
+    pb0 = F.lit(0.5) / denb
+    term0 = _floor_round((pa0 - pb0) * F.log(pa0 / pb0), 12)
+    red = tot.groupBy(*keys).agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.count("*").cast("long").alias("_m"),
+        F.sum(term).cast("double").alias("_s"),
+        F.max(term0).alias("_t0"),
+    )
+    ok = (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    psi = F.col("_s") + (
+        F.lit(n_bins).cast("double") - F.col("_m").cast("double")
+    ) * F.col("_t0")
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.lit(n_bins).cast("int").alias("n_bins_used"),
+        F.when(ok, psi).otherwise(F.lit(None).cast("double")).alias("psi"),
+    )

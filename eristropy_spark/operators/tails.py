@@ -1,0 +1,177 @@
+"""Heavy-tail and digit-law data-quality statistics per signal key:
+
+* ``hill_tail`` — the Hill estimator of the Pareto tail index (Hill
+  1975, Ann. Statist. 3): over the k largest magnitudes
+  x_(1) >= ... >= x_(k) >= x_(k+1),
+
+      H = (1/k) Σ_{i<=k} ln( x_(i) / x_(k+1) ),    alpha = 1/H
+
+  the standard "how heavy is this metric's tail" diagnostic (alpha < 2
+  means infinite variance — percentile rollups and z-scores stop
+  meaning anything; the thing you want flagged before a 100 TB agg).
+* ``benford`` — first-significant-digit conformity to Benford's law
+  (Newcomb 1881 / Benford 1938): Pearson χ² against
+  p_d = log10(1 + 1/d) plus the mean-absolute-deviation conformity
+  score of Nigrini's audit practice.  Digit censuses are the classic
+  fabricated/synthetic-data detector for ingest QA.
+
+Neither exists in the reference engine — monitoring-tier capability
+(family: cusum / drift / anomaly_episodes).
+
+Scale shape: ``hill_tail`` is ONE keyed window pass (row_number over
+magnitude-descending order — the per-key top-(k+1) selection), a
+filter that throws away everything below rank k+1 BEFORE any further
+work, and a per-key reduce that reuses the window's partitioning (no
+second Exchange).  ``benford`` extracts the leading digit IN-ROW from
+the exact integer token (string head of an integer — engine-portable,
+no float log10 edge cases at powers of ten), then one (key, digit)
+two-phase hash aggregate and a per-key reduce.  Missing digits enter
+the χ² and MAD through analytic closures (Σ_missing n·p_d and
+Σ_missing p_d) instead of scaffold rows — no joins anywhere.  Benford
+probabilities are embedded as full-precision double literals shared
+verbatim with the SQL oracle, so both engines parse identical IEEE
+values.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eristropy_spark.operators.changepoint import _floor_round
+
+__all__ = ["hill_tail", "benford", "BENFORD_P"]
+
+# p_d = log10(1 + 1/d), d = 1..9 — full round-trip repr; the oracle SQL
+# embeds exactly these literal texts
+BENFORD_P: tuple[float, ...] = tuple(math.log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def _keys(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def hill_tail(
+    df: DataFrame,
+    key,
+    value_col: str = "value",
+    tiebreak_cols: tuple[str, ...] = (),
+    k: int = 20,
+) -> DataFrame:
+    """(*key, n_pos, x_kth, hill, alpha) — one row per key.  ``n_pos``
+    counts the key's nonzero magnitudes; keys with n_pos < k+1 emit
+    NULL statistics (the estimator needs k+1 order statistics).
+    ``x_kth`` is the (k+1)-th largest magnitude (the normalizer).
+
+    Order is (|value| DESC, *tiebreak_cols) via ``row_number`` — pass a
+    unique tiebreak (e.g. an event id) so the selection is
+    deterministic under ties; the estimator itself is tie-invariant
+    (equal magnitudes contribute equal log-ratios) but the (k+1)-th
+    element under a tie straddling the cut is not.
+
+    Each ln x_(i) is floor-quantized to the 12-dp grid and summed in
+    DECIMAL, so H — and hence alpha — is partition-invariant
+    bit-for-bit and replayable by an independent SQL engine.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = _keys(key)
+    x = F.abs(F.col(value_col).cast("double"))
+    pts = df.select(*keys, *tiebreak_cols, x.alias("_x")).where(F.col("_x") > 0)
+    order = [F.col("_x").desc()] + [F.col(c) for c in tiebreak_cols]
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+    ranked = pts.select(
+        *keys,
+        "_x",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count("*").over(w_key).alias("_np"),
+    ).where(F.col("_rn") <= k + 1)
+    lnx = _floor_round(F.log(F.col("_x")), 12).cast("decimal(38, 12)")
+    red = ranked.groupBy(*keys).agg(
+        F.max("_np").alias("n_pos"),
+        F.min("_x").alias("_xref"),  # rank k+1 is the smallest kept
+        F.sum(F.when(F.col("_rn") <= k, lnx)).alias("_slog"),
+    )
+    ok = F.col("n_pos") >= k + 1
+    ln_ref = _floor_round(F.log(F.col("_xref")), 12)
+    h = (F.col("_slog").cast("double") - F.lit(float(k)) * ln_ref) / F.lit(float(k))
+    nulld = F.lit(None).cast("double")
+    return red.select(
+        *keys,
+        "n_pos",
+        F.when(ok, F.col("_xref")).otherwise(nulld).alias("x_kth"),
+        F.when(ok, h).otherwise(nulld).alias("hill"),
+        F.when(ok & (h != 0.0), F.lit(1.0) / h).otherwise(nulld).alias("alpha"),
+    )
+
+
+def benford(
+    df: DataFrame,
+    key,
+    value_col: str = "value",
+    scale: int = 2,
+) -> DataFrame:
+    """(*key, n, n_digits_present, chi2, mad) — one row per key.
+
+    Values are canonicalized to the exact integer token
+    round(value·10^scale) (the engine's integer-token convention); zero
+    tokens are excluded (no leading digit).  The leading digit is the
+    first character of the integer's decimal string — exact, identical
+    in any engine, no float log10 at power-of-ten boundaries.
+
+        chi2 = Σ_{d=1..9} (c_d − n·p_d)² / (n·p_d)
+             = Σ_present [ (c_d − n·p_d)²/(n·p_d) − n·p_d ] + n
+        mad  = (1/9) Σ_{d=1..9} |c_d/n − p_d|
+             = (1/9) [ Σ_present (|c_d/n − p_d| − p_d) + 1 ]
+
+    (the analytic closures fold the zero-count digits in without
+    scaffold rows).  Keys whose tokens are all zero have no leading
+    digits and emit no row.  Per-digit terms are floor-quantized to the
+    12-dp grid and summed in DECIMAL — partition-invariant,
+    SQL-replayable.
+    """
+    if not 0 <= scale <= 6:
+        raise ValueError(f"scale must be in 0..6, got {scale}")
+    keys = _keys(key)
+    tok = F.round(F.col(value_col) * F.lit(float(10**scale))).cast("long")
+    pts = (
+        df.select(*keys, tok.alias("_tok"))
+        .where(F.col("_tok") != 0)
+        .select(
+            *keys,
+            F.substring(F.abs(F.col("_tok")).cast("string"), 1, 1)
+            .cast("int")
+            .alias("_d"),
+        )
+    )
+    cnt = pts.groupBy(*keys, "_d").agg(F.count("*").cast("long").alias("_c"))
+    w_key = Window.partitionBy(*keys)
+    tot = cnt.withColumn("_n", F.sum("_c").over(w_key))
+    # p_d lookup as a literal CASE — the same literal texts the oracle
+    # SQL embeds
+    p = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        p = F.when(F.col("_d") == d, F.lit(BENFORD_P[d - 1])).otherwise(p)
+    nd = F.col("_n").cast("double")
+    cd = F.col("_c").cast("double")
+    exp_ = nd * p
+    t_chi = _floor_round((cd - exp_) * (cd - exp_) / exp_ - exp_, 12).cast(
+        "decimal(38, 12)"
+    )
+    t_mad = _floor_round(F.abs(cd / nd - p) - p, 12).cast("decimal(38, 12)")
+    red = tot.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.count("*").cast("int").alias("n_digits_present"),
+        F.sum(t_chi).cast("double").alias("_schi"),
+        F.sum(t_mad).cast("double").alias("_smad"),
+    )
+    return red.select(
+        *keys,
+        "n",
+        "n_digits_present",
+        (F.col("_schi") + F.col("n").cast("double")).alias("chi2"),
+        ((F.col("_smad") + F.lit(1.0)) / F.lit(9.0)).alias("mad"),
+    )

@@ -611,4 +611,41 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 34. ks_drift / psi_drift / hill_tail: ONE keyed Exchange end to
+    # end — every window and (sub-key) aggregate reuses the same key
+    # partitioning; no joins, no single-partition stage, no Python
+    for qname in ("ks_drift", "psi_drift", "hill_tail"):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (f"{qname}: ONE keyed Exchange, no Join, no single-partition "
+             "stage, zero Python",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and "SinglePartition" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
+    # 35. benford: two two-phase hash aggregates ((key,digit) census +
+    # key window/reduce) — two Exchanges, no joins, no Python
+    bq = entrymod.queries()["benford"](spark, sf_dir)
+    p = plan_of(bq)
+    checks.append(
+        ("benford: <=2 Exchanges, no Join, zero Python",
+         p.count("Exchange") <= 2
+         and "Join" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 36. ljung_box: the array-layout kernel class — ONE mapInArrow
+    # boundary, only tokenize's own Exchange, no joins
+    lq = entrymod.queries()["ljung_box"](spark, sf_dir)
+    p = plan_of(lq)
+    checks.append(
+        ("ljung_box: ONE Arrow boundary, only tokenize's Exchange",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and _py_node_count(p) == 1, p)
+    )
+
     return checks
