@@ -546,7 +546,6 @@ def main() -> None:
     # rep was contended.  It stays a self-contained contract JSON line
     # (metric/value/unit/queries/sf).
     print(json.dumps({"detail": result}))
-    compact_queries = {k: round(v, 2) for k, v in queries.items()}
     contended = sorted(k for k, ok in queries_quiet.items() if not ok)
     summary = {
         "wall_sec": aux["wall_sec"],
@@ -564,57 +563,49 @@ def main() -> None:
     if qres.get("budget_truncated"):
         summary["queries_budget_truncated"] = True
 
-    def _final_line() -> str:
+    # The per-query timings are the POINT of the final line (round-4
+    # lesson), and the contract has outgrown a full named dict (~90
+    # queries x ~20 chars > the ~1.9 kB the driver retains).  So the
+    # final line ALWAYS carries every timing as `q_all` — a 2-dp values
+    # array in sorted-query-name order (names are recoverable from
+    # sorted(queries().keys()) or the detail line) — plus a named
+    # `queries` dict of the SLOWEST k, with k trimmed until the line
+    # fits.  Nothing is ever degraded to "see detail line" again.
+    sorted_names = sorted(queries)
+    q_all = [round(queries[n], 2) for n in sorted_names]
+    by_slow = sorted(queries, key=lambda k: -queries[k])
+
+    def _final_line(k: int, dp: int) -> str:
         return json.dumps(
             {
                 "metric": "entropy_rollup_pipeline_wall_sec",
                 "value": aux["wall_sec"],
                 "unit": "sec",
                 "sf": result["sf"],
-                "queries": compact_queries,
+                "queries": {n: round(queries[n], 2) for n in by_slow[:k]},
+                "n_queries": len(queries),
+                "q_all": [round(v, dp) for v in q_all],
+                "q_order": "sorted query names",
                 "summary": summary,
             },
             separators=(",", ":"),
         )
 
-    # The driver keeps only the LAST 2000 chars of stdout and parses the
-    # last complete line — the claim of record must fit there whole.
-    # Degrade deterministically if the query set has grown past the
-    # budget: the dropped detail always remains on the "detail" line.
-    line = _final_line()
+    # The driver keeps only the LAST ~2000 chars of stdout and parses
+    # the last complete line — the claim of record must fit there whole.
+    # Deterministic trim ladder: named slowest-k dict shrinks first,
+    # then the contended list collapses to a count, then q_all drops to
+    # 1 dp.  q_all and the summary scalars are never dropped.
+    k = len(queries)
+    line = _final_line(k, 2)
+    while len(line) > 1900 and k > 0:
+        k = max(0, k - 5)
+        line = _final_line(k, 2)
     if len(line) > 1900:
         summary["n_contended"] = len(summary.pop("contended_queries", []))
-        line = _final_line()
+        line = _final_line(0, 2)
     if len(line) > 1900:
-        compact_queries = {k: round(v, 1) for k, v in queries.items()}
-        line = _final_line()
-    if len(line) > 1900:
-        # the per-query timings are the POINT of the final line (round-4
-        # lesson) — shed verbose summary keys before ever touching them.
-        # Legend: wall=wall_sec, sps=seq_per_sec_maxcores,
-        # p_med=primary_median_valid_pair, p_all=primary_median_all_pairs,
-        # nv=n_valid_pairs, aux=aux_2_to_8_median, k28=kernel_mp_eff_2_to_8,
-        # tiers=tiers_equal, ncont=n_contended, qtrunc=queries_budget_
-        # truncated (full-key forms live on the detail line above)
-        summary = {
-            "wall": summary["wall_sec"],
-            "sps": summary["seq_per_sec_maxcores"],
-            "p_med": summary["primary_median_valid_pair"],
-            "p_all": summary["primary_median_all_pairs"],
-            "nv": summary["n_valid_pairs"],
-            "aux": summary["aux_2_to_8_median"],
-            "k28": summary["kernel_mp_eff_2_to_8"],
-            "tiers": summary["tiers_equal"],
-            "ncont": summary.get("n_contended",
-                                 len(summary.get("contended_queries", []))),
-            **({"qtrunc": True} if summary.get("queries_budget_truncated")
-               else {}),
-        }
-        line = _final_line()
-    if len(line) > 1900:
-        compact_queries = {"see": "detail line"}
-        summary["n_queries"] = len(queries)
-        line = _final_line()
+        line = _final_line(0, 1)
     print(line)
 
 
