@@ -4028,6 +4028,73 @@ FROM st s LEFT JOIN q ON q.doc_id = s.doc_id
 """
 
 
+def _q_matrix_profile(spark, sf_dir):
+    """Matrix profile (operators/matrixprofile.matrix_profile, Yeh et
+    al. 2016): per-window z-normalized nearest-neighbor distance with a
+    w/4 exclusion zone — ONE mapInArrow boundary over the array layout.
+    Every sufficient statistic (window sums, squares, sliding dot
+    products) is an exact int64, so the one fixed float expression per
+    pair is bit-replayable by DuckDB (list_dot_product over int-valued
+    doubles stays exact below 2^53).  w=6 with a |i-j|>=2 exclusion
+    zone fits the short per-signal sequences of the events table (~13
+    samples at sf0.01); the oracle's O(P^2)-per-doc pair join stays
+    tiny at that shape, so the row runs over EVERY doc."""
+    from eristropy_spark.operators.matrixprofile import matrix_profile
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = matrix_profile(
+        tokens, array_col="tokens", w=6, min_sep=2, keep_cols=("doc_id",)
+    )
+    return r.select("doc_id", "pos", "nn_idx", "dist")
+
+
+_ORACLE_MATRIX_PROFILE = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), wins AS (
+  SELECT doc_id, i,
+         CAST(sum(CAST(tok AS BIGINT)) OVER win AS BIGINT) AS s,
+         CAST(sum(CAST(tok AS BIGINT) * tok) OVER win AS BIGINT) AS q,
+         count(*) OVER win AS cnt
+  FROM pts
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+), ws AS (
+  SELECT doc_id, i, s, 6 * q - s * s AS varn
+  FROM wins WHERE cnt = 6
+), ls AS (
+  SELECT doc_id, CAST(list(tok ORDER BY i) AS DOUBLE[]) AS l
+  FROM pts GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id, a.i, b.i AS j,
+         floor(sqrt(greatest(12.0 * (1.0 -
+             (6 * list_dot_product(ls.l[a.i + 1 : a.i + 6],
+                                   ls.l[b.i + 1 : b.i + 6])
+              - CAST(a.s * b.s AS DOUBLE))
+             / sqrt(CAST(a.varn AS DOUBLE) * CAST(b.varn AS DOUBLE))),
+           0.0)) * 1000000 + 0.5) / 1000000 AS d6
+  FROM ws a
+  JOIN ws b ON b.doc_id = a.doc_id
+           AND abs(a.i - b.i) >= 2 AND b.varn > 0
+  JOIN ls ON ls.doc_id = a.doc_id
+  WHERE a.varn > 0
+), best AS (
+  SELECT doc_id, i, j, d6,
+         row_number() OVER (PARTITION BY doc_id, i
+                            ORDER BY d6, j) AS rn
+  FROM pairs
+)
+SELECT w.doc_id, CAST(w.i AS INT) AS pos,
+       CAST(b.j AS INT) AS nn_idx, b.d6 AS dist
+FROM ws w LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.doc_id = w.doc_id AND b.i = w.i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -4117,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": _q_hill_tail,
         "benford": _q_benford,
         "ljung_box": _q_ljung_box,
+        "matrix_profile": _q_matrix_profile,
     }
 
 
@@ -4211,6 +4279,7 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail": _ORACLE_HILL,
         "benford": _benford_oracle(),
         "ljung_box": _ORACLE_LJUNG_BOX,
+        "matrix_profile": _ORACLE_MATRIX_PROFILE,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL
