@@ -4095,6 +4095,79 @@ FROM ws w LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
 """
 
 
+def _q_higuchi(spark, sf_dir):
+    """Higuchi fractal dimension per signal (operators/fractal
+    .higuchi_fd, Higuchi 1988): exact-int64 curve lengths per (m, k),
+    12-dp-grid quantize-then-derive log-log OLS slope — ONE mapInArrow
+    boundary, zero shuffle beyond tokenize's own; bit-replayable."""
+    from eristropy_spark.operators.fractal import higuchi_fd
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = higuchi_fd(tokens, array_col="tokens", kmax=6, keep_cols=("doc_id",))
+    return r.select("doc_id", "n", "kmax", "fd")
+
+
+_ORACLE_HIGUCHI = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS p
+  FROM events
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+), ks AS (
+  SELECT doc_id, n, unnest(generate_series(1, 6)) AS k
+  FROM nn WHERE n >= 12
+), diffs AS (
+  SELECT ks.doc_id, ks.n, ks.k, (a.p % ks.k) AS m0,
+         CAST(abs(a.tok - b.tok) AS BIGINT) AS ad
+  FROM ks
+  JOIN pts a ON a.doc_id = ks.doc_id AND a.p >= ks.k
+  JOIN pts b ON b.doc_id = ks.doc_id AND b.p = a.p - ks.k
+), terms AS (
+  SELECT doc_id, n, k, m0,
+         CAST(floor((sum(ad) * (n - 1)) / (count(*) * k * k)
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS t
+  FROM diffs GROUP BY doc_id, n, k, m0
+), lk AS (
+  SELECT doc_id, n, k, CAST(sum(t) AS BIGINT) AS s
+  FROM terms GROUP BY doc_id, n, k
+), pt AS (
+  SELECT doc_id, n, k, s,
+         CAST(floor(ln(CAST(k AS DOUBLE)) * 1000000000000.0 + 0.5)
+              AS BIGINT) AS xg,
+         CASE WHEN s > 0 THEN
+           CAST(floor(ln((CAST(s AS DOUBLE) / 1000000000000.0) / k)
+                      * 1000000000000.0 + 0.5) AS BIGINT) END AS yg
+  FROM lk
+), g AS (
+  SELECT doc_id, min(s) AS smin,
+         CAST(sum(xg) AS BIGINT) AS sxg,
+         CAST(sum(yg) AS BIGINT) AS syg,
+         CAST(sum(CAST(floor((xg / 1000000000000.0)
+                             * (yg / 1000000000000.0)
+                             * 1000000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxyg,
+         CAST(sum(CAST(floor((xg / 1000000000000.0)
+                             * (xg / 1000000000000.0)
+                             * 1000000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxxg
+  FROM pt GROUP BY doc_id
+)
+SELECT nn.doc_id, nn.n, CAST(6 AS INT) AS kmax,
+       CASE WHEN g.doc_id IS NULL OR g.smin <= 0 THEN NULL ELSE
+         floor(-((6 * (CAST(sxyg AS DOUBLE) / 1000000000000.0)
+                  - (CAST(sxg AS DOUBLE) / 1000000000000.0)
+                    * (CAST(syg AS DOUBLE) / 1000000000000.0))
+                 / (6 * (CAST(sxxg AS DOUBLE) / 1000000000000.0)
+                    - (CAST(sxg AS DOUBLE) / 1000000000000.0)
+                      * (CAST(sxg AS DOUBLE) / 1000000000000.0)))
+               * 1000000 + 0.5) / 1000000 END AS fd
+FROM nn LEFT JOIN g USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -4185,6 +4258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": _q_benford,
         "ljung_box": _q_ljung_box,
         "matrix_profile": _q_matrix_profile,
+        "higuchi_fd": _q_higuchi,
     }
 
 
@@ -4280,6 +4354,7 @@ def oracle_sql() -> dict[str, str]:
         "benford": _benford_oracle(),
         "ljung_box": _ORACLE_LJUNG_BOX,
         "matrix_profile": _ORACLE_MATRIX_PROFILE,
+        "higuchi_fd": _ORACLE_HIGUCHI,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL
