@@ -4168,6 +4168,116 @@ FROM nn LEFT JOIN g USING (doc_id)
 """
 
 
+def _q_dfa(spark, sf_dir):
+    """Detrended fluctuation analysis per signal (operators/fractal
+    .dfa, Peng et al. 1994): exact-int64 integrated profile + per-box
+    OLS SSR closed forms, unit-grid box sums, 12-dp-grid log-log
+    slope — ONE mapInArrow boundary, bit-replayable."""
+    from eristropy_spark.operators.fractal import dfa
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = dfa(tokens, array_col="tokens", sizes=(4, 8, 16, 32), keep_cols=("doc_id",))
+    return r.select("doc_id", "n", "n_scales", "alpha")
+
+
+_ORACLE_DFA = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS t
+  FROM events
+), prof AS (
+  SELECT doc_id, t,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+           * CAST(sum(CAST(tok AS BIGINT)) OVER
+                  (PARTITION BY doc_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)
+           - t * CAST(sum(CAST(tok AS BIGINT)) OVER (PARTITION BY doc_id)
+                      AS BIGINT) AS z
+  FROM pts
+), nn2 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY doc_id
+), sz AS (
+  SELECT doc_id, n, unnest([4, 8, 16, 32]) AS s FROM nn2
+), boxed AS (
+  -- local box coordinates: t' = 1..s, z' = z - z_first (OLS SSR is
+  -- shift-invariant; keeps every statistic small enough for exact
+  -- HUGEINT accumulation, mirroring the kernel's Python bigints)
+  SELECT doc_id, n, s, b, tl,
+         z - first_value(z) OVER (PARTITION BY doc_id, s, b ORDER BY tl
+                                  ROWS UNBOUNDED PRECEDING) AS zc
+  FROM (
+    SELECT p.doc_id, p.n, sz.s, (p.t - 1) // sz.s AS b,
+           ((p.t - 1) % sz.s) + 1 AS tl, p.z
+    FROM prof p JOIN sz ON sz.doc_id = p.doc_id
+    WHERE sz.s <= p.n AND p.t <= (p.n // sz.s) * sz.s
+  )
+), boxagg AS (
+  SELECT doc_id, n, s, b,
+         (CAST(s AS BIGINT) * (s + 1)) // 2 AS st,
+         (CAST(s AS BIGINT) * (s + 1) * (2 * s + 1)) // 6 AS stt,
+         CAST(sum(zc) AS HUGEINT) AS sz_,
+         sum(CAST(zc AS HUGEINT) * zc) AS szz,
+         CAST(sum(tl * zc) AS HUGEINT) AS stz
+  FROM boxed GROUP BY doc_id, n, s, b
+), boxssr AS (
+  SELECT doc_id, n, s,
+         CAST(floor(((CAST(szz AS DOUBLE)
+                      - CAST(sz_ * sz_ AS DOUBLE) / CAST(s AS DOUBLE))
+                     - ((CAST(stz AS DOUBLE)
+                         - CAST(st * sz_ AS DOUBLE) / CAST(s AS DOUBLE))
+                        * (CAST(stz AS DOUBLE)
+                           - CAST(st * sz_ AS DOUBLE) / CAST(s AS DOUBLE)))
+                       / (CAST(stt AS DOUBLE)
+                          - CAST(st * st AS DOUBLE) / CAST(s AS DOUBLE)))
+                    + 0.5)
+              AS BIGINT) AS q
+  FROM boxagg
+), scale AS (
+  SELECT doc_id, n, s, CAST(sum(q) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM boxssr GROUP BY doc_id, n, s
+  HAVING CAST(sum(q) AS BIGINT) > 0
+), pt AS (
+  SELECT doc_id,
+         CAST(floor(ln(CAST(s AS DOUBLE)) * 1000000000000.0 + 0.5)
+              AS BIGINT) AS xg,
+         CAST(floor(0.5 * ln((CAST(tot AS DOUBLE) / (nb * s)) / (n * n))
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS yg
+  FROM scale
+), g AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS k,
+         CAST(sum(xg) AS BIGINT) AS sxg,
+         CAST(sum(yg) AS BIGINT) AS syg,
+         CAST(sum(CAST(floor((xg / 1000000000000.0)
+                             * (yg / 1000000000000.0)
+                             * 1000000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxyg,
+         CAST(sum(CAST(floor((xg / 1000000000000.0)
+                             * (xg / 1000000000000.0)
+                             * 1000000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxxg
+  FROM pt GROUP BY doc_id
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+)
+SELECT nn.doc_id, nn.n,
+       CAST(coalesce(g.k, 0) AS INT) AS n_scales,
+       CASE WHEN g.k IS NULL OR g.k < 2 THEN NULL ELSE
+         floor(((g.k * (CAST(sxyg AS DOUBLE) / 1000000000000.0)
+                 - (CAST(sxg AS DOUBLE) / 1000000000000.0)
+                   * (CAST(syg AS DOUBLE) / 1000000000000.0))
+                / (g.k * (CAST(sxxg AS DOUBLE) / 1000000000000.0)
+                   - (CAST(sxg AS DOUBLE) / 1000000000000.0)
+                     * (CAST(sxg AS DOUBLE) / 1000000000000.0)))
+               * 1000000 + 0.5) / 1000000 END AS alpha
+FROM nn LEFT JOIN g USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -4259,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": _q_ljung_box,
         "matrix_profile": _q_matrix_profile,
         "higuchi_fd": _q_higuchi,
+        "dfa": _q_dfa,
     }
 
 
@@ -4355,6 +4466,7 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box": _ORACLE_LJUNG_BOX,
         "matrix_profile": _ORACLE_MATRIX_PROFILE,
         "higuchi_fd": _ORACLE_HIGUCHI,
+        "dfa": _ORACLE_DFA,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

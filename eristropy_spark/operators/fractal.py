@@ -1,5 +1,12 @@
 """Fractal / roughness statistics per signal.
 
+* ``dfa`` — detrended fluctuation analysis (Peng et al. 1994, Phys.
+  Rev. E 49): integrate the mean-centered series, split into
+  non-overlapping boxes of size s, linearly detrend each box, and read
+  the scaling exponent α off the log-log slope of the RMS fluctuation
+  F(s).  α ≈ 0.5 for white noise, 1.0 for 1/f, 1.5 for Brownian — THE
+  standard long-range-correlation estimator alongside Hurst R/S.
+
 * ``higuchi_fd`` — Higuchi's fractal dimension (Higuchi 1988, Physica D
   31): for delays k = 1..kmax and offsets m = 1..k the curve length
 
@@ -34,7 +41,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-__all__ = ["higuchi_fd"]
+__all__ = ["higuchi_fd", "dfa"]
 
 
 def higuchi_fd(
@@ -126,6 +133,149 @@ def higuchi_fd(
             arrays.append(pa.array(fds, type=pa.float64()))
             yield pa.RecordBatch.from_arrays(
                 arrays, [*keep_cols, "n", "kmax", "fd"]
+            )
+
+    return src.mapInArrow(_compute, schema)
+
+
+def dfa(
+    df: DataFrame,
+    array_col: str = "tokens",
+    sizes: tuple[int, ...] = (4, 8, 16, 32),
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*keep_cols, n, n_scales, alpha) — one row per signal.
+
+    The integrated profile is kept as the EXACT int64 numerator
+    N_t = n·C_t − t·S (y_t = N_t / n, cumulative deviation from the
+    mean); each box is recentered to local coordinates (t' = 1..s,
+    z' = N − N_first — OLS SSR is shift-invariant), so every per-box
+    sufficient statistic (Σz', Σz'², Σt'·z', Σt', Σt'²) is an exact
+    integer (Python bigint here, HUGEINT in the SQL replay) and the
+    per-box detrended SSR is one fixed float expression over them —
+    the int→double conversions are single correctly-rounded IEEE ops,
+    so the replay is bit-identical even when a statistic exceeds 2⁵³.
+    Box SSRs are floor-quantized to the unit grid and summed exactly;
+    F(s)² and the final log-log OLS slope follow the same
+    quantize-then-derive chain as :func:`higuchi_fd`.
+
+    A scale s participates when the signal fills at least one box
+    (s <= n) and its total quantized SSR is positive (a perfectly
+    linear profile at scale s has log F undefined); signals with fewer
+    than two participating scales emit NULL ``alpha``.  ``n_scales``
+    reports how many scales participated.  Fail-loud guard: the int64
+    profile numerator needs n²·max|token| <= 2⁶²; larger inputs are
+    rejected (route them through ``operators.windowed`` slicing).
+    """
+    szs = sorted(set(int(s) for s in sizes))
+    if len(szs) < 2 or szs[0] < 3:
+        raise ValueError(f"need >= 2 distinct sizes, all >= 3, got {sizes}")
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("n", IntegerType()),
+            StructField("n_scales", IntegerType()),
+            StructField("alpha", DoubleType()),
+        ]
+    )
+
+    def _alpha_one(x: np.ndarray) -> tuple[int, float | None]:
+        n = int(x.size)
+        if n < szs[0]:
+            return 0, None
+        amax = int(np.abs(x).max()) if n else 0
+        # profile numerator must stay exact in int64: |N_t| <= n²·max|x|
+        if n * n * max(amax, 1) > 2**62:
+            raise ValueError(
+                "dfa integer profile needs n²·max|token| <= 2^62 "
+                f"(n={n}, max|token|={amax}) — rescale the tokens or "
+                "shorten the windows"
+            )
+        C = np.cumsum(x)
+        S = int(C[-1])
+        t = np.arange(1, n + 1, dtype=np.int64)
+        N = n * C - t * S
+        points: list[tuple[int, int]] = []
+        for s in szs:
+            B = n // s
+            if B < 1:
+                continue
+            # per-box local coordinates: t' = 1..s, z' = z − z_first —
+            # OLS SSR is shift-invariant, and the shift keeps z'
+            # in int64 while the squares go through exact Python ints
+            # (the SQL replay accumulates them in HUGEINT)
+            St = s * (s + 1) // 2
+            Stt = s * (s + 1) * (2 * s + 1) // 6
+            tot = 0
+            m = float(s)
+            for b in range(B):
+                zz = N[b * s : (b + 1) * s]
+                zc = [int(v) - int(zz[0]) for v in zz]
+                Sz = sum(zc)
+                Szz = sum(v * v for v in zc)
+                Stz = sum((i + 1) * v for i, v in enumerate(zc))
+                sxx = Stt - St * St / m
+                sxz = Stz - St * Sz / m
+                szz_c = Szz - Sz * Sz / m
+                ssr = szz_c - (sxz * sxz) / sxx
+                tot += math.floor(ssr + 0.5)
+            if tot <= 0:
+                continue
+            f2 = (float(tot) / (B * s)) / (n * n)
+            yg = math.floor(0.5 * math.log(f2) * 1e12 + 0.5)
+            xg = math.floor(math.log(float(s)) * 1e12 + 0.5)
+            points.append((xg, yg))
+        K = len(points)
+        if K < 2:
+            return K, None
+        sum_xg = sum(p[0] for p in points)
+        sum_yg = sum(p[1] for p in points)
+        sum_xyg = sum(
+            math.floor((p[0] / 1e12) * (p[1] / 1e12) * 1e12 + 0.5)
+            for p in points
+        )
+        sum_xxg = sum(
+            math.floor((p[0] / 1e12) * (p[0] / 1e12) * 1e12 + 0.5)
+            for p in points
+        )
+        sx = float(sum_xg) / 1e12
+        sy = float(sum_yg) / 1e12
+        sxy = float(sum_xyg) / 1e12
+        sxx = float(sum_xxg) / 1e12
+        den = K * sxx - sx * sx
+        if den == 0.0:
+            return K, None
+        slope = (K * sxy - sx * sy) / den
+        return K, math.floor(slope * 1e6 + 0.5) / 1e6
+
+    def _compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            ns: list[int] = []
+            ks: list[int] = []
+            als: list[float | None] = []
+            for v in views:
+                if v is None:
+                    ns.append(0)
+                    ks.append(0)
+                    als.append(None)
+                    continue
+                x = np.ascontiguousarray(v, dtype=np.int64)
+                k, a = _alpha_one(x)
+                ns.append(int(x.size))
+                ks.append(k)
+                als.append(a)
+            arrays = [batch.column(c) for c in keep_cols]
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array(ks, type=pa.int32()))
+            arrays.append(pa.array(als, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, "n", "n_scales", "alpha"]
             )
 
     return src.mapInArrow(_compute, schema)

@@ -648,16 +648,17 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
-    # 37a. higuchi_fd: array-kernel class — ONE Arrow boundary, only
-    # tokenize's Exchange, no joins
-    hq = entrymod.queries()["higuchi_fd"](spark, sf_dir)
-    p = plan_of(hq)
-    checks.append(
-        ("higuchi_fd: ONE Arrow boundary, only tokenize's Exchange",
-         p.count("Exchange") == 1
-         and "Join" not in p
-         and _py_node_count(p) == 1, p)
-    )
+    # 37a. higuchi_fd / dfa: array-kernel class — ONE Arrow boundary,
+    # only tokenize's Exchange, no joins
+    for qname in ("higuchi_fd", "dfa"):
+        hq = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(hq)
+        checks.append(
+            (f"{qname}: ONE Arrow boundary, only tokenize's Exchange",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and _py_node_count(p) == 1, p)
+        )
 
     # 37. matrix_profile: same array-kernel class — the O(P^2) pair work
     # lives INSIDE the Arrow kernel; the plan must show no join/cartesian
