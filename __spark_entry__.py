@@ -4278,6 +4278,74 @@ FROM nn LEFT JOIN g USING (doc_id)
 """
 
 
+def _q_markov_rate(spark, sf_dir):
+    """First-order Markov entropy rate per signal (operators/
+    distribution.markov_entropy_rate, Shannon 1948 §3): in-row bigram
+    zip + three chained two-phase hash aggregates, 12-dp DECIMAL grid
+    for the Σ c·ln c sums — no joins, no windows, no Python."""
+    from eristropy_spark.operators.distribution import markov_entropy_rate
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = markov_entropy_rate(tokens, array_col="tokens", id_col="doc_id")
+    return r.select(
+        "doc_id",
+        "n_pairs",
+        "n_bigrams",
+        "n_contexts",
+        _r6("h_bigram").alias("h_bigram"),
+        _r6("h_context").alias("h_context"),
+        _r6("h_rate").alias("h_rate"),
+    )
+
+
+_ORACLE_MARKOV_RATE = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), prs AS (
+  SELECT a.doc_id, a.tok AS x, b.tok AS y
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+), c2 AS (
+  SELECT doc_id, x, y, CAST(count(*) AS BIGINT) AS c
+  FROM prs GROUP BY doc_id, x, y
+), ctx AS (
+  SELECT doc_id, x, CAST(sum(c) AS BIGINT) AS ca,
+         CAST(count(*) AS BIGINT) AS nb,
+         sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                        * 1000000000000.0 + 0.5) / 1000000000000.0
+                  AS DECIMAL(38, 12))) AS s2
+  FROM c2 GROUP BY doc_id, x
+), red AS (
+  SELECT doc_id, CAST(sum(ca) AS BIGINT) AS m,
+         CAST(sum(nb) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_contexts,
+         CAST(sum(s2) AS DOUBLE) AS slog2,
+         CAST(sum(CAST(floor(CAST(ca AS DOUBLE) * ln(CAST(ca AS DOUBLE))
+                             * 1000000000000.0 + 0.5) / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS slog1
+  FROM ctx GROUP BY doc_id
+), nn AS (
+  SELECT user_id || ':' || event_type AS doc_id, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT nn.doc_id,
+       coalesce(r.m, 0) AS n_pairs,
+       coalesce(r.n_bigrams, 0) AS n_bigrams,
+       coalesce(r.n_contexts, 0) AS n_contexts,
+       floor((ln(CAST(r.m AS DOUBLE)) - r.slog2 / CAST(r.m AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS h_bigram,
+       floor((ln(CAST(r.m AS DOUBLE)) - r.slog1 / CAST(r.m AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS h_context,
+       floor(((ln(CAST(r.m AS DOUBLE)) - r.slog2 / CAST(r.m AS DOUBLE))
+              - (ln(CAST(r.m AS DOUBLE)) - r.slog1 / CAST(r.m AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS h_rate
+FROM nn LEFT JOIN red r USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -4370,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": _q_matrix_profile,
         "higuchi_fd": _q_higuchi,
         "dfa": _q_dfa,
+        "markov_rate": _q_markov_rate,
     }
 
 
@@ -4467,6 +4536,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_profile": _ORACLE_MATRIX_PROFILE,
         "higuchi_fd": _ORACLE_HIGUCHI,
         "dfa": _ORACLE_DFA,
+        "markov_rate": _ORACLE_MARKOV_RATE,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["renyi_entropy"]
+__all__ = ["renyi_entropy", "markov_entropy_rate"]
 
 
 def renyi_entropy(
@@ -109,4 +109,89 @@ def renyi_entropy(
         F.when(e, nulld)
         .otherwise(-F.log(F.col("_cmax").cast("double") / nd))
         .alias("h_min"),
+    )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    array_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-order Markov (conditional) entropy rate per document:
+
+        h_rate = H(X_t | X_{t−1}) = H₂(bigrams) − H₁(contexts)
+
+    over the document's M = n−1 adjacent token pairs, with the context
+    marginal taken over the pairs' FIRST elements (so both entropies
+    share the denominator M and the standard chain rule holds exactly).
+    Shannon's original "series of approximations to English" (1948
+    §3) — the sequence-aware complement to ``renyi_entropy``'s bag-of-
+    tokens H₁: templated text with diverse vocabulary but rigid
+    transitions shows high H₁ yet h_rate ≈ 0.
+
+    Emits (id, n_pairs, n_bigrams, n_contexts, h_bigram, h_context,
+    h_rate); documents with fewer than 2 tokens emit the row with
+    n_pairs = 0 and NULL entropies, carried through the same pass (the
+    renyi ``_empty``-flag trick).
+
+    Scale shape: pure DataFrame composition — the bigram zip is
+    IN-ROW (two slices + arrays_zip + explode_outer), then a
+    three-level aggregate chain (id, x, y) → (id, x) → (id), each a
+    two-phase hash aggregate whose shuffle carries ids and counts
+    only.  No joins, no windows, no Python.  The order-sensitive sums
+    (Σ c·ln c) run on the 12-dp DECIMAL grid (partition-invariant
+    bit-for-bit, independently replayable); everything else is exact
+    integers.
+    """
+    arr = F.col(array_col)
+    n = F.size(arr)
+    pairs = F.when(
+        arr.isNotNull() & (n >= 2),
+        F.arrays_zip(
+            F.slice(arr, 1, n - 1).alias("x"),
+            F.slice(arr, 2, n - 1).alias("y"),
+        ),
+    )
+    cnt2 = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            (arr.isNull() | (n < 2)).alias("_empty"),
+            F.explode_outer(pairs).alias("_p"),
+        )
+        .groupBy("_id", "_empty", F.col("_p.x").alias("_x"), F.col("_p.y").alias("_y"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    c = F.col("_c")
+    cd = c.cast("double")
+    t2 = _floor_round(cd * F.log(cd), 12).cast("decimal(38, 12)")
+    ctx = cnt2.groupBy("_id", "_empty", "_x").agg(
+        F.sum(c).alias("_ca"),
+        F.count("*").cast("long").alias("_nb"),
+        F.sum(t2).alias("_s2"),
+    )
+    ca = F.col("_ca")
+    cad = ca.cast("double")
+    t1 = _floor_round(cad * F.log(cad), 12).cast("decimal(38, 12)")
+    red = ctx.groupBy("_id").agg(
+        F.max("_empty").alias("_e"),
+        F.sum(ca).alias("_m"),
+        F.sum("_nb").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_contexts"),
+        F.sum("_s2").cast("double").alias("_slog2"),
+        F.sum(t1).cast("double").alias("_slog1"),
+    )
+    e = F.col("_e")
+    md = F.col("_m").cast("double")
+    h2 = F.log(md) - F.col("_slog2") / md
+    h1 = F.log(md) - F.col("_slog1") / md
+    nulld = F.lit(None).cast("double")
+    zero = F.lit(0).cast("long")
+    return red.select(
+        F.col("_id").alias(id_col),
+        F.when(e, zero).otherwise(F.col("_m")).alias("n_pairs"),
+        F.when(e, zero).otherwise(F.col("n_bigrams")).alias("n_bigrams"),
+        F.when(e, zero).otherwise(F.col("n_contexts")).alias("n_contexts"),
+        F.when(e, nulld).otherwise(h2).alias("h_bigram"),
+        F.when(e, nulld).otherwise(h1).alias("h_context"),
+        F.when(e, nulld).otherwise(h2 - h1).alias("h_rate"),
     )

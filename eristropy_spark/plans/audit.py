@@ -660,6 +660,18 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and _py_node_count(p) == 1, p)
         )
 
+    # 37b. markov_rate: pure-codegen chained aggregate — in-row bigram
+    # zip, three two-phase hash aggregates, no Join/Window/Python
+    mrq = entrymod.queries()["markov_rate"](spark, sf_dir)
+    p = plan_of(mrq)
+    checks.append(
+        ("markov_rate: <=4 Exchanges, no Join/Window, zero Python",
+         p.count("Exchange") <= 4
+         and "Join" not in p
+         and "Window" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 37. matrix_profile: same array-kernel class — the O(P^2) pair work
     # lives INSIDE the Arrow kernel; the plan must show no join/cartesian
     mq = entrymod.queries()["matrix_profile"](spark, sf_dir)

@@ -362,3 +362,87 @@ def test_zipf_fit_validation(spark):
         zipf_fit(docs, top_k=2)
     with pytest.raises(ValueError, match="min_rank"):
         zipf_fit(docs, min_rank=0)
+
+
+# --------------------------------------------- markov entropy rate
+
+
+def _markov_ref(tokens):
+    """Independent float reference for H(X_t | X_{t-1})."""
+    import collections
+    import math as _m
+
+    pairs = list(zip(tokens[:-1], tokens[1:]))
+    m = len(pairs)
+    if m == 0:
+        return None
+    c2 = collections.Counter(pairs)
+    c1 = collections.Counter(x for x, _ in pairs)
+    h2 = -sum(c / m * _m.log(c / m) for c in c2.values())
+    h1 = -sum(c / m * _m.log(c / m) for c in c1.values())
+    return h2 - h1
+
+
+def test_markov_rate_golden(spark):
+    import numpy as np
+
+    from eristropy_spark.operators.distribution import markov_entropy_rate
+
+    rng = np.random.default_rng(7)
+    seqs = [
+        [int(v) for v in rng.integers(0, 9, size=int(n))]
+        for n in rng.integers(2, 120, 10)
+    ]
+    df = spark.createDataFrame(
+        [(f"d{i}", s) for i, s in enumerate(seqs)],
+        "doc_id string, tokens array<int>",
+    )
+    rows = {r.doc_id: r for r in markov_entropy_rate(df).collect()}
+    for i, s in enumerate(seqs):
+        got = rows[f"d{i}"]
+        assert got.n_pairs == len(s) - 1
+        assert got.h_rate == pytest.approx(_markov_ref(s), abs=1e-6)
+
+
+def test_markov_rate_template_vs_random(spark):
+    import numpy as np
+
+    from eristropy_spark.operators.distribution import markov_entropy_rate
+
+    rng = np.random.default_rng(13)
+    template = [1, 2, 3, 4] * 200  # rigid transitions -> rate 0
+    rand = [int(v) for v in rng.integers(0, 50, size=800)]
+    df = spark.createDataFrame(
+        [("tmpl", template), ("rand", rand), ("short", [5]), ("null", None)],
+        "doc_id string, tokens array<int>",
+    )
+    rows = {r.doc_id: r for r in markov_entropy_rate(df).collect()}
+    assert rows["tmpl"].h_rate == pytest.approx(0.0, abs=1e-9)
+    # 799 pairs -> context counts 200/200/200/199: ln 4 minus a tiny
+    # finite-sample bias
+    assert rows["tmpl"].h_context == pytest.approx(math.log(4), abs=1e-4)
+    # 799 pairs over 50²=2500 bigram cells is severely undersampled, so
+    # the plug-in rate is biased well below ln 50 — the pinned claim is
+    # the contrast: random transitions carry real conditional entropy
+    assert rows["rand"].h_rate > 2.0
+    assert rows["rand"].h_rate == pytest.approx(_markov_ref(rand), abs=1e-6)
+    assert rows["short"].n_pairs == 0 and rows["short"].h_rate is None
+    assert rows["null"].n_pairs == 0 and rows["null"].h_rate is None
+
+
+def test_markov_rate_partition_invariance(spark):
+    import numpy as np
+
+    from eristropy_spark.operators.distribution import markov_entropy_rate
+
+    rng = np.random.default_rng(29)
+    df = spark.createDataFrame(
+        [
+            (f"d{i}", [int(v) for v in rng.integers(0, 6, size=200)])
+            for i in range(8)
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    a = markov_entropy_rate(df.repartition(1)).orderBy("doc_id").collect()
+    b = markov_entropy_rate(df.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
