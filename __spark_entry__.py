@@ -4346,6 +4346,157 @@ FROM nn LEFT JOIN red r USING (doc_id)
 """
 
 
+def _q_lz_complexity(spark, sf_dir):
+    """LZ76 exhaustive-history complexity per signal (operators/
+    complexity.lz_complexity, Lempel & Ziv 1976 / Kaspar & Schuster
+    1987): pure integer phrase parse inside ONE mapInArrow boundary;
+    the oracle replays the parse phrase-for-phrase in SQL (fixed-width
+    token encoding -> token-aligned contains() novelty table ->
+    recursive-CTE greedy walk)."""
+    from eristropy_spark.operators.complexity import lz_complexity
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = lz_complexity(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select("doc_id", "n", "alpha", "c", "c_norm")
+
+
+_ORACLE_LZ = """
+WITH RECURSIVE pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), enc AS (
+  -- fixed-width encoding: ',' + 10-digit offset decimal per token, so
+  -- every contains() hit is token-aligned (commas only at starts)
+  SELECT doc_id,
+         string_agg(',' || lpad(CAST(tok + 2147483648 AS BIGINT)::VARCHAR,
+                                10, '0'), '' ORDER BY i) AS s,
+         CAST(count(*) AS INT) AS n,
+         CAST(count(DISTINCT tok) AS INT) AS alpha
+  FROM pts GROUP BY doc_id
+), pos AS (
+  SELECT doc_id, n, s, unnest(generate_series(1, n)) AS p FROM enc
+), jmp AS (
+  -- jump table: first q >= p where phrase x[p..q] is NOT a substring
+  -- of x[1..q-1] (self-overlap allowed: matches end before q)
+  SELECT a.doc_id, a.p, min(b.p) AS q
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p >= a.p
+  WHERE NOT contains(substr(a.s, 1, 11 * (b.p - 1)),
+                     substr(a.s, 11 * (a.p - 1) + 1, 11 * (b.p - a.p + 1)))
+  GROUP BY a.doc_id, a.p
+), walk AS (
+  SELECT doc_id, 1 AS p, 0 AS c, n FROM enc
+  UNION ALL
+  SELECT w.doc_id, coalesce(CAST(j.q AS INT) + 1, w.n + 1), w.c + 1, w.n
+  FROM walk w
+  LEFT JOIN jmp j ON j.doc_id = w.doc_id AND j.p = w.p
+  WHERE w.p <= w.n
+), cfin AS (
+  SELECT doc_id, CAST(max(c) AS INT) AS c FROM walk GROUP BY doc_id
+)
+SELECT e.doc_id, e.n, e.alpha, cfin.c,
+       CASE WHEN e.n >= 2 AND e.alpha >= 2 THEN
+         floor(((cfin.c * ln(CAST(e.n AS DOUBLE)))
+                / (e.n * ln(CAST(e.alpha AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 END AS c_norm
+FROM enc e JOIN cfin USING (doc_id)
+"""
+
+
+def _q_lttb(spark, sf_dir):
+    """LTTB shape-preserving downsample per signal (operators/lttb
+    .lttb_downsample, Steinarsson 2013): exact-integer triangle areas
+    over (position, token) points inside ONE mapInArrow boundary; the
+    oracle replays the stateful greedy selection via a precomputed
+    (bucket, anchor) -> argmax transition table walked by a recursive
+    CTE — the same replay pattern as the LZ76 parse."""
+    from eristropy_spark.operators.lttb import lttb_downsample
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = lttb_downsample(tokens, array_col="tokens", n_out=8, keep_cols=("doc_id",))
+    return r.select("doc_id", "t", "v")
+
+
+_ORACLE_LTTB = """
+WITH RECURSIVE pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS t
+  FROM events
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY doc_id
+), pass AS (
+  SELECT p.doc_id, p.t, p.tok AS v
+  FROM pts p JOIN nn USING (doc_id) WHERE nn.n <= 8
+), ib AS (
+  -- interior points of big docs with their bucket (nb=8 -> 6 interior
+  -- buckets; same integer map as the kernel: ((t-2)*6) // (n-2))
+  SELECT p.doc_id, p.t, p.tok AS v, ((p.t - 2) * 6) // (nn.n - 2) AS b, nn.n
+  FROM pts p JOIN nn USING (doc_id)
+  WHERE nn.n > 8 AND p.t BETWEEN 2 AND nn.n - 1
+), bsum AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(v) AS BIGINT) AS sv, max(n) AS n
+  FROM ib GROUP BY doc_id, b
+), lastv AS (
+  SELECT p.doc_id, CAST(p.tok AS BIGINT) AS v
+  FROM pts p JOIN nn USING (doc_id) WHERE nn.n > 8 AND p.t = nn.n
+), anchors AS (
+  -- the C point of bucket j: centroid sums of bucket j+1, or the
+  -- final point (m=1) for the last bucket
+  SELECT cur.doc_id, cur.b,
+         coalesce(nx.m, 1) AS m,
+         coalesce(nx.st, cur.n) AS st,
+         coalesce(nx.sv, lastv.v) AS sv
+  FROM bsum cur
+  LEFT JOIN bsum nx ON nx.doc_id = cur.doc_id AND nx.b = cur.b + 1
+  JOIN lastv ON lastv.doc_id = cur.doc_id
+), acand AS (
+  -- every possible previously-selected anchor A for bucket j: any
+  -- point of bucket j-1, or the always-selected first point for j=0
+  SELECT doc_id, b + 1 AS jb, t AS ta, v AS va FROM ib
+  UNION ALL
+  SELECT p.doc_id, 0 AS jb, 1 AS ta, p.tok AS va
+  FROM pts p JOIN nn USING (doc_id) WHERE nn.n > 8 AND p.t = 1
+), trans AS (
+  SELECT doc_id, jb, ta, tb FROM (
+    SELECT a.doc_id, a.jb, a.ta, c.t AS tb,
+           row_number() OVER (
+             PARTITION BY a.doc_id, a.jb, a.ta
+             ORDER BY abs((CAST(a.ta AS BIGINT) * an.m - an.st)
+                            * CAST(c.v - a.va AS BIGINT)
+                          - CAST(a.ta - c.t AS BIGINT)
+                            * (an.sv - CAST(a.va AS BIGINT) * an.m)) DESC,
+                      c.t ASC) AS rn
+    FROM acand a
+    JOIN ib c ON c.doc_id = a.doc_id AND c.b = a.jb
+    JOIN anchors an ON an.doc_id = a.doc_id AND an.b = a.jb
+  ) WHERE rn = 1
+), walk AS (
+  SELECT doc_id, CAST(0 AS INT) AS j, CAST(1 AS BIGINT) AS sel_t
+  FROM nn WHERE n > 8
+  UNION ALL
+  SELECT w.doc_id, w.j + 1, tr.tb
+  FROM walk w
+  JOIN trans tr ON tr.doc_id = w.doc_id AND tr.jb = w.j AND tr.ta = w.sel_t
+  WHERE w.j <= 5
+), selpts AS (
+  SELECT doc_id, sel_t AS t FROM walk
+  UNION ALL
+  SELECT doc_id, n AS t FROM nn WHERE n > 8
+)
+SELECT s.doc_id, CAST(s.t AS INT) AS t, CAST(p.tok AS INT) AS v
+FROM selpts s JOIN pts p ON p.doc_id = s.doc_id AND p.t = s.t
+UNION ALL
+SELECT doc_id, CAST(t AS INT) AS t, CAST(v AS INT) AS v FROM pass
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -4439,6 +4590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "higuchi_fd": _q_higuchi,
         "dfa": _q_dfa,
         "markov_rate": _q_markov_rate,
+        "lz_complexity": _q_lz_complexity,
+        "lttb": _q_lttb,
     }
 
 
@@ -4537,6 +4690,8 @@ def oracle_sql() -> dict[str, str]:
         "higuchi_fd": _ORACLE_HIGUCHI,
         "dfa": _ORACLE_DFA,
         "markov_rate": _ORACLE_MARKOV_RATE,
+        "lz_complexity": _ORACLE_LZ,
+        "lttb": _ORACLE_LTTB,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL
