@@ -4497,6 +4497,248 @@ SELECT doc_id, CAST(t AS INT) AS t, CAST(v AS INT) AS v FROM pass
 """
 
 
+def _q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz median-split runs test per signal (operators/
+    randomtests.runs_test): exact-int64 run counts in-row, ONE fixed
+    float expression for z — zero Python, zero joins, only tokenize's
+    Exchange."""
+    from eristropy_spark.operators.randomtests import runs_test
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = runs_test(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select("doc_id", "n", "n1", "n2", "runs", _r6("z").alias("z"))
+
+
+_ORACLE_RUNS = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), med AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n,
+         quantile_cont(tok, 0.5) AS med
+  FROM pts GROUP BY doc_id
+), sgn AS (
+  SELECT p.doc_id, p.i,
+         CASE WHEN CAST(p.tok AS DOUBLE) > m.med THEN 1 ELSE -1 END AS s
+  FROM pts p JOIN med m USING (doc_id)
+  WHERE CAST(p.tok AS DOUBLE) <> m.med
+), lagged AS (
+  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS pl
+  FROM sgn
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(1 + sum(CASE WHEN pl IS NOT NULL AND s <> pl
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM lagged GROUP BY doc_id
+)
+SELECT med.doc_id, med.n,
+       coalesce(agg.n1, 0) AS n1,
+       coalesce(agg.m - agg.n1, 0) AS n2,
+       coalesce(agg.runs, 0) AS runs,
+       CASE WHEN agg.n1 >= 1 AND agg.m - agg.n1 >= 1
+                 AND 2.0 * agg.n1 * (agg.m - agg.n1) > CAST(agg.m AS DOUBLE)
+            THEN floor((CAST(agg.runs AS DOUBLE)
+                        - (1.0 + 2.0 * agg.n1 * (agg.m - agg.n1)
+                                 / CAST(agg.m AS DOUBLE)))
+                       / sqrt((2.0 * agg.n1 * (agg.m - agg.n1)
+                               * (2.0 * agg.n1 * (agg.m - agg.n1)
+                                  - CAST(agg.m AS DOUBLE)))
+                              / (CAST(agg.m AS DOUBLE)
+                                 * CAST(agg.m AS DOUBLE)
+                                 * (CAST(agg.m AS DOUBLE) - 1.0)))
+                       * 1000000 + 0.5) / 1000000 END AS z
+FROM med LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _q_turning_points(spark, sf_dir):
+    """Turning-point randomness test per signal (operators/randomtests
+    .turning_points, Kendall & Stuart): strict local-extremum count
+    from in-row integer diffs vs E[T] = 2(n-2)/3, Var = (16n-29)/90 —
+    zero Python, zero joins."""
+    from eristropy_spark.operators.randomtests import turning_points
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = turning_points(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select("doc_id", "n", "tp", _r6("z").alias("z"))
+
+
+_ORACLE_TURNING = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), dif AS (
+  SELECT doc_id, i,
+         tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS d
+  FROM pts
+), dnn AS (
+  SELECT doc_id, i, CAST(d AS BIGINT) AS d FROM dif WHERE d IS NOT NULL
+), prd AS (
+  SELECT doc_id,
+         d * lag(d) OVER (PARTITION BY doc_id ORDER BY i) AS pr
+  FROM dnn
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN pr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM prd GROUP BY doc_id
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+)
+SELECT nn.doc_id, nn.n,
+       coalesce(agg.tp, 0) AS tp,
+       CASE WHEN nn.n >= 3 THEN
+         floor((CAST(coalesce(agg.tp, 0) AS DOUBLE)
+                - 2.0 * (CAST(nn.n AS DOUBLE) - 2.0) / 3.0)
+               / sqrt((16.0 * CAST(nn.n AS DOUBLE) - 29.0) / 90.0)
+               * 1000000 + 0.5) / 1000000 END AS z
+FROM nn LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _q_variance_ratio(spark, sf_dir):
+    """Lo–MacKinlay variance-ratio test VR(4) per signal (operators/
+    randomtests.variance_ratio): exact-int64 increment sums in-row
+    (Σd, Σd², Σy, Σy²), ONE fixed float expression for VR and the
+    homoskedastic z — zero Python, zero joins."""
+    from eristropy_spark.operators.randomtests import variance_ratio
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = variance_ratio(tokens, q=4, array_col="tokens", keep_cols=("doc_id",))
+    return r.select("doc_id", "n", _r6("vr").alias("vr"), _r6("z").alias("z"))
+
+
+_ORACLE_VR = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), dif AS (
+  SELECT doc_id,
+         tok - lag(tok) OVER w AS d,
+         tok - lag(tok, 4) OVER w AS y
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(CAST(d AS BIGINT) * CAST(d AS BIGINT)) AS BIGINT) AS sd2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(y AS BIGINT) * CAST(y AS BIGINT)) AS BIGINT) AS sy2
+  FROM dif GROUP BY doc_id
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+), e2 AS (
+  SELECT nn.doc_id, nn.n,
+         CAST(nn.n - 1 AS DOUBLE) AS td,
+         CAST(agg.sd AS DOUBLE) AS sdd,
+         CAST(agg.sd2 AS DOUBLE) AS sd2d,
+         CAST(agg.sy AS DOUBLE) AS syd,
+         CAST(agg.sy2 AS DOUBLE) AS sy2d,
+         CAST(agg.sd AS DOUBLE) / CAST(nn.n - 1 AS DOUBLE) AS mu
+  FROM nn JOIN agg USING (doc_id)
+), e3 AS (
+  SELECT doc_id, n, td, syd, sy2d,
+         sd2d - mu * sdd AS ssd,
+         4.0 * mu AS qmu,
+         td - 4.0 + 1.0 AS nq
+  FROM e2
+), e4 AS (
+  SELECT doc_id, n, td, ssd, nq,
+         sy2d - 2.0 * qmu * syd + nq * qmu * qmu AS ssy,
+         4.0 * nq * (1.0 - 4.0 / td) AS mden
+  FROM e3
+), e5 AS (
+  SELECT doc_id, n, td,
+         CASE WHEN (n - 1) > 4 AND ssd > 0.0
+              THEN (ssy / mden) / (ssd / (td - 1.0)) END AS vr
+  FROM e4
+)
+SELECT doc_id, n,
+       floor(vr * 1000000 + 0.5) / 1000000 AS vr,
+       floor(sqrt(td) * (vr - 1.0)
+             / sqrt(2.0 * (2.0 * 4.0 - 1.0) * (4.0 - 1.0) / (3.0 * 4.0))
+             * 1000000 + 0.5) / 1000000 AS z
+FROM e5
+"""
+
+
+def _q_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram document scoring (operators/
+    corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
+    the LM-quality proxy above unigram_logprob — self-scored corpus
+    counts, continuation-type smoothing, per-doc mean log-prob and
+    perplexity.  Bigram enumeration in-row; shuffles carry (token,
+    count) pairs; the one-row type total broadcasts."""
+    from eristropy_spark.operators.corpus import kn_bigram_score
+
+    r = kn_bigram_score(_docs(spark, sf_dir), discount=0.75)
+    return r.select(
+        "doc_id",
+        "n_bigrams",
+        "n_types",
+        _r6("logp").alias("logp"),
+        _r6("ppl").alias("ppl"),
+    )
+
+
+_ORACLE_KN = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+), bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+), dbc AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM bg GROUP BY doc_id, w1, w2
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), lft AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1r
+  FROM c12 GROUP BY w1
+), rgt AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM c12 GROUP BY w2
+), bt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM c12
+), per AS (
+  SELECT d.doc_id,
+         sum(CAST(d.k AS DOUBLE)
+             * ln((CAST(c.c12 AS DOUBLE) - 0.75
+                   + 0.75 * CAST(l.n1r AS DOUBLE) * CAST(r.n1l AS DOUBLE)
+                     / bt.b)
+                  / CAST(l.c1 AS DOUBLE))) AS slp,
+         CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM dbc d
+  JOIN c12 c USING (w1, w2)
+  JOIN lft l USING (w1)
+  JOIN rgt r USING (w2)
+  CROSS JOIN bt
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       coalesce(per.n_types, 0) AS n_types,
+       floor(per.slp / per.n_bigrams * 1000000 + 0.5) / 1000000 AS logp,
+       floor(exp(-(per.slp / per.n_bigrams)) * 1000000 + 0.5) / 1000000
+         AS ppl
+FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -4592,6 +4834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_rate": _q_markov_rate,
         "lz_complexity": _q_lz_complexity,
         "lttb": _q_lttb,
+        "runs_test": _q_runs_test,
+        "turning_points": _q_turning_points,
+        "variance_ratio": _q_variance_ratio,
+        "kn_bigram": _q_kn_bigram,
     }
 
 
@@ -4692,6 +4938,10 @@ def oracle_sql() -> dict[str, str]:
         "markov_rate": _ORACLE_MARKOV_RATE,
         "lz_complexity": _ORACLE_LZ,
         "lttb": _ORACLE_LTTB,
+        "runs_test": _ORACLE_RUNS,
+        "turning_points": _ORACLE_TURNING,
+        "variance_ratio": _ORACLE_VR,
+        "kn_bigram": _ORACLE_KN,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.numeric import round6
 
-__all__ = ["pmi_collocations", "corpus_divergence", "zipf_fit"]
+__all__ = [
+    "pmi_collocations",
+    "corpus_divergence",
+    "zipf_fit",
+    "kn_bigram_score",
+]
 
 
 def _unigrams(docs: DataFrame, text_col: str) -> DataFrame:
@@ -254,4 +259,95 @@ def zipf_fit(
         slope.alias("slope"),
         (F.col("sy") / kd - slope * (F.col("sx") / kd)).alias("intercept"),
         ((cov * cov) / (varx * vary)).alias("r2"),
+    )
+
+
+def kn_bigram_score(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document interpolated Kneser–Ney bigram score — the
+    LM-quality proxy one rung above ``text.unigram_logprob``
+    (Kneser & Ney 1995, ICASSP; Chen & Goodman 1999, CSL 13 — the
+    interpolated variant with a single absolute discount D):
+
+        P(w2|w1) = (c(w1,w2) − D)/c(w1)
+                   + D · N1+(w1·)/c(w1) · N1+(·w2)/B
+
+    where c(·) are bigram-based counts over the SCORING corpus itself
+    (so c(w1,w2) ≥ 1 for every scored bigram and the max(·−D, 0) clip
+    is never active), N1+(w1·)/N1+(·w2) the left/right continuation
+    type counts, and B the total number of distinct bigram types (the
+    denominator of the continuation distribution).  Self-scoring a
+    corpus against its own counts is the deterministic member of the
+    CCNet perplexity-filter family: documents whose transitions are
+    typical of the corpus score high, boilerplate with rare-but-
+    repeated transitions scores low.  Returns
+    (doc_id, n_bigrams, n_types, logp, ppl) with logp the
+    count-weighted mean ln P over the document's bigrams and
+    ppl = exp(−logp); docs with < 2 tokens emit 0/0/NULL/NULL.
+
+    Scale shape: bigram enumeration is in-row (slice + zip_with);
+    shuffles carry (doc_id|token, count) pairs only — the count
+    tables are vocab²-/vocab-sized and join token-keyed (NOT assumed
+    broadcastable, same rule as ``pmi_collocations``); the one-row
+    type total broadcasts.  Document text never shuffles.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    arr = F.split(F.col(text_col), " ")
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.when(n >= 2, pairs)).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    dbc = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    lft = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1r"),
+    )
+    rgt = c12.groupBy("w2").agg(F.count("*").cast("long").alias("n1l"))
+    btot = c12.agg(F.count("*").cast("double").alias("_B"))
+    d = F.lit(float(discount))
+    p = (
+        F.col("c12").cast("double")
+        - d
+        + d * F.col("n1r").cast("double") * F.col("n1l").cast("double") / F.col("_B")
+    ) / F.col("c1").cast("double")
+    per = (
+        dbc.join(c12, ["w1", "w2"])
+        .join(lft, "w1")
+        .join(rgt, "w2")
+        .join(F.broadcast(btot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k").cast("double") * F.log(p)).alias("_slp"),
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_types"),
+        )
+    )
+    logp = F.col("_slp") / F.col("n_bigrams").cast("double")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("n_types", F.lit(0).cast("long")).alias("n_types"),
+            logp.alias("logp"),
+            F.exp(-logp).alias("ppl"),
+        )
     )

@@ -685,4 +685,31 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
+    # 38. runs_test / turning_points / variance_ratio: pure-codegen
+    # in-row randomness tests — only tokenize's Exchange, no Join,
+    # no Window of their own, zero Python
+    for qname in ("runs_test", "turning_points", "variance_ratio"):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (f"{qname}: only tokenize's Exchange, no Join/Window, "
+             "zero Python",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and "Window" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
+    # 39. kn_bigram: the corpus-join class — equi-joins only (never a
+    # cartesian; the one-row type total rides a broadcast nested-loop
+    # like pmi's totals), zero Python
+    kq = entrymod.queries()["kn_bigram"](spark, sf_dir)
+    p = plan_of(kq)
+    checks.append(
+        ("kn_bigram: equi-joins only, 1-row total broadcast, zero Python",
+         "CartesianProduct" not in p
+         and p.count("BroadcastNestedLoopJoin") <= 1
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
