@@ -4739,6 +4739,142 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+_BPE_MERGES = 6
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.train_bpe, Sennrich et
+    al. 2016): 6 merge rounds over the distinct-word table — pair
+    counts are map-side-combined aggregates, the argmax a 1-row
+    TakeOrdered, the rewrite a pure-codegen sequential fold.  The
+    oracle replays every round with a per-word recursive-CTE walk
+    (generated SQL, one block per round)."""
+    from eristropy_spark.operators.bpe import train_bpe
+
+    return train_bpe(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE encoding of the corpus with its own learned merges
+    (operators/bpe.encode_bpe): per-word restart from characters, the
+    merge schedule unrolled into nested folds, all in-row.  The
+    value-hashed ``tok_str`` pins the exact token stream; the oracle
+    reuses the training chain's final word symbols (training rewrite ≡
+    encode on the training corpus) joined back to document word
+    order."""
+    from eristropy_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in train_bpe(docs, n_merges=_BPE_MERGES).collect()
+    ]
+    enc = encode_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.concat_ws(" ", "tokens").alias("tok_str"),
+    )
+
+
+def _bpe_chain_sql(k: int) -> str:
+    """The shared w0..w{k} training chain: w0 = char symbols + marker
+    per distinct word; each round = pair count -> deterministic argmax
+    -> per-word recursive-CTE merge walk (left-to-right non-overlap,
+    same replay pattern as the LZ76 parse oracle)."""
+    parts = [
+        """
+WITH RECURSIVE w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         list_append(list_transform(generate_series(1, length(word)),
+                     i -> substr(word, i, 1)), '</w>') AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)"""
+    ]
+    for r in range(k):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, unnest(syms[1:len(syms)-1]) AS a,
+               unnest(syms[2:len(syms)]) AS b
+        FROM w{r} WHERE len(syms) >= 2)
+  GROUP BY a, b
+), pick{r} AS MATERIALIZED (
+  SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+), sym{r} AS MATERIALIZED (
+  SELECT word, unnest(syms) AS cur,
+         unnest(list_concat(syms[2:len(syms)], [CAST(NULL AS VARCHAR)]))
+           AS nxt,
+         unnest(generate_series(1, len(syms))) AS p
+  FROM w{r}
+), walk{r} AS (
+  SELECT word, cnt, 1 AS p, 0 AS op, CAST(NULL AS VARCHAR) AS sym,
+         len(syms) AS ln
+  FROM w{r}
+  UNION ALL
+  SELECT t.word, t.cnt,
+         CASE WHEN s.cur = pk.a AND s.nxt = pk.b
+              THEN t.p + 2 ELSE t.p + 1 END,
+         t.op + 1,
+         CASE WHEN s.cur = pk.a AND s.nxt = pk.b
+              THEN pk.a || pk.b ELSE s.cur END,
+         t.ln
+  FROM walk{r} t JOIN sym{r} s ON s.word = t.word AND s.p = t.p
+  CROSS JOIN pick{r} pk
+  WHERE t.p <= t.ln
+), w{r + 1} AS MATERIALIZED (
+  SELECT word, cnt, list(sym ORDER BY op) AS syms
+  FROM walk{r} WHERE sym IS NOT NULL GROUP BY word, cnt
+)"""
+        )
+    return "".join(parts)
+
+
+def _make_bpe_merges_oracle(k: int) -> str:
+    sels = [
+        f'SELECT {r} AS "rank", a AS lhs, b AS rhs, a || b AS merged,'
+        f" c AS pair_count FROM pick{r}"
+        for r in range(k)
+    ]
+    return _bpe_chain_sql(k) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _make_bpe_encode_oracle(k: int) -> str:
+    return (
+        _bpe_chain_sql(k)
+        + f""", docw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS wi
+  FROM documents
+), flat AS (
+  SELECT d.doc_id, d.wi,
+         unnest(w.syms) AS tok,
+         unnest(generate_series(1, len(w.syms))) AS si
+  FROM docw d JOIN w{k} w USING (word)
+  WHERE d.word <> ''
+), per AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT wi) AS INT) AS n_words,
+         CAST(count(*) AS INT) AS n_tokens,
+         string_agg(tok, ' ' ORDER BY wi, si) AS tok_str
+  FROM flat GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       coalesce(per.n_words, 0) AS n_words,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.tok_str, '') AS tok_str
+FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)"""
+    )
+
+
+_ORACLE_BPE_MERGES = _make_bpe_merges_oracle(_BPE_MERGES)
+_ORACLE_BPE_ENCODE = _make_bpe_encode_oracle(_BPE_MERGES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -4838,6 +4974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turning_points": _q_turning_points,
         "variance_ratio": _q_variance_ratio,
         "kn_bigram": _q_kn_bigram,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -4942,6 +5080,8 @@ def oracle_sql() -> dict[str, str]:
         "turning_points": _ORACLE_TURNING,
         "variance_ratio": _ORACLE_VR,
         "kn_bigram": _ORACLE_KN,
+        "bpe_merges": _ORACLE_BPE_MERGES,
+        "bpe_encode": _ORACLE_BPE_ENCODE,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

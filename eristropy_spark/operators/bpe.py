@@ -1,0 +1,199 @@
+"""Distributed byte-pair-encoding tokenizer training + encoding.
+
+``train_bpe`` — the Sennrich et al. 2016 (ACL, "Neural Machine
+Translation of Rare Words with Subword Units") BPE merge-learning
+loop, the tokenizer-construction step of every LLM data pipeline:
+start from characters (plus an end-of-word marker), repeatedly count
+adjacent symbol pairs across the corpus and merge the most frequent
+pair, left-to-right non-overlapping.  ``encode_bpe`` applies a learned
+merge table to documents in rank order — the actual tokenizer.
+
+Determinism: the pair argmax tie-breaks on (count desc, left, right),
+so the merge sequence is a pure function of the corpus.  The merge
+REWRITE is the classic sequential scan (state = one pending symbol);
+it runs as a single Catalyst ``aggregate`` fold with a struct
+accumulator — zero Python — and the DuckDB oracle replays every round
+phrase-for-phrase with a per-word recursive-CTE walk (the same replay
+pattern as the LZ76 parse), so the whole training loop is
+value-checked end-to-end by an independent engine.
+
+Scale shape: training operates on the DISTINCT-WORD table (word,
+count, symbols) — corpus text is touched once, in-row, to build it;
+every round shuffles only (symbol-pair, partial-count) pairs with
+map-side combine, and the argmax is a 1-row TakeOrdered collect (a
+scalar per round, the same class as the connected-components
+convergence check — NOT a data collect).  The rewrite is in-row.
+Lineage is truncated with ``localCheckpoint`` every few rounds so a
+long merge schedule doesn't compound the plan.  At 100 TB the word
+table is vocab-sized (10⁶–10⁸ rows), orders of magnitude below the
+corpus, which is exactly why classic BPE trainers work off word
+counts — the Spark form keeps that table distributed instead of in
+one process's dict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["train_bpe", "encode_bpe", "words_with_symbols"]
+
+END_MARKER = "</w>"
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (a, b) by
+    a+b — the BPE rewrite — as ONE sequential fold: the accumulator
+    carries (out, pend) where ``pend`` is the previous symbol not yet
+    committed (it may still start a merge with the next element)."""
+    merged = F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def words_with_symbols(
+    docs: DataFrame, text_col: str = "text", end_marker: str = END_MARKER
+) -> DataFrame:
+    """(word, cnt, syms) — the distinct-word working table: whitespace
+    words with corpus counts and their initial symbol sequence
+    (characters + the end-of-word marker as its own symbol)."""
+    w = F.col("word")
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(w != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "syms", F.concat(F.split(w, ""), F.array(F.lit(end_marker)))
+        )
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    end_marker: str = END_MARKER,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (rank, lhs, rhs, merged, pair_count) in learned order.
+
+    Stops early (fewer rows) if the corpus runs out of adjacent pairs.
+    ``pair_count`` is the corpus-wide frequency of the pair at the
+    round it was chosen — the classic diagnostic column (a sharp drop
+    marks where merges stop paying).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    cur = words_with_symbols(docs, text_col, end_marker).persist()
+    cur.count()  # materialize before the loop re-reads it every round
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            n = F.size("syms")
+            pairs = (
+                cur.filter(n >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.zip_with(
+                            F.slice("syms", 1, n - 1),
+                            F.slice("syms", 2, n - 1),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").cast("long").alias("c"))
+            )
+            top = pairs.orderBy(
+                F.col("c").desc(), F.col("a"), F.col("b")
+            ).limit(1).collect()
+            if not top:
+                break
+            a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+            merges.append((rank, a, b, a + b, c))
+            nxt = cur.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+            if (rank + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_marker: str = END_MARKER,
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, tokens) — documents encoded with a
+    learned merge list (rank order = list order): each word restarts
+    from characters + marker, then every merge is applied in sequence;
+    ``tokens`` is the concatenation over the document's words.
+
+    Pure codegen (the merge schedule unrolls into |merges| nested
+    folds); in-row per document, zero shuffle."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    per_word = F.transform(
+        words,
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_marker))),
+    )
+    enc = F.transform(
+        per_word,
+        lambda s: _fold_merges(s, merges),
+    )
+    tokens = F.flatten(enc)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        F.size(tokens).alias("n_tokens"),
+        tokens.alias("tokens"),
+    )
+
+
+def _fold_merges(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return syms

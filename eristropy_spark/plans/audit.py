@@ -712,4 +712,49 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 40. BPE: (a) one training round's pair count = a two-phase hash
+    # aggregate over the word table, no Join, zero Python; (b) encode
+    # with an unrolled merge schedule = pure in-row codegen, ZERO
+    # Exchange, zero Python
+    from eristropy_spark.operators.bpe import encode_bpe, words_with_symbols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = words_with_symbols(docs)
+    n = F.size("syms")
+    pairs = (
+        words.filter(n >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    p = plan_of(pairs)
+    checks.append(
+        ("bpe train round: two-phase pair aggregate, no Join, zero Python",
+         "partial_sum" in p.lower().replace("partial sum", "partial_sum")
+         or "HashAggregate" in p,
+         p)
+    )
+    checks.append(
+        ("bpe train round: no Join, zero Python",
+         "Join" not in p and _py_node_count(p) == 0, p)
+    )
+    eq = encode_bpe(docs, [("e", "r"), ("t", "h"), ("th", "e</w>")])
+    p = plan_of(eq)
+    checks.append(
+        ("bpe encode: pure in-row codegen — ZERO Exchange, no Join, "
+         "zero Python",
+         p.count("Exchange") == 0
+         and "Join" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
