@@ -4739,6 +4739,123 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_cross_sampen(spark, sf_dir):
+    """Cross-sample entropy between same-user signal pairs (operators/
+    crossentropy.cross_sampen_pairs, Richman & Moorman 2000): pairs
+    form within each user's event-type set (never all-signals²); the
+    O(nu·nv) strict-<r Chebyshev match count runs vectorized in ONE
+    mapInArrow boundary over independently z-normed series.  The
+    oracle replays the full pair count over window-z-normed values —
+    the cross analogue of the sampen_permen replay."""
+    from eristropy_spark.operators.crossentropy import cross_sampen_pairs
+
+    tokens = events_to_tokens(_utc(spark), sf_dir).withColumn(
+        "user", F.substring_index("doc_id", ":", 1)
+    )
+    r = cross_sampen_pairs(
+        tokens, m=1, r=0.2, key_col="user", label_col="source",
+        array_col="tokens",
+    )
+    return r.select(
+        "key", "src_a", "src_b", "n_a", "n_b", "b_cnt", "a_cnt",
+        _r6("cse").alias("cse"),
+    )
+
+
+_ORACLE_CROSS_SAMPEN = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), z AS (
+  SELECT user_id, event_type, i, n,
+         (tok - avg(tok) OVER d) / nullif(stddev_samp(tok) OVER d, 0) AS zv
+  FROM seq
+  WINDOW d AS (PARTITION BY user_id, event_type)
+), z2 AS (
+  SELECT *, lead(zv) OVER (PARTITION BY user_id, event_type ORDER BY i)
+              AS zv1
+  FROM z
+), prs AS (
+  SELECT CAST(a.user_id AS VARCHAR) AS key,
+         a.event_type AS src_a, b.event_type AS src_b,
+         CAST(max(a.n) AS INT) AS n_a, CAST(max(b.n) AS INT) AS n_b,
+         CAST(count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2) AS BIGINT)
+           AS b_cnt,
+         CAST(count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2
+                                 AND abs(a.zv1 - b.zv1) < 0.2) AS BIGINT)
+           AS a_cnt
+  FROM z2 a JOIN z2 b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+   AND a.i <= a.n - 1 AND b.i <= b.n - 1
+  GROUP BY a.user_id, a.event_type, b.event_type
+)
+SELECT key, src_a, src_b, n_a, n_b, b_cnt, a_cnt,
+       CASE WHEN a_cnt > 0 AND b_cnt > 0
+            THEN floor(-ln(CAST(a_cnt AS DOUBLE) / b_cnt)
+                       * 1000000 + 0.5) / 1000000 END AS cse
+FROM prs
+"""
+
+
+def _q_kalman_level(spark, sf_dir):
+    """Local-level Kalman filter per user stream (operators/smoothing
+    .kalman_level, Kalman 1960 / Durbin & Koopman §2): time-varying
+    gain recursion as the ewma/holt-class grouped-Pandas sequential
+    scan; literal double expressions in fixed order so the
+    recursive-CTE oracle replays every state bit-for-bit."""
+    from eristropy_spark.operators.smoothing import kalman_level
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    r = kalman_level(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        q=0.1, r=1.0, tiebreak_col="event_id",
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        _r6("xhat").alias("xhat"),
+        _r6("pvar").alias("pvar"),
+        _r6("kgain").alias("kgain"),
+        _r6("resid").alias("resid"),
+    )
+
+
+_ORACLE_KALMAN = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, i,
+         value AS xhat,
+         CAST(1.0 AS DOUBLE) AS pvar,
+         CAST(NULL AS DOUBLE) AS kgain,
+         CAST(NULL AS DOUBLE) AS resid
+  FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.i,
+         r.xhat + ((r.pvar + 0.1) / ((r.pvar + 0.1) + 1.0))
+                  * (p.value - r.xhat) AS xhat,
+         (1.0 - ((r.pvar + 0.1) / ((r.pvar + 0.1) + 1.0)))
+           * (r.pvar + 0.1) AS pvar,
+         (r.pvar + 0.1) / ((r.pvar + 0.1) + 1.0) AS kgain,
+         p.value - r.xhat AS resid
+  FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.i = r.i + 1
+)
+SELECT user_id, event_id,
+       floor(xhat * 1000000.0 + 0.5) / 1000000.0 AS xhat,
+       floor(pvar * 1000000.0 + 0.5) / 1000000.0 AS pvar,
+       floor(kgain * 1000000.0 + 0.5) / 1000000.0 AS kgain,
+       floor(resid * 1000000.0 + 0.5) / 1000000.0 AS resid
+FROM rec
+"""
+
+
 _BPE_MERGES = 6
 
 
@@ -4976,6 +5093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "cross_sampen": _q_cross_sampen,
+        "kalman_level": _q_kalman_level,
     }
 
 
@@ -5082,6 +5201,8 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,
+        "cross_sampen": _ORACLE_CROSS_SAMPEN,
+        "kalman_level": _ORACLE_KALMAN,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-__all__ = ["ewma", "holt"]
+__all__ = ["ewma", "holt", "kalman_level"]
 
 
 def ewma(
@@ -138,6 +138,91 @@ def holt(
         pdf["level"] = levels
         pdf["trend"] = trends
         pdf["fitted"] = fitted
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+        _one_group, schema=schema
+    )
+
+
+def kalman_level(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    q: float = 0.1,
+    r: float = 1.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Kalman filter for the local-level (random-walk + noise) model
+    per key — the optimal-gain generalization of EWMA (Kalman 1960;
+    local-level form: Durbin & Koopman, "Time Series Analysis by State
+    Space Methods" §2): state x_t = x_{t-1} + w_t (Var w = q),
+    observation z_t = x_t + e_t (Var e = r).  Appends four columns in
+    (``ts_col``, ``tiebreak_col``) order:
+
+        pp_t    = p_{t-1} + q                    (prior variance)
+        kgain_t = pp_t / (pp_t + r)
+        xhat_t  = xhat_{t-1} + kgain_t*(z_t - xhat_{t-1})
+        pvar_t  = (1 - kgain_t) * pp_t           (posterior variance)
+        resid_t = z_t - xhat_{t-1}               (innovation)
+
+    init: xhat_1 = z_1, pvar_1 = r, kgain/resid NULL (the classic
+    "first observation seeds the state" start; gains then converge to
+    the steady state regardless of init).  Unlike EWMA's fixed alpha,
+    the gain is time-varying — large while the state is uncertain,
+    shrinking to the steady-state gain — so early observations are
+    weighted correctly after gaps or cold starts.
+
+    Same sequential-scan class as ``holt``: ONE key Exchange, an
+    explicit per-point loop over each group, and the update uses the
+    literal double expressions above in that exact order, so an
+    independent recursive-CTE replay reproduces every state
+    bit-for-bit.
+    """
+    if q <= 0:
+        raise ValueError(f"q must be > 0, got {q}")
+    if r <= 0:
+        raise ValueError(f"r must be > 0, got {r}")
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("xhat", DoubleType(), True),
+            StructField("pvar", DoubleType(), True),
+            StructField("kgain", DoubleType(), True),
+            StructField("resid", DoubleType(), True),
+        ]
+    )
+    qf, rf = float(q), float(r)
+
+    def _one_group(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        z = pdf[value_col].astype("float64").to_list()
+        n = len(z)
+        if n == 0:
+            pdf["xhat"] = pdf["pvar"] = pdf["kgain"] = pdf["resid"] = []
+            return pdf
+        xh: list[float] = [z[0]]
+        pv: list[float] = [rf]
+        kg: list[float | None] = [None]
+        rs: list[float | None] = [None]
+        x, p = z[0], rf
+        for t in range(1, n):
+            pp = p + qf
+            k = pp / (pp + rf)
+            resid = z[t] - x
+            x = x + k * (z[t] - x)
+            p = (1.0 - k) * pp
+            xh.append(x)
+            pv.append(p)
+            kg.append(k)
+            rs.append(resid)
+        pdf["xhat"] = xh
+        pdf["pvar"] = pv
+        pdf["kgain"] = kg
+        pdf["resid"] = rs
         return pdf
 
     return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(

@@ -757,4 +757,30 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 41. cross_sampen: per-key label self-join (equi-join, NEVER a
+    # cartesian over signals) feeding ONE Arrow kernel boundary
+    cq = entrymod.queries()["cross_sampen"](spark, sf_dir)
+    p = plan_of(cq)
+    checks.append(
+        ("cross_sampen: equi self-join (no cartesian), ONE Arrow "
+         "boundary",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and _py_node_count(p) == 1, p)
+    )
+
+    # 42. kalman_level: the ewma/holt sequential-scan class — one key
+    # Exchange into one grouped-Pandas stage, no single-partition stage
+    kq = entrymod.queries()["kalman_level"](spark, sf_dir)
+    p = plan_of(kq)
+    checks.append(
+        ("kalman_level: one key Exchange, one grouped-Pandas boundary, "
+         "no single-partition stage",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and "FlatMapGroupsInPandas" in p
+         and _py_node_count(p) == 1, p)
+    )
+
     return checks
