@@ -4739,6 +4739,168 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_mannwhitney(spark, sf_dir):
+    """Mann–Whitney U drift per signal (operators/drift
+    .mannwhitney_drift): first-half vs second-half rank test — the
+    location complement of ks_drift.  Doubled rank sums and tie terms
+    are exact int64; auc/z are ONE fixed float expression each."""
+    from eristropy_spark.operators.drift import mannwhitney_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = mannwhitney_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "u2",
+        _r6("auc").alias("auc"),
+        _r6("z").alias("z"),
+    )
+
+
+_ORACLE_MWU = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb, ca + cb AS t,
+         CAST(sum(ca + cb) OVER w AS BIGINT) AS cumt
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), red AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) AS BIGINT) AS n_ref,
+         CAST(sum(cb) AS BIGINT) AS n_cur,
+         CAST(sum(cb * (2 * cumt - t + 1)) AS BIGINT) AS r2b,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie
+  FROM cum GROUP BY user_id, event_type
+), fin AS (
+  SELECT user_id, event_type, n_ref, n_cur,
+         r2b - n_cur * (n_cur + 1) AS u2,
+         CAST(n_ref AS DOUBLE) AS na, CAST(n_cur AS DOUBLE) AS nb,
+         CAST(tie AS DOUBLE) AS td
+  FROM red
+), varc AS (
+  SELECT user_id, event_type, n_ref, n_cur, u2, na, nb,
+         (na * nb / 12.0)
+           * (((na + nb) + 1.0)
+              - td / ((na + nb) * ((na + nb) - 1.0))) AS var_u
+  FROM fin
+)
+SELECT user_id, event_type, n_ref, n_cur, u2,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor((CAST(u2 AS DOUBLE) / (2.0 * na * nb))
+               * 1000000 + 0.5) / 1000000 END AS auc,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND var_u > 0.0 THEN
+         floor(((CAST(u2 AS DOUBLE) - na * nb) / (2.0 * sqrt(var_u)))
+               * 1000000 + 0.5) / 1000000 END AS z
+FROM varc
+"""
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel conversion view → click → purchase within 7 days
+    per step (operators/funnel.funnel_conversion): chained per-step
+    minima as window aggregates over ONE key partitioning,
+    earliest-completion semantics, exact-count fractions."""
+    from eristropy_spark.operators.funnel import funnel_conversion
+
+    ev = _events(spark, sf_dir)
+    return funnel_conversion(
+        ev,
+        steps=["view", "click", "purchase"],
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        horizon_sec=7 * 86400.0,
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH t0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t0 ON t0.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t0.t
+    AND epoch_us(e.ts) - epoch_us(t0.t) <= 604800000000
+  GROUP BY e.user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t1.t
+    AND epoch_us(e.ts) - epoch_us(t1.t) <= 604800000000
+  GROUP BY e.user_id
+), c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM t0) AS n0,
+         (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n2
+)
+SELECT 0 AS step_idx, 'view' AS step, n0 AS n_reached,
+       CASE WHEN n0 > 0 THEN floor(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 END AS frac FROM c
+UNION ALL
+SELECT 1, 'click', n1,
+       CASE WHEN n0 > 0 THEN floor(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 END FROM c
+UNION ALL
+SELECT 2, 'purchase', n2,
+       CASE WHEN n0 > 0 THEN floor(CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 END FROM c
+"""
+
+
+def _q_retention(spark, sf_dir):
+    """Weekly retention cohorts (operators/funnel.retention_cohorts):
+    first-activity week per user, distinct actives per (cohort, week
+    offset), retention vs the cohort's own week 0 — two two-phase
+    aggregates, exact counts."""
+    from eristropy_spark.operators.funnel import retention_cohorts
+
+    ev = _events(spark, sf_dir)
+    return retention_cohorts(ev, key_col="user_id", ts_col="ts", period="week")
+
+
+_ORACLE_RETENTION = """
+WITH pts AS (
+  SELECT user_id, date_trunc('week', ts) AS b FROM events
+), coh AS (
+  SELECT user_id, min(b) AS cohort FROM pts GROUP BY user_id
+), act AS (
+  SELECT DISTINCT p.user_id, c.cohort,
+         (epoch_us(p.b) - epoch_us(c.cohort)) // 604800000000 AS off
+  FROM pts p JOIN coh c ON c.user_id = p.user_id
+), agg AS (
+  SELECT cohort, off, CAST(count(*) AS BIGINT) AS n_active
+  FROM act GROUP BY cohort, off
+), sized AS (
+  SELECT cohort, off, n_active,
+         max(CASE WHEN off = 0 THEN n_active END)
+           OVER (PARTITION BY cohort) AS n_cohort
+  FROM agg
+)
+SELECT cohort, CAST(off AS BIGINT) AS "offset", n_active, n_cohort,
+       floor(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS retention
+FROM sized
+"""
+
+
 def _q_cross_sampen(spark, sf_dir):
     """Cross-sample entropy between same-user signal pairs (operators/
     crossentropy.cross_sampen_pairs, Richman & Moorman 2000): pairs
@@ -5095,6 +5257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "cross_sampen": _q_cross_sampen,
         "kalman_level": _q_kalman_level,
+        "mannwhitney": _q_mannwhitney,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
     }
 
 
@@ -5203,6 +5368,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _ORACLE_BPE_ENCODE,
         "cross_sampen": _ORACLE_CROSS_SAMPEN,
         "kalman_level": _ORACLE_KALMAN,
+        "mannwhitney": _ORACLE_MWU,
+        "funnel": _ORACLE_FUNNEL,
+        "retention": _ORACLE_RETENTION,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

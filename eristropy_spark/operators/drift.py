@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -216,4 +216,96 @@ def psi_drift(
         "n_cur",
         F.lit(n_bins).cast("int").alias("n_bins_used"),
         F.when(ok, psi).otherwise(F.lit(None).cast("double")).alias("psi"),
+    )
+
+
+def mannwhitney_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, u2, auc, z) — the two-sample Mann–Whitney
+    U test (Mann & Whitney 1947; Wilcoxon rank-sum) between the first
+    and second half of each key's history, the LOCATION-shift
+    complement of ``ks_drift``'s shape test: U counts (cur, ref) value
+    pairs where cur > ref (ties half), so ``auc`` = U/(n_ref·n_cur) is
+    the probability a current value exceeds a reference value (the
+    common-language effect size / ROC-AUC of the split; > 0.5 = upward
+    drift).  ``z`` is the normal approximation with the standard
+    tie-corrected variance
+
+        Var U = (n_ref·n_cur/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+
+    over tie-group sizes t.  Everything integer until the last step:
+    midranks are half-integers, so the DOUBLED rank-sum of the current
+    half
+
+        2·R_cur = Σ_values c_cur·(2·cum_t − t + 1)
+
+    is an exact int64 (cum_t = running total count in value order),
+    u2 = 2·U = 2·R_cur − n_cur·(n_cur+1) likewise, and Σ(t³−t) is an
+    exact int64 — z and auc are then ONE fixed float expression each.
+    z is NULL when a half is empty or every value is tied (Var = 0).
+
+    Same time-split protocol and shuffle shape as ``ks_drift``: i <
+    floor(n/2) over (ts, tiebreak) order; one keyed window pass, one
+    (key, value) census aggregate, per-key reduces riding the same
+    partitioning — no joins, no Python.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = pts.groupBy(*keys, "_v").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    ).withColumn("_t", F.col("_ca") + F.col("_cb"))
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cnt.withColumn("_cumt", F.sum("_t").over(w_cum))
+    red = ranked.groupBy(*keys).agg(
+        F.sum("_ca").cast("long").alias("n_ref"),
+        F.sum("_cb").cast("long").alias("n_cur"),
+        F.sum(
+            F.col("_cb") * (2 * F.col("_cumt") - F.col("_t") + 1)
+        ).cast("long").alias("_r2b"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).cast("long").alias("_tie"),
+    )
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    nd = na + nb
+    u2 = (F.col("_r2b") - F.col("n_cur") * (F.col("n_cur") + 1)).cast("long")
+    td = F.col("_tie").cast("double")
+    var_u = (na * nb / F.lit(12.0)) * (
+        (nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0)))
+    )
+    out = red.withColumn("u2", u2)
+    u2d = F.col("u2").cast("double")
+    auc = F.when(
+        (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1),
+        u2d / (F.lit(2.0) * na * nb),
+    )
+    z = F.when(
+        (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1) & (var_u > F.lit(0.0)),
+        (u2d - na * nb) / (F.lit(2.0) * F.sqrt(var_u)),
+    )
+    return out.select(
+        *keys, "n_ref", "n_cur", "u2", auc.alias("auc"), z.alias("z")
     )

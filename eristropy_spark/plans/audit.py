@@ -783,4 +783,39 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
+    # 43. mannwhitney: the ks_drift shuffle class — keyed window pass +
+    # (key, value) census + per-key reduce, no Join, zero Python
+    mq = entrymod.queries()["mannwhitney"](spark, sf_dir)
+    p = plan_of(mq)
+    checks.append(
+        ("mannwhitney: <=3 keyed Exchanges, no Join, no single-partition "
+         "window, zero Python",
+         p.count("Exchange") <= 3
+         and "Join" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 44. funnel: chained step minima over ONE key partitioning (the
+    # final k-row reduce may be single-partition — it is k rows), no
+    # joins, zero Python
+    fq = entrymod.queries()["funnel"](spark, sf_dir)
+    p = plan_of(fq)
+    checks.append(
+        ("funnel: one keyed Exchange for the step windows, no Join, "
+         "zero Python",
+         "hashpartitioning(user_id" in p
+         and "Join" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 45. retention: keyed window pass + distinct + (cohort, offset)
+    # aggregate riding a cohort window — no Join, zero Python
+    rq = entrymod.queries()["retention"](spark, sf_dir)
+    p = plan_of(rq)
+    checks.append(
+        ("retention: window + two-phase distinct aggregates, no Join, "
+         "zero Python",
+         "Join" not in p and _py_node_count(p) == 0, p)
+    )
+
     return checks
