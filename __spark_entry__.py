@@ -4739,6 +4739,157 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_burstiness(spark, sf_dir):
+    """Goh–Barabási burstiness B and memory M per event stream
+    (operators/interarrival.burstiness_stats): exact integer-µs gaps,
+    DECIMAL(38,0)/HUGEINT-exact sums, ONE fixed float expression per
+    statistic; one keyed window pass + one aggregate, zero Python."""
+    from eristropy_spark.operators.interarrival import burstiness_stats
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    r = burstiness_stats(
+        ev, ("user_id", "event_type"), ts_col="ts", tiebreak_col="event_id"
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        "n_gaps",
+        _r6("mean_gap_us").alias("mean_gap_us"),
+        _r6("burstiness").alias("burstiness"),
+        _r6("memory").alias("memory"),
+    )
+
+
+_ORACLE_BURSTINESS = """
+WITH pts AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id)
+), lagged AS (
+  SELECT user_id, event_type, d,
+         lag(d) OVER (PARTITION BY user_id, event_type
+                      ORDER BY us, event_id) AS h
+  FROM pts
+), agg AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(d) AS BIGINT) AS n_gaps,
+         CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(count(CASE WHEN h IS NOT NULL THEN 1 END) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN h IS NOT NULL
+                       THEN CAST(h AS HUGEINT) END) AS DOUBLE) AS p1,
+         CAST(sum(CASE WHEN h IS NOT NULL
+                       THEN CAST(d AS HUGEINT) END) AS DOUBLE) AS p2,
+         CAST(sum(CASE WHEN h IS NOT NULL
+                       THEN CAST(h AS HUGEINT) * CAST(d AS HUGEINT)
+                  END) AS DOUBLE) AS p11,
+         CAST(sum(CASE WHEN h IS NOT NULL
+                       THEN CAST(h AS HUGEINT) * CAST(h AS HUGEINT)
+                  END) AS DOUBLE) AS p1s,
+         CAST(sum(CASE WHEN h IS NOT NULL
+                       THEN CAST(d AS HUGEINT) * CAST(d AS HUGEINT)
+                  END) AS DOUBLE) AS p2s
+  FROM lagged GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_events, n_gaps,
+       CASE WHEN n_gaps >= 1 THEN
+         floor((s1 / CAST(n_gaps AS DOUBLE)) * 1000000 + 0.5) / 1000000
+       END AS mean_gap_us,
+       CASE WHEN n_gaps >= 2
+              AND sqrt(s2 / CAST(n_gaps AS DOUBLE)
+                       - (s1 / CAST(n_gaps AS DOUBLE))
+                         * (s1 / CAST(n_gaps AS DOUBLE)))
+                  + s1 / CAST(n_gaps AS DOUBLE) > 0.0 THEN
+         floor(((sqrt(s2 / CAST(n_gaps AS DOUBLE)
+                      - (s1 / CAST(n_gaps AS DOUBLE))
+                        * (s1 / CAST(n_gaps AS DOUBLE)))
+                 - s1 / CAST(n_gaps AS DOUBLE))
+                / (sqrt(s2 / CAST(n_gaps AS DOUBLE)
+                        - (s1 / CAST(n_gaps AS DOUBLE))
+                          * (s1 / CAST(n_gaps AS DOUBLE)))
+                   + s1 / CAST(n_gaps AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000
+       END AS burstiness,
+       CASE WHEN m >= 2
+              AND CAST(m AS DOUBLE) * p1s - p1 * p1 > 0.0
+              AND CAST(m AS DOUBLE) * p2s - p2 * p2 > 0.0 THEN
+         floor(((CAST(m AS DOUBLE) * p11 - p1 * p2)
+                / sqrt((CAST(m AS DOUBLE) * p1s - p1 * p1)
+                       * (CAST(m AS DOUBLE) * p2s - p2 * p2)))
+               * 1000000 + 0.5) / 1000000
+       END AS memory
+FROM agg
+"""
+
+
+def _q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (operators/dedup
+    .ngram_containment_pairs, Broder 1997): sub-document / quotation
+    detection the symmetric Jaccard misses — same quarantined exact
+    shared-shingle join as ngram_jaccard."""
+    from eristropy_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+_ORACLE_NGRAM_CONTAINMENT = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+                   AS i)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b, n_inter, a.n_sh AS n_a, b.n_sh AS n_b,
+         floor((CAST(n_inter AS DOUBLE) / a.n_sh) * 1000000 + 0.5)
+           / 1000000 AS cont_a,
+         floor((CAST(n_inter AS DOUBLE) / b.n_sh) * 1000000 + 0.5)
+           / 1000000 AS cont_b
+  FROM inter
+  JOIN sizes a ON a.doc_id = doc_a
+  JOIN sizes b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b, cont_a, cont_b
+FROM scored WHERE greatest(cont_a, cont_b) >= 0.5
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic k-per-stratum sample (operators/sampling
+    .stratified_sample): md5-rank top-k within each source stratum —
+    the balanced-mix counterpart of md5_sample's global rate."""
+    from eristropy_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    r = stratified_sample(docs, stratum_col="source", key_col="doc_id", k=20)
+    return r.select("doc_id", "source")
+
+
+_ORACLE_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 20
+"""
+
+
 def _q_mannwhitney(spark, sf_dir):
     """Mann–Whitney U drift per signal (operators/drift
     .mannwhitney_drift): first-half vs second-half rank test — the
@@ -5260,6 +5411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney": _q_mannwhitney,
         "funnel": _q_funnel,
         "retention": _q_retention,
+        "burstiness": _q_burstiness,
+        "ngram_containment": _q_ngram_containment,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -5371,6 +5525,9 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney": _ORACLE_MWU,
         "funnel": _ORACLE_FUNNEL,
         "retention": _ORACLE_RETENTION,
+        "burstiness": _ORACLE_BURSTINESS,
+        "ngram_containment": _ORACLE_NGRAM_CONTAINMENT,
+        "stratified_sample": _ORACLE_STRATIFIED,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -37,6 +37,7 @@ __all__ = [
     "exact_dedup",
     "word_shingles",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
 ]
@@ -102,6 +103,61 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b, cont_a, cont_b) for pairs
+    where max(cont_a, cont_b) >= threshold (a < b), with
+    cont_x = |shingles(a) ∩ shingles(b)| / |shingles(x)| — the
+    ASYMMETRIC companion of ``ngram_jaccard_pairs`` (Broder 1997's
+    "containment"): a short document quoted inside a long one has low
+    Jaccard but containment ≈ 1 from the short side, which is exactly
+    the sub-document / quotation / partial-copy case symmetric near-dup
+    misses.  Same quarantine as the Jaccard path: exact all-pairs via
+    the shared-shingle join — the small-scale/verify oracle; banded
+    LSH (minhash_lsh_pairs) is the candidate generator at scale.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = word_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "cont_a", round6(F.col("n_inter") / F.col("n_a"))
+        )
+        .withColumn(
+            "cont_b", round6(F.col("n_inter") / F.col("n_b"))
+        )
+        .where(F.greatest("cont_a", "cont_b") >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "cont_a", "cont_b",
+        )
     )
     return out
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus", "shuffle_corpus"]
+__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus", "shuffle_corpus", "stratified_sample"]
 
 
 def md5_bucket(key: Column) -> Column:
@@ -184,4 +184,39 @@ def shuffle_corpus(
     return (
         out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_h")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic exactly-min(k, |stratum|)-per-stratum sample: rank
+    rows within each stratum by md5(salt || key) (ties broken by the
+    key itself) and keep the first ``k`` — the balanced-mix counterpart
+    of ``md5_sample``'s global rate (equalize sources for a training
+    mix, cap a dominant crawl, build per-domain eval slices).
+
+    Hash-rank selection is a uniform random sample per stratum that is
+    simultaneously (a) partition-invariant, (b) engine-portable (the
+    oracle replays md5 + row_number verbatim), and (c) stable under
+    corpus growth ONLY for the rows that keep their rank — use a fresh
+    ``salt`` per epoch to re-deal, the same lever as ``mix_corpus``.
+
+    Scale shape: one keyed Exchange + a rank window per stratum; the
+    k-row cut happens inside the window scan (no global sort, no
+    collect).  A stratum with 10⁹ rows still streams — the window
+    carries only (stratum, hash) ordering state.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col).cast("string"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
     )

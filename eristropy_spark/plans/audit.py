@@ -818,4 +818,29 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          "Join" not in p and _py_node_count(p) == 0, p)
     )
 
+    # 46. burstiness: one keyed window pass + one aggregate riding the
+    # same partitioning — ONE Exchange, no Join, zero Python
+    bq = entrymod.queries()["burstiness"](spark, sf_dir)
+    p = plan_of(bq)
+    checks.append(
+        ("burstiness: ONE keyed Exchange, no Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 47. stratified_sample: one keyed Exchange + rank window, filter
+    # inside the scan — no global sort, no Join, zero Python
+    sq = entrymod.queries()["stratified_sample"](spark, sf_dir)
+    p = plan_of(sq)
+    checks.append(
+        ("stratified_sample: one keyed Exchange + rank window, no "
+         "global sort, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
