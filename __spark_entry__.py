@@ -4739,6 +4739,102 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_granger(spark, sf_dir):
+    """One-lag Granger causality between every ordered source pair on
+    the 600 s bucket-mean grid (operators/granger.granger_pairs,
+    Granger 1969): 6-dp-quantized grid means, 12-dp DECIMAL moment
+    sums (associative-exact), OLS closed forms as ONE fixed float
+    expression — the directional complement of crosscorr."""
+    from eristropy_spark.operators.granger import granger_pairs
+
+    ev = _events(spark, sf_dir)
+    r = granger_pairs(ev, source_col="event_type", bucket_sec=600, min_overlap=8)
+    return r.select(
+        "source_x",
+        "source_y",
+        "n",
+        _r6("beta_y").alias("beta_y"),
+        _r6("beta_x").alias("beta_x"),
+        _r6("ssr_r").alias("ssr_r"),
+        _r6("ssr_f").alias("ssr_f"),
+        _r6("f_stat").alias("f_stat"),
+    )
+
+
+_ORACLE_GRANGER = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), triples AS (
+  SELECT x.source AS source_x, y.source AS source_y,
+         yt.v AS z, y.v AS u, x.v AS w
+  FROM grid yt
+  JOIN grid y ON y.source = yt.source AND y.bucket = yt.bucket - 1
+  JOIN grid x ON x.bucket = yt.bucket - 1 AND x.source <> yt.source
+), q AS (
+  SELECT source_x, source_y,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(u * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS su,
+         CAST(sum(CAST(floor(w * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+         CAST(sum(CAST(floor(z * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+         CAST(sum(CAST(floor(u * u * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS suu,
+         CAST(sum(CAST(floor(w * w * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sww,
+         CAST(sum(CAST(floor(u * w * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS suw,
+         CAST(sum(CAST(floor(u * z * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS suz,
+         CAST(sum(CAST(floor(w * z * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS swz,
+         CAST(sum(CAST(floor(z * z * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS szz
+  FROM triples GROUP BY source_x, source_y
+), cen AS (
+  SELECT source_x, source_y, n,
+         suu - su * su / CAST(n AS DOUBLE) AS cuu,
+         sww - sw * sw / CAST(n AS DOUBLE) AS cww,
+         suw - su * sw / CAST(n AS DOUBLE) AS cuw,
+         suz - su * sz / CAST(n AS DOUBLE) AS cuz,
+         swz - sw * sz / CAST(n AS DOUBLE) AS cwz,
+         szz - sz * sz / CAST(n AS DOUBLE) AS czz
+  FROM q
+), fit AS (
+  SELECT source_x, source_y, n,
+         cuu * cww - cuw * cuw AS det,
+         cuu, cww, cuw, cuz, cwz, czz
+  FROM cen
+), mdl AS (
+  SELECT source_x, source_y, n,
+         CASE WHEN det > 0.0
+              THEN (cuz * cww - cwz * cuw) / det END AS beta_y,
+         CASE WHEN det > 0.0
+              THEN (cwz * cuu - cuz * cuw) / det END AS beta_x,
+         CASE WHEN cuu > 0.0 THEN czz - cuz * cuz / cuu END AS ssr_r,
+         CASE WHEN det > 0.0
+              THEN czz - ((cuz * cww - cwz * cuw) / det) * cuz
+                       - ((cwz * cuu - cuz * cuw) / det) * cwz
+         END AS ssr_f
+  FROM fit
+)
+SELECT source_x, source_y, n,
+       floor(beta_y * 1000000.0 + 0.5) / 1000000.0 AS beta_y,
+       floor(beta_x * 1000000.0 + 0.5) / 1000000.0 AS beta_x,
+       floor(ssr_r * 1000000.0 + 0.5) / 1000000.0 AS ssr_r,
+       floor(ssr_f * 1000000.0 + 0.5) / 1000000.0 AS ssr_f,
+       CASE WHEN ssr_r IS NOT NULL AND ssr_f IS NOT NULL
+                 AND ssr_f > 0.0 THEN
+         floor(((ssr_r - ssr_f) / (ssr_f / (CAST(n AS DOUBLE) - 3.0)))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS f_stat
+FROM mdl WHERE n >= 8
+"""
+
+
 def _q_burstiness(spark, sf_dir):
     """Goh–Barabási burstiness B and memory M per event stream
     (operators/interarrival.burstiness_stats): exact integer-µs gaps,
@@ -5414,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": _q_burstiness,
         "ngram_containment": _q_ngram_containment,
         "stratified_sample": _q_stratified_sample,
+        "granger": _q_granger,
     }
 
 
@@ -5528,6 +5625,7 @@ def oracle_sql() -> dict[str, str]:
         "burstiness": _ORACLE_BURSTINESS,
         "ngram_containment": _ORACLE_NGRAM_CONTAINMENT,
         "stratified_sample": _ORACLE_STRATIFIED,
+        "granger": _ORACLE_GRANGER,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

@@ -843,4 +843,17 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 48. granger: grid aggregate + bucket equi-joins (quadratic in
+    # SOURCES only, never a cartesian over rows), moment reduce —
+    # zero Python
+    gq = entrymod.queries()["granger"](spark, sf_dir)
+    p = plan_of(gq)
+    checks.append(
+        ("granger: bucket equi-joins only (no cartesian/nested-loop), "
+         "zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
