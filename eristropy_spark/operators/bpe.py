@@ -167,29 +167,85 @@ def encode_bpe(
     id_col: str = "doc_id",
     text_col: str = "text",
     end_marker: str = END_MARKER,
+    dedupe_words: bool = True,
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, tokens) — documents encoded with a
     learned merge list (rank order = list order): each word restarts
     from characters + marker, then every merge is applied in sequence;
     ``tokens`` is the concatenation over the document's words.
 
-    Pure codegen (the merge schedule unrolls into |merges| nested
-    folds); in-row per document, zero shuffle."""
+    Two pure-codegen plans, identical output (equivalence-tested):
+
+    * ``dedupe_words=True`` (default — the classic tokenizer cache):
+      each DISTINCT word is encoded once on the vocab-sized word
+      table, then joins back to the document word stream and
+      reassembles in order.  Zipf means the corpus word stream is
+      orders of magnitude larger than its vocabulary, so the
+      |merges|-deep fold chain (Catalyst evaluates higher-order
+      lambdas interpreted) runs ~unique/total as often; the cost is
+      one word-keyed shuffle + a per-doc collect.
+    * ``dedupe_words=False``: the merge schedule unrolls into nested
+      in-row folds — ZERO shuffle, right when the fold cost is small
+      (short docs, few merges) or shuffles are the bottleneck.
+    """
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    per_word = F.transform(
-        words,
-        lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_marker))),
-    )
-    enc = F.transform(
-        per_word,
-        lambda s: _fold_merges(s, merges),
-    )
-    tokens = F.flatten(enc)
-    return docs.select(
+    if not dedupe_words:
+        per_word = F.transform(
+            words,
+            lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_marker))),
+        )
+        enc = F.transform(per_word, lambda s: _fold_merges(s, merges))
+        tokens = F.flatten(enc)
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words).alias("n_words"),
+            F.size(tokens).alias("n_tokens"),
+            tokens.alias("tokens"),
+        )
+
+    stream = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(words).alias("n_words"),
-        F.size(tokens).alias("n_tokens"),
-        tokens.alias("tokens"),
+        F.posexplode(words).alias("_wi", "_word"),
+    )
+    syms0 = F.concat(F.split(F.col("_word"), ""), F.array(F.lit(end_marker)))
+    wtab = (
+        stream.select("_word")
+        .distinct()
+        .withColumn("_syms", _fold_merges(syms0, merges))
+    )
+    per_doc = (
+        stream.join(wtab, "_word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_wi", "_syms"))
+                    ),
+                    lambda s: s["_syms"],
+                )
+            ).alias("tokens"),
+            F.count("*").cast("int").alias("n_words"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            # size() first coalesces the array: size(NULL) is -1 under
+            # the session's non-ANSI legacy semantics
+            F.coalesce(
+                "tokens", F.array().cast("array<string>")
+            ).alias("tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.size("tokens").alias("n_tokens"),
+            "tokens",
+        )
     )
 
 

@@ -39,7 +39,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-__all__ = ["lz_complexity", "lz76_phrases"]
+__all__ = ["lz_complexity", "lz76_phrases", "lz76_phrases_fast"]
 
 
 def lz76_phrases(x: np.ndarray) -> int:
@@ -74,6 +74,36 @@ def lz76_phrases(x: np.ndarray) -> int:
             q += 1
         if not advanced:
             c += 1  # suffix fully reproducible — terminal phrase
+            break
+    return c
+
+
+def lz76_phrases_fast(x: np.ndarray) -> int:
+    """Same parse as ``lz76_phrases`` via C-speed substring search:
+    tokens encode fixed-width (',' + 10-digit offset decimal — the
+    SAME encoding the SQL oracle uses), so ``str.find`` over the
+    length-(q−1) prefix answers "does x[p..q] occur earlier?" with
+    comma-anchored alignment (a match starting with ',' can only sit
+    on an 11-char boundary).  O(n²·L̄) like the reference loop but in
+    memchr-accelerated C instead of per-window Python; equivalence is
+    fuzz-pinned in tests."""
+    n = int(x.size)
+    s = "".join(f",{int(t) + 2147483648:010d}" for t in x)
+    w = 11
+    p = 0
+    c = 0
+    while p < n:
+        q = p
+        advanced = False
+        while q < n:
+            if s[: q * w].find(s[p * w : (q + 1) * w]) == -1:
+                c += 1
+                p = q + 1
+                advanced = True
+                break
+            q += 1
+        if not advanced:
+            c += 1
             break
     return c
 
@@ -123,7 +153,7 @@ def lz_complexity(
                 x = np.ascontiguousarray(v, dtype=np.int64)
                 n = int(x.size)
                 alpha = int(np.unique(x).size)
-                c = lz76_phrases(x)
+                c = lz76_phrases_fast(x)
                 ns.append(n)
                 alphas.append(alpha)
                 cs.append(c)

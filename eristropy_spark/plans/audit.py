@@ -747,13 +747,23 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         ("bpe train round: no Join, zero Python",
          "Join" not in p and _py_node_count(p) == 0, p)
     )
-    eq = encode_bpe(docs, [("e", "r"), ("t", "h"), ("th", "e</w>")])
+    eq = encode_bpe(
+        docs, [("e", "r"), ("t", "h"), ("th", "e</w>")], dedupe_words=False
+    )
     p = plan_of(eq)
     checks.append(
-        ("bpe encode: pure in-row codegen — ZERO Exchange, no Join, "
+        ("bpe encode (in-row): pure codegen — ZERO Exchange, no Join, "
          "zero Python",
          p.count("Exchange") == 0
          and "Join" not in p
+         and _py_node_count(p) == 0, p)
+    )
+    eq2 = encode_bpe(docs, [("e", "r"), ("t", "h"), ("th", "e</w>")])
+    p = plan_of(eq2)
+    checks.append(
+        ("bpe encode (word-cache default): equi-joins only, zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
          and _py_node_count(p) == 0, p)
     )
 

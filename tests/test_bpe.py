@@ -136,3 +136,31 @@ def test_encode_compresses(spark):
     enc = {r["doc_id"]: r["n_tokens"] for r in encode_bpe(df, merges).collect()}
     assert all(enc[k] <= base[k] for k in base)
     assert sum(enc.values()) < sum(base.values())
+
+
+def test_encode_paths_equivalent(spark):
+    merges_rows = train_bpe(_docs_df(spark), n_merges=8).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in merges_rows]
+    df = _docs_df(spark)
+    a = sorted(
+        (r["doc_id"], r["n_words"], r["n_tokens"], tuple(r["tokens"]))
+        for r in encode_bpe(df, merges, dedupe_words=True).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_words"], r["n_tokens"], tuple(r["tokens"]))
+        for r in encode_bpe(df, merges, dedupe_words=False).collect()
+    )
+    assert a == b
+
+
+def test_encode_empty_doc(spark):
+    df = spark.createDataFrame(
+        [("a", "x y"), ("empty", "")], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in encode_bpe(df, [("x", "</w>")]).collect()
+    }
+    assert out["empty"]["n_words"] == 0
+    assert out["empty"]["n_tokens"] == 0
+    assert out["empty"]["tokens"] == []
+    assert out["a"]["tokens"] == ["x</w>", "y", "</w>"]

@@ -91,3 +91,20 @@ def test_operator_edges_and_partition_invariance(spark):
             assert r.c_norm == pytest.approx(want, abs=1e-6)
     assert rows["flat"].c == 2 and rows["flat"].c_norm is None
     assert rows["null"].c == 0 and rows["null"].n == 0
+
+
+def test_fast_kernel_equivalent_to_definition():
+    import numpy as np
+
+    from eristropy_spark.operators.complexity import (
+        lz76_phrases,
+        lz76_phrases_fast,
+    )
+
+    rng = np.random.default_rng(77)
+    for _ in range(200):
+        n = int(rng.integers(0, 50))
+        x = rng.integers(
+            -int(rng.integers(1, 5)), int(rng.integers(2, 9)), size=n
+        ).astype(np.int64)
+        assert lz76_phrases_fast(x) == lz76_phrases(x)
