@@ -4739,6 +4739,124 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_spearman(spark, sf_dir):
+    """Spearman rank correlation between source pairs on the 60 s
+    bucket-mean grid (operators/rankcorr.spearman_pairs): doubled
+    average ranks are exact int64 (2r = 2·minrank + t − 1), every
+    Pearson sum an exact integer, ρ ONE fixed float expression — the
+    robust monotone complement of crosscorr's lag-0 CCF."""
+    from eristropy_spark.operators.rankcorr import spearman_pairs
+
+    ev = _events(spark, sf_dir)
+    r = spearman_pairs(ev, source_col="event_type", bucket_sec=60, min_overlap=3)
+    return r.select("source_a", "source_b", "n", _r6("rho").alias("rho"))
+
+
+_ORACLE_SPEARMAN = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 60000000 AS bucket,
+         floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM events GROUP BY event_type, epoch_us(ts) // 60000000
+), m AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.v AS va, b.v AS vb
+  FROM grid a JOIN grid b ON b.bucket = a.bucket AND a.source < b.source
+), ranked AS (
+  SELECT source_a, source_b,
+         2 * rank() OVER (PARTITION BY source_a, source_b ORDER BY va)
+           + count(*) OVER (PARTITION BY source_a, source_b, va) - 1 AS ra,
+         2 * rank() OVER (PARTITION BY source_a, source_b ORDER BY vb)
+           + count(*) OVER (PARTITION BY source_a, source_b, vb) - 1 AS rb
+  FROM m
+), agg AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+         CAST(sum(ra * ra) AS BIGINT) AS saa,
+         CAST(sum(rb * rb) AS BIGINT) AS sbb,
+         CAST(sum(ra * rb) AS BIGINT) AS sab
+  FROM ranked GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n,
+       CASE WHEN CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                   / CAST(n AS DOUBLE) > 0.0
+             AND CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(n AS DOUBLE) > 0.0 THEN
+         floor(((CAST(sab AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                / sqrt((CAST(saa AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * (CAST(sbb AS DOUBLE)
+                          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                            / CAST(n AS DOUBLE))))
+               * 1000000.0 + 0.5) / 1000000.0 END AS rho
+FROM agg WHERE n >= 3
+"""
+
+
+def _q_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier churn survival over user lifetimes (operators/
+    survival.kaplan_meier_churn, Kaplan & Meier 1958): whole-day
+    lifetimes, 7-day censor horizon against the corpus end; at-risk
+    via a descending running frame, the product as exp of a
+    12-dp-DECIMAL log sum (bit-reproducible without recursion)."""
+    from eristropy_spark.operators.survival import kaplan_meier_churn
+
+    ev = _events(spark, sf_dir)
+    r = kaplan_meier_churn(
+        ev, key_col="user_id", ts_col="ts", censor_horizon_days=7
+    )
+    return r.select(
+        "t_days", "n_risk", "n_events", "n_censored", _r6("surv").alias("surv")
+    )
+
+
+_ORACLE_KM = """
+WITH pk AS (
+  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id
+), e AS (
+  SELECT max(epoch_us(ts)) AS endus FROM events
+), lives AS (
+  SELECT (l - f) // 86400000000 AS t_days,
+         CASE WHEN l < endus - 604800000000 THEN 1 ELSE 0 END AS ch
+  FROM pk CROSS JOIN e
+), census AS (
+  SELECT t_days, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(ch) AS BIGINT) AS n_events,
+         CAST(count(*) - sum(ch) AS BIGINT) AS n_censored
+  FROM lives GROUP BY t_days
+), risk AS (
+  SELECT *, CAST(sum(n_at) OVER (ORDER BY t_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_risk
+  FROM census
+), terms AS (
+  SELECT *,
+         CASE WHEN n_events > 0 AND n_events < n_risk THEN
+           floor(ln(1.0 - CAST(n_events AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE))
+                 * 1000000000000.0 + 0.5) / 1000000000000.0
+         ELSE 0.0 END AS term
+  FROM risk
+), cum AS (
+  SELECT t_days, n_risk, n_events, n_censored,
+         exp(CAST(sum(CAST(term AS DECIMAL(38,12)))
+                  OVER (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)) AS surv_raw,
+         (n_events = n_risk AND n_events > 0) AS allout
+  FROM terms
+)
+SELECT t_days, n_risk, n_events, n_censored,
+       floor((CASE WHEN allout THEN 0.0 ELSE surv_raw END)
+             * 1000000.0 + 0.5) / 1000000.0 AS surv
+FROM cum
+"""
+
+
 def _q_granger(spark, sf_dir):
     """One-lag Granger causality between every ordered source pair on
     the 600 s bucket-mean grid (operators/granger.granger_pairs,
@@ -5511,6 +5629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "stratified_sample": _q_stratified_sample,
         "granger": _q_granger,
+        "spearman": _q_spearman,
+        "kaplan_meier": _q_kaplan_meier,
     }
 
 
@@ -5626,6 +5746,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment": _ORACLE_NGRAM_CONTAINMENT,
         "stratified_sample": _ORACLE_STRATIFIED,
         "granger": _ORACLE_GRANGER,
+        "spearman": _ORACLE_SPEARMAN,
+        "kaplan_meier": _ORACLE_KM,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

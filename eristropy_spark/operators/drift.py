@@ -281,12 +281,20 @@ def mannwhitney_drift(
     red = ranked.groupBy(*keys).agg(
         F.sum("_ca").cast("long").alias("n_ref"),
         F.sum("_cb").cast("long").alias("n_cur"),
+        # DECIMAL(38,0) accumulation: the tie cube Σt³ passes int64 at
+        # ~2.1M equal values in one signal (a constant sensor at scale),
+        # and Σc·2cum_t at ~2×10⁹ points — same rule as burstiness'
+        # gap-square sums; exact integers either way
         F.sum(
-            F.col("_cb") * (2 * F.col("_cumt") - F.col("_t") + 1)
-        ).cast("long").alias("_r2b"),
+            F.col("_cb").cast("decimal(38,0)")
+            * (2 * F.col("_cumt") - F.col("_t") + 1).cast("decimal(38,0)")
+        ).alias("_r2b"),
         F.sum(
-            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-        ).cast("long").alias("_tie"),
+            F.col("_t").cast("decimal(38,0)")
+            * F.col("_t").cast("decimal(38,0)")
+            * F.col("_t").cast("decimal(38,0)")
+            - F.col("_t").cast("decimal(38,0)")
+        ).alias("_tie"),
     )
     na = F.col("n_ref").cast("double")
     nb = F.col("n_cur").cast("double")

@@ -866,4 +866,29 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 49. spearman: grid + bucket equi-join + pair-keyed rank windows —
+    # no cartesian, zero Python
+    sq2 = entrymod.queries()["spearman"](spark, sf_dir)
+    p = plan_of(sq2)
+    checks.append(
+        ("spearman: bucket equi-join + pair rank windows, no cartesian, "
+         "zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 50. kaplan_meier: per-key aggregate + 1-row broadcast + bounded
+    # lifetime-axis windows; the only nested-loop join is the 1-row
+    # corpus-end broadcast — zero Python
+    kmq = entrymod.queries()["kaplan_meier"](spark, sf_dir)
+    p = plan_of(kmq)
+    checks.append(
+        ("kaplan_meier: per-key agg + 1-row end broadcast + bounded "
+         "axis windows, zero Python",
+         "CartesianProduct" not in p
+         and p.count("BroadcastNestedLoopJoin") <= 1
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
