@@ -4739,6 +4739,65 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_lz_entropy_rate(spark, sf_dir):
+    """Kontoyiannis increasing-window entropy-rate estimator per
+    signal (operators/complexity.lz_entropy_rate, Kontoyiannis et al.
+    1998): prefix-contained match lengths via the LZ76 string kernel,
+    each Λ/log2 term 12-dp-quantized and integer-accumulated (= the
+    SQL DECIMAL sum, order-invariant), h = m/denom one fixed float
+    expression.  The nonparametric complement of markov_rate."""
+    from eristropy_spark.operators.complexity import lz_entropy_rate
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = lz_entropy_rate(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select("doc_id", "n", "m", "h_bits", "h_nats")
+
+
+_ORACLE_LZ_RATE = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), enc AS (
+  SELECT doc_id,
+         string_agg(',' || lpad(CAST(tok + 2147483648 AS BIGINT)::VARCHAR,
+                                10, '0'), '' ORDER BY i) AS s,
+         CAST(count(*) AS INT) AS n
+  FROM pts GROUP BY doc_id
+), pos AS (
+  SELECT doc_id, n, s, unnest(generate_series(1, n)) AS p FROM enc
+), cand AS (
+  SELECT a.doc_id, a.p, l.l
+  FROM pos a,
+       LATERAL (SELECT unnest(generate_series(1, a.n - a.p + 1)) AS l) l
+  WHERE contains(substr(a.s, 1, 11 * (a.p - 1)),
+                 substr(a.s, 11 * (a.p - 1) + 1, 11 * l.l))
+), lmax AS (
+  SELECT doc_id, p, max(l) AS lp FROM cand GROUP BY doc_id, p
+), terms AS (
+  SELECT pos.doc_id, pos.p, coalesce(lmax.lp, 0) AS lp
+  FROM pos LEFT JOIN lmax USING (doc_id, p)
+  WHERE pos.p >= 3
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS m,
+         CAST(sum(CAST(floor((CAST(lp + 1 AS DOUBLE)
+                              / log2(CAST(p - 1 AS DOUBLE)))
+                             * 1000000000000.0 + 0.5)
+                       / 1000000000000.0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS denom
+  FROM terms GROUP BY doc_id
+)
+SELECT e.doc_id, e.n, coalesce(a.m, 0) AS m,
+       floor((CAST(a.m AS DOUBLE) / a.denom) * 1000000.0 + 0.5)
+         / 1000000.0 AS h_bits,
+       floor(ln(2.0) * (CAST(a.m AS DOUBLE) / a.denom) * 1000000.0 + 0.5)
+         / 1000000.0 AS h_nats
+FROM enc e LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_spearman(spark, sf_dir):
     """Spearman rank correlation between source pairs on the 60 s
     bucket-mean grid (operators/rankcorr.spearman_pairs): doubled
@@ -5631,6 +5690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger": _q_granger,
         "spearman": _q_spearman,
         "kaplan_meier": _q_kaplan_meier,
+        "lz_entropy_rate": _q_lz_entropy_rate,
     }
 
 
@@ -5748,6 +5808,7 @@ def oracle_sql() -> dict[str, str]:
         "granger": _ORACLE_GRANGER,
         "spearman": _ORACLE_SPEARMAN,
         "kaplan_meier": _ORACLE_KM,
+        "lz_entropy_rate": _ORACLE_LZ_RATE,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

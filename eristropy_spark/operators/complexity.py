@@ -39,7 +39,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-__all__ = ["lz_complexity", "lz76_phrases", "lz76_phrases_fast"]
+__all__ = ["lz_complexity", "lz76_phrases", "lz76_phrases_fast", "match_lengths", "lz_entropy_rate"]
 
 
 def lz76_phrases(x: np.ndarray) -> int:
@@ -174,6 +174,117 @@ def lz_complexity(
             arrays.append(pa.array(norms, type=pa.float64()))
             yield pa.RecordBatch.from_arrays(
                 arrays, [*keep_cols, "n", "alpha", "c", "c_norm"]
+            )
+
+    return src.mapInArrow(_compute, schema)
+
+
+def match_lengths(x: np.ndarray) -> np.ndarray:
+    """L_p for p = 1..n (1-based): the longest L such that x[p..p+L−1]
+    occurs as a substring of the STRICT prefix x[1..p−1] (fully
+    contained; L = 0 when the next symbol is novel).  Same fixed-width
+    string encoding as ``lz76_phrases_fast`` so each probe is one
+    C-speed find."""
+    n = int(x.size)
+    s = "".join(f",{int(t) + 2147483648:010d}" for t in x)
+    w = 11
+    out = np.zeros(n, dtype=np.int64)
+    for p in range(n):  # 0-based start
+        hay = s[: p * w]
+        lmax = 0
+        while p + lmax < n and hay.find(
+            s[p * w : (p + lmax + 1) * w]
+        ) != -1:
+            lmax += 1
+        out[p] = lmax
+    return out
+
+
+def lz_entropy_rate(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*keep_cols, n, m, h_bits, h_nats) — the Kontoyiannis et al.
+    1998 (IEEE IT-44) increasing-window entropy-rate estimator per
+    signal:
+
+        ĥ_bits = m / Σ_p Λ_p / log2(p−1),   Λ_p = L_p + 1
+
+    over 1-based positions p = 3..n (prefix length p−1 ≥ 2, so the
+    log weight is positive), with L_p the longest prefix-contained
+    match (``match_lengths``).  Converges to the true entropy rate
+    for stationary ergodic sources — the NONPARAMETRIC complement of
+    ``markov_rate`` (first-order model) and the calibrated cousin of
+    ``lz_complexity``'s phrase count.  ``h_nats`` = ln 2 · ĥ_bits.
+    NULL when m = 0 (n < 3).
+
+    Exactness: each term Λ_p / log2(p−1) is ONE fixed float
+    expression of integers, quantized to the 12-dp grid and
+    accumulated as an exact INTEGER count of 1e-12 units (the
+    DECIMAL(38,12) sum in SQL) — the per-doc reduce is
+    order-invariant and the final division bit-reproducible.
+
+    Scale shape: ONE ``mapInArrow`` boundary; O(Σ L_p · p) C-level
+    search per signal (LZ76's task-bound class — window long signals
+    upstream).
+    """
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("n", IntegerType()),
+            StructField("m", IntegerType()),
+            StructField("h_bits", DoubleType()),
+            StructField("h_nats", DoubleType()),
+        ]
+    )
+
+    def _compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            ns: list[int] = []
+            ms: list[int] = []
+            hb: list[float | None] = []
+            hn: list[float | None] = []
+            for v in views:
+                if v is None or v.size == 0:
+                    ns.append(0)
+                    ms.append(0)
+                    hb.append(None)
+                    hn.append(None)
+                    continue
+                x = np.ascontiguousarray(v, dtype=np.int64)
+                n = int(x.size)
+                ns.append(n)
+                if n < 3:
+                    ms.append(max(0, n - 2))
+                    hb.append(None)
+                    hn.append(None)
+                    continue
+                ls = match_lengths(x)
+                acc = 0  # exact integer count of 1e-12 units
+                m = n - 2
+                for p in range(3, n + 1):  # 1-based position
+                    term = (int(ls[p - 1]) + 1) / math.log2(p - 1)
+                    acc += math.floor(term * 1e12 + 0.5)
+                denom = acc / 1e12  # == CAST(DECIMAL(38,12) AS DOUBLE)
+                h_bits = m / denom
+                ms.append(m)
+                hb.append(math.floor(h_bits * 1e6 + 0.5) / 1e6)
+                hn.append(
+                    math.floor(math.log(2.0) * h_bits * 1e6 + 0.5) / 1e6
+                )
+            arrays = [batch.column(col) for col in keep_cols]
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array(ms, type=pa.int32()))
+            arrays.append(pa.array(hb, type=pa.float64()))
+            arrays.append(pa.array(hn, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, "n", "m", "h_bits", "h_nats"]
             )
 
     return src.mapInArrow(_compute, schema)

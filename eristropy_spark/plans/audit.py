@@ -648,9 +648,12 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
-    # 37a. higuchi_fd / dfa / lz_complexity / lttb: array-kernel class —
-    # ONE Arrow boundary, only tokenize's Exchange, no joins
-    for qname in ("higuchi_fd", "dfa", "lz_complexity", "lttb"):
+    # 37a. higuchi_fd / dfa / lz_complexity / lttb / lz_entropy_rate:
+    # array-kernel class — ONE Arrow boundary, only tokenize's
+    # Exchange, no joins
+    for qname in (
+        "higuchi_fd", "dfa", "lz_complexity", "lttb", "lz_entropy_rate"
+    ):
         hq = entrymod.queries()[qname](spark, sf_dir)
         p = plan_of(hq)
         checks.append(

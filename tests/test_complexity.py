@@ -108,3 +108,61 @@ def test_fast_kernel_equivalent_to_definition():
             -int(rng.integers(1, 5)), int(rng.integers(2, 9)), size=n
         ).astype(np.int64)
         assert lz76_phrases_fast(x) == lz76_phrases(x)
+
+
+def test_match_lengths_brute():
+    import numpy as np
+
+    from eristropy_spark.operators.complexity import match_lengths
+
+    def brute(x):
+        out = []
+        for p in range(len(x)):
+            lmax = 0
+            while p + lmax < len(x):
+                sub = list(x[p : p + lmax + 1])
+                pre = list(x[:p])
+                found = any(
+                    pre[i : i + len(sub)] == sub
+                    for i in range(len(pre) - len(sub) + 1)
+                )
+                if not found:
+                    break
+                lmax += 1
+            out.append(lmax)
+        return out
+
+    rng = np.random.default_rng(78)
+    for _ in range(100):
+        x = rng.integers(0, 5, size=int(rng.integers(0, 30))).astype(np.int64)
+        assert match_lengths(x).tolist() == brute(x)
+
+
+def test_entropy_rate_discriminates(spark):
+    import numpy as np
+
+    from eristropy_spark.operators.complexity import lz_entropy_rate
+
+    rng = np.random.default_rng(79)
+    seqs = {
+        "const": [3] * 200,
+        "period": [1, 2, 3, 4] * 50,
+        "noise": [int(v) for v in rng.integers(0, 8, size=200)],
+        "tiny": [1, 2],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in seqs.items()], "doc_id string, tokens array<int>"
+    )
+    out = {r["doc_id"]: r for r in lz_entropy_rate(df).collect()}
+    # deterministic sequences -> rate near 0; iid over 8 symbols -> near 3 bits
+    assert out["const"]["h_bits"] < 0.2
+    assert out["period"]["h_bits"] < 0.5
+    assert out["noise"]["h_bits"] > 1.5
+    assert out["const"]["h_bits"] < out["period"]["h_bits"] < out["noise"]["h_bits"]
+    assert out["tiny"]["h_bits"] is None and out["tiny"]["m"] == 0
+    # nats = ln2 * bits (both rounded at 6dp)
+    import math
+    for k in ("const", "period", "noise"):
+        assert out[k]["h_nats"] == pytest.approx(
+            math.log(2) * out[k]["h_bits"], abs=2e-6
+        )
