@@ -4739,6 +4739,75 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_ess(spark, sf_dir):
+    """Effective sample size via integrated autocorrelation time per
+    signal (operators/acf.ess, Geyer 1992 initial-positive-sequence
+    rule on the 6-dp acf grid): τ = 1 + 2Σρ_k to the first ρ ≤ 0,
+    ESS = n/τ — the honest independent-sample count for downstream
+    averaging.  Truncation and sum are exact integer ops on 1e-6
+    units; τ/ESS one fixed float expression."""
+    from eristropy_spark.operators.acf import ess
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = ess(tokens, array_col="tokens", max_lag=10, keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "n_lags_used",
+        _r6("tau").alias("tau"), _r6("ess").alias("ess"),
+    )
+
+
+_ORACLE_ESS = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), st AS (
+  SELECT doc_id, avg(tok) AS mu, count(*) AS n FROM pts GROUP BY doc_id
+), dev AS (
+  SELECT p.doc_id, p.i, p.tok - s.mu AS d, s.n
+  FROM pts p JOIN st s USING (doc_id)
+), den AS (
+  SELECT doc_id, sum(d * d) AS den, max(n) AS n FROM dev GROUP BY doc_id
+), lags AS (
+  SELECT doc_id, den, unnest(generate_series(1, LEAST(10, n - 1))) AS lag
+  FROM den
+), acfq AS (
+  SELECT l.doc_id, l.lag,
+         CAST(floor((sum(a.d * b.d) / l.den) * 1000000 + 0.5) AS BIGINT)
+           AS li
+  FROM lags l
+  JOIN dev a ON a.doc_id = l.doc_id
+  JOIN dev b ON b.doc_id = l.doc_id AND b.i = a.i + l.lag
+  GROUP BY l.doc_id, l.lag, l.den
+), k0 AS (
+  SELECT doc_id,
+         coalesce(min(CASE WHEN li <= 0 THEN lag END), 11) AS k0
+  FROM acfq GROUP BY doc_id
+), su AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN a.lag < k.k0 THEN a.li ELSE 0 END) AS BIGINT)
+           AS su,
+         CAST(sum(CASE WHEN a.lag < k.k0 THEN 1 ELSE 0 END) AS INT)
+           AS n_lags_used
+  FROM acfq a JOIN k0 k USING (doc_id)
+  GROUP BY a.doc_id
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+)
+SELECT nn.doc_id, nn.n,
+       coalesce(su.n_lags_used, 0) AS n_lags_used,
+       floor((1.0 + 2.0 * (CAST(coalesce(su.su, 0) AS DOUBLE) / 1000000.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS tau,
+       floor((CAST(nn.n AS DOUBLE)
+              / (1.0 + 2.0 * (CAST(coalesce(su.su, 0) AS DOUBLE)
+                              / 1000000.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS ess
+FROM nn LEFT JOIN su USING (doc_id)
+"""
+
+
 def _q_lz_entropy_rate(spark, sf_dir):
     """Kontoyiannis increasing-window entropy-rate estimator per
     signal (operators/complexity.lz_entropy_rate, Kontoyiannis et al.
@@ -5691,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": _q_spearman,
         "kaplan_meier": _q_kaplan_meier,
         "lz_entropy_rate": _q_lz_entropy_rate,
+        "ess": _q_ess,
     }
 
 
@@ -5809,6 +5879,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman": _ORACLE_SPEARMAN,
         "kaplan_meier": _ORACLE_KM,
         "lz_entropy_rate": _ORACLE_LZ_RATE,
+        "ess": _ORACLE_ESS,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

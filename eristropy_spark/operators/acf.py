@@ -37,11 +37,11 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-__all__ = ["acf_long", "ar2_forecast", "ljung_box"]
+__all__ = ["acf_long", "ar2_forecast", "ljung_box", "ess"]
 
 
 def acf_long(
@@ -363,3 +363,63 @@ def _acf_arrow(
             yield pa.RecordBatch.from_arrays(arrays, [*keep_cols, "lag", "acf"])
 
     return src.mapInArrow(_compute, schema)
+
+
+def ess(
+    df: DataFrame,
+    array_col: str = "tokens",
+    max_lag: int = 10,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*keep_cols, n, n_lags_used, tau, ess) — effective sample size
+    per signal via the integrated autocorrelation time
+
+        τ = 1 + 2 Σ_{k=1}^{K−1} ρ_k,    ESS = n / τ
+
+    with the initial-positive-sequence truncation: K = the first lag
+    whose autocorrelation is ≤ 0 on the engine's 6-dp grid (or
+    max_lag+1 if none) — the MCMC-diagnostics convention (Geyer 1992,
+    Stat. Sci. 7, simplified to the single-ρ rule).  The answer to
+    "how many independent samples does this correlated signal carry?"
+    — the statistically honest sequence count for any downstream
+    averaging over entropy points.
+
+    Exactness: ρ_k comes from ``acf_long`` and is quantized to 1e-6
+    integer UNITS before the truncation test and the sum, so both are
+    exact integer operations and τ/ESS are ONE fixed float expression.
+    Signals with n < 2 (no lags) get τ = 1, ESS = n.
+
+    Scale shape: acf_long's ONE Arrow boundary, a per-key window +
+    aggregate on the lag rows (≤ max_lag per signal), one key-join
+    back to the per-signal length.
+    """
+    a = acf_long(df, array_col=array_col, max_lag=max_lag, keep_cols=keep_cols)
+    li = F.floor(F.col("acf") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    per = a.select(*keep_cols, "lag", li.alias("_li"))
+    w = Window.partitionBy(*keep_cols)
+    staged = per.withColumn(
+        "_k0",
+        F.coalesce(
+            F.min(F.when(F.col("_li") <= 0, F.col("lag"))).over(w),
+            F.lit(max_lag + 1),
+        ),
+    )
+    summed = staged.groupBy(*keep_cols).agg(
+        F.sum(
+            F.when(F.col("lag") < F.col("_k0"), F.col("_li")).otherwise(0)
+        ).cast("long").alias("_su"),
+        F.sum(
+            F.when(F.col("lag") < F.col("_k0"), 1).otherwise(0)
+        ).cast("int").alias("n_lags_used"),
+    )
+    nsrc = df.select(*keep_cols, F.size(F.col(array_col)).alias("n"))
+    joined = nsrc.join(summed, list(keep_cols), "left")
+    su = F.coalesce(F.col("_su"), F.lit(0)).cast("double")
+    tau = F.lit(1.0) + F.lit(2.0) * (su / F.lit(1000000.0))
+    return joined.select(
+        *keep_cols,
+        "n",
+        F.coalesce("n_lags_used", F.lit(0)).alias("n_lags_used"),
+        tau.alias("tau"),
+        (F.col("n").cast("double") / tau).alias("ess"),
+    )

@@ -881,6 +881,18 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 49b. ess: acf's Arrow boundary + a key-window/aggregate over the
+    # <= max_lag lag rows + one key-join back to signal lengths —
+    # no cartesian, ONE Python boundary (acf's)
+    eq2 = entrymod.queries()["ess"](spark, sf_dir)
+    p = plan_of(eq2)
+    checks.append(
+        ("ess: acf Arrow boundary + keyed lag reduce, no cartesian",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and _py_node_count(p) == 1, p)
+    )
+
     # 50. kaplan_meier: per-key aggregate + 1-row broadcast + bounded
     # lifetime-axis windows; the only nested-loop join is the 1-row
     # corpus-end broadcast — zero Python

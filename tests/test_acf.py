@@ -101,3 +101,41 @@ def test_acf_arrow_equals_expr(spark):
             assert math.isclose(a[k], e[k], rel_tol=1e-9, abs_tol=1e-9)
     with pytest.raises(ValueError):
         acf_long(df, impl="nope")
+
+
+def test_ess_matches_local_and_discriminates(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from eristropy_spark.operators.acf import acf_long, ess
+
+    rng = np.random.default_rng(81)
+    seqs = {
+        "iid": [int(v) for v in rng.integers(0, 50, size=120)],
+        "trend": list(range(120)),  # strong positive acf -> tiny ESS
+        "short": [7],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in seqs.items()], "doc_id string, tokens array<int>"
+    )
+    # local recomputation from the same quantized acf values
+    acf_rows = acf_long(df, max_lag=10).collect()
+    byd: dict[str, dict[int, int]] = {}
+    for r in acf_rows:
+        li = int(np.floor(r["acf"] * 1e6 + 0.5))
+        byd.setdefault(r["doc_id"], {})[r["lag"]] = li
+    out = {r["doc_id"]: r for r in ess(df, max_lag=10).collect()}
+    for k, vals in seqs.items():
+        lags = byd.get(k, {})
+        k0 = min(
+            (lg for lg, li in sorted(lags.items()) if li <= 0), default=11
+        )
+        su = sum(li for lg, li in lags.items() if lg < k0)
+        tau = 1.0 + 2.0 * (su / 1e6)
+        r = out[k]
+        assert r["n"] == len(vals)
+        assert r["n_lags_used"] == sum(1 for lg in lags if lg < k0)
+        assert r["tau"] == _pt.approx(tau, abs=1e-12)
+        assert r["ess"] == _pt.approx(len(vals) / tau, abs=1e-9)
+    assert out["trend"]["ess"] < 20 < out["iid"]["ess"]
+    assert out["short"]["tau"] == 1.0 and out["short"]["ess"] == 1.0
