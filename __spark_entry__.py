@@ -62,6 +62,11 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   crosscorr         timeseries   lagged cross-correlation between signals
   dominant_period   timeseries   epoch-folding period scan (PDM, no trig)
   bm25_topk         pipeline     Okapi BM25 ranked retrieval (Lucene idf)
+  wasserstein_drift timeseries   exact 1-D earth-mover drift (full replay)
+  robust_scale      timeseries   median/MAD/robust-sigma outlier census
+  lexical_richness  pipeline     TTR / hapax / Yule's K per document
+  vocab_coverage    pipeline     Good-Turing missing mass + Chao1 floor
+  token_novelty     pipeline     corpus-first-word freshness per doc
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -3833,6 +3838,247 @@ FROM red
 """
 
 
+def _q_wasserstein(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 drift per signal
+    (operators/drift.wasserstein_drift): first-half vs second-half
+    earth-mover distance — the exact-integer KS CDF gap times the
+    segment width, 12-dp DECIMAL segment sums.  Same shuffle shape as
+    ks_drift: keyed windows + one census aggregate, no joins, no
+    Python."""
+    from eristropy_spark.operators.drift import wasserstein_drift
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id", "value")
+    r = wasserstein_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _r6("w1").alias("w1"),
+    )
+
+
+_ORACLE_WASSERSTEIN = """
+WITH pts AS (
+  SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+         lead(v) OVER (PARTITION BY user_id, event_type ORDER BY v) AS vnext
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT user_id, event_type, v, vnext, cuma, cumb,
+         max(cuma) OVER (PARTITION BY user_id, event_type) AS na,
+         max(cumb) OVER (PARTITION BY user_id, event_type) AS nb
+  FROM cum
+), terms AS (
+  SELECT user_id, event_type, na, nb,
+         CASE WHEN vnext IS NOT NULL THEN
+           CAST(floor(((CAST(abs(cuma * nb - cumb * na) AS DOUBLE)
+                        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                       * (vnext - v))
+                      * 1000000000000.0 + 0.5) / 1000000000000.0
+                AS DECIMAL(38, 12)) END AS term
+  FROM tot
+), red AS (
+  SELECT user_id, event_type,
+         max(na) AS n_ref, max(nb) AS n_cur,
+         CAST(sum(term) AS DOUBLE) AS w1d
+  FROM terms GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(coalesce(w1d, 0.0) * 1000000 + 0.5) / 1000000 END AS w1
+FROM red
+"""
+
+
+def _q_robust_scale(spark, sf_dir):
+    """Robust location/scale census per signal
+    (operators/robust.robust_scale): exact interpolated median + MAD
+    (percentile ≡ quantile_cont bit-for-bit), 1.4826-scaled robust
+    sigma, 3-sigma outlier counts — ONE keyed Exchange (two unbounded
+    windows + a same-key groupBy), no joins, no Python."""
+    from eristropy_spark.operators.robust import robust_scale
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    r = robust_scale(ev, ("user_id", "event_type"), c=3.0)
+    return r.select(
+        "user_id",
+        "event_type",
+        "n",
+        _r6("med").alias("med"),
+        _r6("mad").alias("mad"),
+        _r6("sigma_mad").alias("sigma_mad"),
+        "n_outliers",
+    )
+
+
+_ORACLE_ROBUST_SCALE = """
+WITH pts AS (
+  SELECT user_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+), med AS (
+  SELECT user_id, event_type, quantile_cont(v, 0.5) AS med
+  FROM pts GROUP BY user_id, event_type
+), dev AS (
+  SELECT p.user_id, p.event_type, p.v, m.med, abs(p.v - m.med) AS dev
+  FROM pts p JOIN med m USING (user_id, event_type)
+), mad AS (
+  SELECT user_id, event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY user_id, event_type
+)
+SELECT d.user_id, d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(max(d.med) * 1000000 + 0.5) / 1000000 AS med,
+       floor(max(a.mad) * 1000000 + 0.5) / 1000000 AS mad,
+       floor((1.4826 * max(a.mad)) * 1000000 + 0.5) / 1000000 AS sigma_mad,
+       CAST(sum(CASE WHEN d.dev > 3.0 * (1.4826 * a.mad) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d
+JOIN mad a ON d.user_id = a.user_id AND d.event_type = a.event_type
+GROUP BY d.user_id, d.event_type
+"""
+
+
+def _q_lexical_richness(spark, sf_dir):
+    """Per-document lexical richness (operators/text.lexical_richness):
+    TTR, hapax fraction, Yule's K from exact-integer (doc, word)
+    counts — explode + two chained two-phase aggregates, text crosses
+    the wire once."""
+    from eristropy_spark.operators.text import lexical_richness
+
+    r = lexical_richness(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        _r6("ttr").alias("ttr"),
+        _r6("hapax_frac").alias("hapax_frac"),
+        _r6("yule_k").alias("yule_k"),
+    )
+
+
+_ORACLE_LEXICAL_RICHNESS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(c * c) AS BIGINT) AS m2
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       floor((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS ttr,
+       floor((CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS hapax_frac,
+       floor((10000.0 * (CAST(m2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS yule_k
+FROM agg
+"""
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Good-Turing missing mass + Chao1 vocabulary floor per source
+    (operators/corpus.vocab_coverage): exact frequency-of-frequencies
+    profile, two chained two-phase aggregates, text shuffled once as
+    words — no windows, no joins, no Python."""
+    from eristropy_spark.operators.corpus import vocab_coverage
+
+    r = vocab_coverage(_docs(spark, sf_dir))
+    return r.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        _r6("p_unseen").alias("p_unseen"),
+        _r6("chao1").alias("chao1"),
+    )
+
+
+_ORACLE_VOCAB_COVERAGE = """
+WITH wc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM wc GROUP BY source
+)
+SELECT source, n_tokens, n_types, f1, f2,
+       floor((CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS p_unseen,
+       floor((CAST(n_types AS DOUBLE)
+              + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)))
+             * 1000000 + 0.5) / 1000000 AS chao1
+FROM agg
+"""
+
+
+def _q_token_novelty(spark, sf_dir):
+    """Vocabulary-freshness curve (operators/corpus.token_novelty):
+    per-doc count of corpus-first words in ingest (doc_id) order —
+    distinct (doc, word) pairs, a word-keyed min window, a doc-keyed
+    reduce; exact and deterministic."""
+    from eristropy_spark.operators.corpus import token_novelty
+
+    r = token_novelty(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        "n_types",
+        "n_novel",
+        _r6("novelty_frac").alias("novelty_frac"),
+    )
+
+
+_ORACLE_TOKEN_NOVELTY = """
+WITH dw AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+), first AS (
+  SELECT doc_id, w,
+         min(doc_id) OVER (PARTITION BY w) AS fst
+  FROM dw
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN fst = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM first GROUP BY doc_id
+)
+SELECT doc_id, n_types, n_novel,
+       floor((CAST(n_novel AS DOUBLE) / CAST(n_types AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS novelty_frac
+FROM agg
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -5732,6 +5978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": _q_max_drawdown,
         "zipf_fit": _q_zipf_fit,
         "ks_drift": _q_ks_drift,
+        "wasserstein_drift": _q_wasserstein,
+        "robust_scale": _q_robust_scale,
+        "lexical_richness": _q_lexical_richness,
+        "vocab_coverage": _q_vocab_coverage,
+        "token_novelty": _q_token_novelty,
         "psi_drift": _q_psi_drift,
         "hill_tail": _q_hill_tail,
         "benford": _q_benford,
@@ -5851,6 +6102,11 @@ def oracle_sql() -> dict[str, str]:
         "max_drawdown": _ORACLE_MAX_DRAWDOWN,
         "zipf_fit": _ORACLE_ZIPF,
         "ks_drift": _ORACLE_KS_DRIFT,
+        "wasserstein_drift": _ORACLE_WASSERSTEIN,
+        "robust_scale": _ORACLE_ROBUST_SCALE,
+        "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
+        "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
+        "token_novelty": _ORACLE_TOKEN_NOVELTY,
         "psi_drift": _ORACLE_PSI_DRIFT,
         "hill_tail": _ORACLE_HILL,
         "benford": _benford_oracle(),

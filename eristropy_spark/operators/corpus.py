@@ -29,6 +29,8 @@ __all__ = [
     "corpus_divergence",
     "zipf_fit",
     "kn_bigram_score",
+    "vocab_coverage",
+    "token_novelty",
 ]
 
 
@@ -350,4 +352,113 @@ def kn_bigram_score(
             logp.alias("logp"),
             F.exp(-logp).alias("ppl"),
         )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_tokens, n_types, f1, f2, p_unseen, chao1) — how much
+    vocabulary has this corpus slice NOT seen yet?  Two classical
+    estimators from the frequency-of-frequencies profile:
+
+    * ``p_unseen`` — the Good–Turing missing-mass estimate f1/N (Good
+      1953): the probability the NEXT token drawn is a type never seen
+      in this slice — the saturation signal data-mixing decisions key
+      on (a source whose missing mass is still high keeps paying).
+    * ``chao1`` — the bias-corrected Chao1 richness floor
+      V + f1·(f1−1)/(2·(f2+1)) (Chao 1984), a lower bound on the TRUE
+      vocabulary size including unseen types; defined even when f2=0.
+
+    All inputs are exact integers (N, V, f1 = singleton types, f2 =
+    doubleton types); the two estimates are single fixed-order float
+    expressions, so the DuckDB replay matches bit-for-bit.
+
+    Scale shape: explode + two chained two-phase hash aggregates —
+    (group, word) counts, then a group-keyed reduce over the count
+    profile.  Text crosses the wire once, as words; no windows, no
+    joins, no Python.
+    """
+    wc = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+        )
+        .groupBy("source", "_w")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    agg = wc.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        (f1 / n).alias("p_unseen"),
+        (
+            F.col("n_types").cast("double")
+            + f1 * (f1 - F.lit(1.0)) / (F.lit(2.0) * (f2 + F.lit(1.0)))
+        ).alias("chao1"),
+    )
+
+
+def token_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_types, n_novel, novelty_frac) — per document in
+    ingest order (ascending ``doc_id``), how many of its distinct
+    words appear for the FIRST time in the whole corpus here?  The
+    vocabulary-freshness curve of a data pipeline: novelty decaying
+    toward zero means new shards are re-treading seen vocabulary
+    (time to diversify sources); a spike flags a domain shift at the
+    ingest door.
+
+    A word is novel in the document with the minimum doc_id containing
+    it (exact, deterministic — no sampling).  Counts are exact
+    integers; the fraction is one fixed float expression.
+
+    Scale shape: distinct (doc, word) pairs, a word-keyed min window
+    (ONE shuffle on the word key — equivalently a self-join-free
+    first-occurrence pass), then a doc-keyed reduce (second shuffle).
+    Text crosses the wire once, as words; no joins, no Python.
+    """
+    from pyspark.sql import Window
+
+    dw = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+        )
+        .groupBy("doc_id", "_w")
+        .agg(F.count("*").alias("_c"))
+        .drop("_c")
+    )
+    first = dw.withColumn(
+        "_first", F.min("doc_id").over(Window.partitionBy("_w"))
+    )
+    agg = first.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_types",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_types").cast("double")).alias(
+            "novelty_frac"
+        ),
     )

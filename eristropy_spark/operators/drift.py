@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -316,4 +316,91 @@ def mannwhitney_drift(
     )
     return out.select(
         *keys, "n_ref", "n_cur", "u2", auc.alias("auc"), z.alias("z")
+    )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, w1) — exact 1-D Wasserstein-1 (earth-mover)
+    distance between the first-half and second-half value distributions
+    of each key, one row per key.
+
+    W1 = ∫ |F_ref(x) − F_cur(x)| dx = Σ_i |F_ref(x_i) − F_cur(x_i)| ·
+    (x_{i+1} − x_i) over the sorted distinct values — the magnitude
+    complement of ``ks_drift`` (KS caps at 1 and saturates; W1 keeps
+    growing with HOW FAR the mass moved, the metric embedding-drift
+    monitors threshold on).  The CDF gap rides the same exact-integer
+    numerator as KS (|cumA·nB − cumB·nA|, a BIGINT); each segment term
+    is one fixed float expression floor-quantized to the 12-dp grid and
+    summed as DECIMAL(38,12) (quantize-then-derive), so an independent
+    SQL replay reproduces every double bit-for-bit.
+
+    Scale shape: identical to ``ks_drift`` — a per-key rank window, a
+    (key, value) two-phase hash aggregate, cumulative/lead windows over
+    the SAME key partitioning, one per-key reduce.  No joins, no
+    Python, no arrays across shuffles.  Keys where either half is
+    empty emit NULL w1; a constant series yields w1 = 0.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    v = F.col(value_col).cast("double")
+    pts = df.select(
+        *keys,
+        v.alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = pts.groupBy(*keys, "_v").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w_cdf = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy(*keys).orderBy("_v")
+    cum = cnt.select(
+        *keys,
+        "_v",
+        F.sum("_ca").over(w_cdf).alias("_cuma"),
+        F.sum("_cb").over(w_cdf).alias("_cumb"),
+        F.lead("_v").over(w_lead).alias("_vnext"),
+    )
+    tot = cum.withColumn("_na", F.max("_cuma").over(w_key)).withColumn(
+        "_nb", F.max("_cumb").over(w_key)
+    )
+    na_d = F.col("_na").cast("double")
+    nb_d = F.col("_nb").cast("double")
+    gap = F.abs(
+        F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    ).cast("double")
+    # one fixed-order float expression per segment, quantized onto the
+    # 12-dp grid BEFORE the (decimal-exact) per-key sum
+    term = _floor_round(
+        (gap / (na_d * nb_d)) * (F.col("_vnext") - F.col("_v")), 12
+    ).cast("decimal(38, 12)")
+    red = tot.groupBy(*keys).agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.sum(F.when(F.col("_vnext").isNotNull(), term)).alias("_w1d"),
+    )
+    ok = (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    w1 = F.coalesce(F.col("_w1d").cast("double"), F.lit(0.0))
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.when(ok, w1).otherwise(F.lit(None).cast("double")).alias("w1"),
     )

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["theilsen_trend", "mann_kendall"]
+__all__ = ["theilsen_trend", "mann_kendall", "robust_scale"]
 
 
 def _qcont(sorted_vals, p: float):
@@ -228,3 +228,67 @@ def mann_kendall(
             )
 
     return src.mapInArrow(_compute, schema)
+
+
+def robust_scale(
+    df: DataFrame,
+    key,
+    value_col: str = "value",
+    c: float = 3.0,
+) -> DataFrame:
+    """(*key, n, med, mad, sigma_mad, n_outliers) — robust
+    location/scale per key: exact interpolated median, MAD
+    (median absolute deviation), the consistency-scaled robust sigma
+    1.4826·MAD (the normal-consistency constant, Hampel 1974 /
+    Rousseeuw & Croux 1993), and the count of points whose deviation
+    exceeds ``c``·sigma — the outlier census mean/std monitoring gets
+    wrong the moment one spike inflates the std it thresholds with.
+
+    Both medians use Spark's exact interpolated ``percentile``
+    (bit-identical to DuckDB's ``quantile_cont``, the
+    percentile_rollup precedent), so the SQL replay reproduces every
+    double bit-for-bit; sigma and the threshold comparison are fixed
+    float expressions.  A constant key yields mad = 0 and 0 outliers.
+
+    Scale shape: ONE keyed Exchange total — two unbounded window
+    aggregates over the same key partitioning (median of v, then
+    median of |v − med|) followed by a groupBy on that key (no
+    re-shuffle).  The exact windows buffer one key's points per task
+    (the documented exact-percentile bound); for unbounded keys the
+    approx_percentile sketch is the 100 TB path, as in
+    percentile_rollup.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not c > 0.0:
+        raise ValueError(f"c must be > 0, got {c}")
+    keys = [key] if isinstance(key, str) else list(key)
+    w_key = Window.partitionBy(*keys)
+
+    v = F.col(value_col).cast("double")
+    pts = df.select(*keys, v.alias("_v")).withColumn(
+        "_med", F.percentile(F.col("_v"), F.lit(0.5)).over(w_key)
+    )
+    dev = pts.withColumn("_dev", F.abs(F.col("_v") - F.col("_med"))).withColumn(
+        "_mad", F.percentile(F.col("_dev"), F.lit(0.5)).over(w_key)
+    )
+    sigma = F.lit(1.4826) * F.col("_mad")
+    out = dev.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_med").alias("med"),
+        F.max("_mad").alias("mad"),
+        F.sum(
+            F.when(F.col("_dev") > F.lit(float(c)) * sigma, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return out.select(
+        *keys,
+        "n",
+        "med",
+        "mad",
+        (F.lit(1.4826) * F.col("mad")).alias("sigma_mad"),
+        "n_outliers",
+    )

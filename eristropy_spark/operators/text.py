@@ -35,6 +35,7 @@ __all__ = [
     "scrub_pii",
     "build_vocab",
     "unigram_logprob",
+    "lexical_richness",
     "STOPWORDS",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
@@ -544,4 +545,62 @@ def unigram_logprob(
             F.count("*").cast("long").alias("n_tok"),
             F.avg(logp).alias("logprob"),
         )
+    )
+
+
+def lexical_richness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, n_hapax, ttr, hapax_frac, yule_k) —
+    per-document lexical-richness profile over whitespace tokens:
+    type-token ratio, hapax-legomenon fraction, and Yule's
+    characteristic K (Yule 1944),
+
+        K = 10^4 · (Σ_w c_w² − N) / N²,
+
+    the repeat-rate statistic that, unlike TTR, is length-insensitive —
+    the classic template-detection / generated-text screen next to
+    ``top_ngram_repetition`` (high K = a few tokens dominate).
+
+    All aggregates are exact integers (counts, Σc², hapax count); the
+    three ratios are single fixed-order float expressions, so the
+    DuckDB replay matches bit-for-bit.  A one-token document yields
+    ttr = 1 and K = 0.
+
+    Scale shape: explode + two two-phase hash aggregates — (doc, word)
+    counts, then a doc-keyed reduce.  The second aggregate reuses the
+    first's hash partitioning on the doc_id prefix; document text
+    crosses the wire once, as words.  No windows, no joins, no Python.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    )
+    wc = tok.groupBy("doc_id", "_w").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_m2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (v / n).alias("ttr"),
+        (F.col("n_hapax").cast("double") / v).alias("hapax_frac"),
+        (
+            F.lit(10000.0)
+            * (F.col("_m2").cast("double") - n)
+            / (n * n)
+        ).alias("yule_k"),
     )

@@ -1,0 +1,310 @@
+"""Round-5 batch: wasserstein_drift, robust_scale, lexical_richness —
+local-recomputation parity, degenerate inputs, discrimination
+properties, and partition invariance."""
+
+import datetime as dt
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from eristropy_spark.operators.drift import wasserstein_drift
+from eristropy_spark.operators.robust import robust_scale
+from eristropy_spark.operators.text import lexical_richness
+
+
+def _ts(sec: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=float(sec))
+
+
+def _events_df(spark, series: dict[str, list[float]]):
+    rows = [
+        (k, "s", _ts(i), i, float(v))
+        for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id string, event_type string, ts timestamp, "
+        "event_id long, value double",
+    )
+
+
+def _keyed(df):
+    return {r["user_id"]: r for r in df.collect()}
+
+
+def _w1_local(vals):
+    """Exact 1-D W1 between first and second half, the integral-of-
+    |CDF gap| formulation (independent of the operator's decimal
+    plumbing up to the 12-dp term grid)."""
+    n = len(vals)
+    a = np.sort(np.asarray(vals[: n // 2], dtype=float))
+    b = np.sort(np.asarray(vals[n // 2:], dtype=float))
+    xs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, xs, side="right") / len(a)
+    fb = np.searchsorted(b, xs, side="right") / len(b)
+    return float(np.sum(np.abs(fa - fb)[:-1] * np.diff(xs)))
+
+
+# ------------------------------------------------- wasserstein_drift
+
+
+def test_wasserstein_parity(spark):
+    rng = np.random.default_rng(7)
+    series = {
+        "noise": list(rng.normal(0, 1, 120)),
+        "shift": list(rng.normal(0, 1, 60)) + list(rng.normal(5, 1, 60)),
+        "walk": list(np.cumsum(rng.normal(0, 1, 121))),
+    }
+    got = _keyed(
+        wasserstein_drift(
+            _events_df(spark, series),
+            ("user_id", "event_type"),
+            tiebreak_col="event_id",
+        )
+    )
+    for k, vals in series.items():
+        n = len(vals)
+        assert got[k]["n_ref"] == n // 2
+        assert got[k]["n_cur"] == n - n // 2
+        assert got[k]["w1"] == pytest.approx(_w1_local(vals), abs=1e-6)
+
+
+def test_wasserstein_level_shift_equals_shift(spark):
+    # disjoint supports: W1 between U and U+delta is exactly delta
+    base = list(np.linspace(0.0, 1.0, 50))
+    series = {"s": base + [v + 10.0 for v in base]}
+    got = _keyed(
+        wasserstein_drift(_events_df(spark, series), ("user_id", "event_type"))
+    )
+    assert got["s"]["w1"] == pytest.approx(10.0, abs=1e-5)
+
+
+def test_wasserstein_constant_and_tiny(spark):
+    got = _keyed(
+        wasserstein_drift(
+            _events_df(spark, {"const": [3.0] * 40, "one": [1.0]}),
+            ("user_id", "event_type"),
+        )
+    )
+    assert got["const"]["w1"] == 0.0
+    # n=1: first half empty -> NULL statistic
+    assert got["one"]["n_ref"] == 0
+    assert got["one"]["w1"] is None
+
+
+def test_wasserstein_partition_invariance(spark):
+    rng = np.random.default_rng(11)
+    series = {f"k{i}": list(rng.normal(i, 1 + i, 80)) for i in range(6)}
+    df = _events_df(spark, series)
+    a = _keyed(
+        wasserstein_drift(df.repartition(1), ("user_id", "event_type"))
+    )
+    b = _keyed(
+        wasserstein_drift(df.repartition(13), ("user_id", "event_type"))
+    )
+    for k in series:
+        assert a[k]["w1"] == b[k]["w1"]  # bit-identical (decimal sums)
+
+
+# ------------------------------------------------------ robust_scale
+
+
+def test_robust_scale_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    series = {
+        "noise": list(rng.normal(10, 2, 101)),
+        "heavy": list(rng.standard_t(2, 101) * 3),
+    }
+    got = _keyed(robust_scale(_events_df(spark, series), ("user_id", "event_type")))
+    for k, vals in series.items():
+        v = np.asarray(vals)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        sig = 1.4826 * mad
+        assert got[k]["n"] == len(vals)
+        assert got[k]["med"] == pytest.approx(med, rel=1e-12)
+        assert got[k]["mad"] == pytest.approx(mad, rel=1e-12)
+        assert got[k]["sigma_mad"] == pytest.approx(sig, rel=1e-12)
+        assert got[k]["n_outliers"] == int(np.sum(np.abs(v - med) > 3.0 * sig))
+
+
+def test_robust_scale_outlier_immunity(spark):
+    # one absurd spike: mean/std-based z would explode, MAD barely moves
+    base = list(np.linspace(0.0, 1.0, 99))
+    got = _keyed(
+        robust_scale(
+            _events_df(spark, {"spiked": base + [1e9], "clean": base + [1.0]}),
+            ("user_id", "event_type"),
+        )
+    )
+    assert got["spiked"]["mad"] == pytest.approx(got["clean"]["mad"], rel=0.05)
+    assert got["spiked"]["n_outliers"] == 1
+    assert got["clean"]["n_outliers"] == 0
+
+
+def test_robust_scale_constant_and_validation(spark):
+    got = _keyed(
+        robust_scale(_events_df(spark, {"const": [5.0] * 30}), ("user_id", "event_type"))
+    )
+    assert got["const"]["mad"] == 0.0
+    assert got["const"]["n_outliers"] == 0
+    with pytest.raises(ValueError, match="c must be"):
+        robust_scale(
+            _events_df(spark, {"x": [1.0]}), ("user_id", "event_type"), c=0.0
+        )
+
+
+# -------------------------------------------------- lexical_richness
+
+
+def _docs_df(spark, docs: dict[str, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id string, text string"
+    )
+
+
+def test_lexical_richness_matches_counter(spark):
+    docs = {
+        "a": "the cat sat on the mat and the cat ran",
+        "b": "alpha beta gamma delta",
+        "c": "x x x x x x",
+    }
+    got = {r["doc_id"]: r for r in lexical_richness(_docs_df(spark, docs)).collect()}
+    for k, text in docs.items():
+        c = Counter(text.split(" "))
+        n = sum(c.values())
+        v = len(c)
+        hapax = sum(1 for x in c.values() if x == 1)
+        m2 = sum(x * x for x in c.values())
+        row = got[k]
+        assert row["n_tokens"] == n
+        assert row["n_types"] == v
+        assert row["n_hapax"] == hapax
+        assert row["ttr"] == pytest.approx(v / n, rel=1e-12)
+        assert row["hapax_frac"] == pytest.approx(hapax / v, rel=1e-12)
+        assert row["yule_k"] == pytest.approx(1e4 * (m2 - n) / (n * n), rel=1e-12)
+
+
+def test_lexical_richness_extremes(spark):
+    got = {
+        r["doc_id"]: r
+        for r in lexical_richness(
+            _docs_df(spark, {"one": "word", "rep": "a a a a"})
+        ).collect()
+    }
+    # single token: ttr = 1, all hapax, K = 0 (no repetition)
+    assert got["one"]["ttr"] == 1.0
+    assert got["one"]["yule_k"] == 0.0
+    # pure repetition: K = 1e4 * (16-4)/16 = 7500, zero hapax
+    assert got["rep"]["n_types"] == 1
+    assert got["rep"]["n_hapax"] == 0
+    assert got["rep"]["yule_k"] == pytest.approx(7500.0)
+
+
+def test_lexical_richness_repetition_discriminates(spark):
+    rng = np.random.default_rng(5)
+    rich = " ".join(f"w{i}" for i in range(200))
+    template = " ".join(
+        f"w{int(i)}" for i in rng.integers(0, 10, 200)
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lexical_richness(
+            _docs_df(spark, {"rich": rich, "tpl": template})
+        ).collect()
+    }
+    assert got["tpl"]["yule_k"] > 50 * got["rich"]["yule_k"] + 1
+    assert got["rich"]["ttr"] > got["tpl"]["ttr"]
+
+
+# ------------------------------------- vocab_coverage / token_novelty
+
+
+def test_vocab_coverage_matches_counter(spark):
+    from eristropy_spark.operators.corpus import vocab_coverage
+
+    docs = {
+        1: ("a", "the cat sat on the mat"),
+        2: ("a", "the dog sat"),
+        3: ("b", "alpha beta beta gamma gamma gamma"),
+    }
+    df = spark.createDataFrame(
+        [(k, s, t) for k, (s, t) in docs.items()],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in vocab_coverage(df).collect()}
+    for src in ("a", "b"):
+        c = Counter(
+            w
+            for k, (s, t) in docs.items()
+            if s == src
+            for w in t.split(" ")
+        )
+        n = sum(c.values())
+        f1 = sum(1 for x in c.values() if x == 1)
+        f2 = sum(1 for x in c.values() if x == 2)
+        row = got[src]
+        assert row["n_tokens"] == n
+        assert row["n_types"] == len(c)
+        assert row["f1"] == f1
+        assert row["f2"] == f2
+        assert row["p_unseen"] == pytest.approx(f1 / n, rel=1e-12)
+        assert row["chao1"] == pytest.approx(
+            len(c) + f1 * (f1 - 1) / (2 * (f2 + 1)), rel=1e-12
+        )
+
+
+def test_vocab_coverage_saturation_property(spark):
+    # a saturated slice (every word repeated many times) has ~zero
+    # missing mass; a one-pass slice of all-distinct words has p_unseen 1
+    from eristropy_spark.operators.corpus import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "sat", " ".join(["w"] * 50)),
+            (2, "fresh", " ".join(f"u{i}" for i in range(50))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in vocab_coverage(df).collect()}
+    assert got["sat"]["p_unseen"] == 0.0
+    assert got["sat"]["chao1"] == 1.0  # f1=0 -> floor equals observed V
+    assert got["fresh"]["p_unseen"] == 1.0
+    assert got["fresh"]["chao1"] == pytest.approx(50 + 50 * 49 / 2)
+
+
+def test_token_novelty_curve(spark):
+    from eristropy_spark.operators.corpus import token_novelty
+
+    df = spark.createDataFrame(
+        [
+            (10, "a b c"),        # all novel
+            (20, "a b d"),        # d novel
+            (30, "a b c d"),      # nothing novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_novelty(df).collect()}
+    assert (got[10]["n_novel"], got[10]["n_types"]) == (3, 3)
+    assert (got[20]["n_novel"], got[20]["n_types"]) == (1, 3)
+    assert (got[30]["n_novel"], got[30]["n_types"]) == (0, 4)
+    assert got[20]["novelty_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_token_novelty_partition_invariance(spark):
+    from eristropy_spark.operators.corpus import token_novelty
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (int(i), " ".join(f"t{int(x)}" for x in rng.integers(0, 40, 20)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r for r in token_novelty(df.repartition(1)).collect()}
+    b = {r["doc_id"]: r for r in token_novelty(df.repartition(7)).collect()}
+    assert a == b
+    # freshness is conserved: total novel types == corpus vocabulary
+    vocab = {w for _, t in rows for w in t.split(" ")}
+    assert sum(r["n_novel"] for r in a.values()) == len(vocab)
