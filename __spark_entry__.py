@@ -67,6 +67,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   lexical_richness  pipeline     TTR / hapax / Yule's K per document
   vocab_coverage    pipeline     Good-Turing missing mass + Chao1 floor
   token_novelty     pipeline     corpus-first-word freshness per doc
+  stl_strength      timeseries   trend/seasonal strength (Wang-Smith-Hyndman)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -2218,6 +2219,110 @@ SELECT t.event_id, t.user_id,
        floor((t.v6 - t.trend - c.seasonal) * 1000000.0 + 0.5)
          / 1000000.0 AS remainder
 FROM tr t LEFT JOIN cen c ON c.user_id = t.user_id AND c.phase = t.phase
+"""
+
+
+def _q_stl_strength(spark, sf_dir):
+    """Wang-Smith-Hyndman decomposition-strength features per user at
+    period 12 (operators/decompose.stl_strength): trend / seasonal
+    strength from DECIMAL-exact variance sums over the decompose
+    output — the decompose plan plus ONE same-key aggregate, all
+    codegen."""
+    from eristropy_spark.operators.decompose import stl_strength
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = stl_strength(ev, "user_id", period=12, tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "n_used",
+        _r6("var_rem").alias("var_rem"),
+        _r6("var_detrended").alias("var_detrended"),
+        _r6("var_deseasonalized").alias("var_deseasonalized"),
+        _r6("trend_strength").alias("trend_strength"),
+        _r6("seasonal_strength").alias("seasonal_strength"),
+    )
+
+
+_ORACLE_STL_STRENGTH = """
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         floor(value * 1000000.0 + 0.5) / 1000000.0 AS v6,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(26, 6)) AS vd
+  FROM events
+), tr AS (
+  SELECT event_id, user_id, v6,
+         CASE WHEN count(vd) OVER wl = 12 AND count(vd) OVER wr = 12
+              THEN CAST(sum(vd) OVER wl + sum(vd) OVER wr AS DOUBLE) / 24.0
+         END AS trend,
+         (row_number() OVER o - 1) % 12 AS phase
+  FROM q
+  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wl AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+), idx AS (
+  SELECT user_id, phase,
+         CAST(sum(CAST(floor((v6 - trend) * 1000000000000.0 + 0.5)
+                         / 1000000000000.0
+                       AS DECIMAL(38, 12))) AS DOUBLE)
+           / count(*) AS raw_idx
+  FROM tr WHERE trend IS NOT NULL
+  GROUP BY user_id, phase
+), cen AS (
+  SELECT user_id, phase,
+         raw_idx
+         - CAST(sum(CAST(floor(raw_idx * 1000000000000.0 + 0.5)
+                           / 1000000000000.0
+                         AS DECIMAL(38, 12))) OVER pk AS DOUBLE)
+           / count(*) OVER pk AS seasonal
+  FROM idx
+  WINDOW pk AS (PARTITION BY user_id)
+), dec AS (
+  SELECT t.user_id,
+         t.v6 - t.trend - c.seasonal AS r,
+         c.seasonal AS s,
+         t.trend AS tre
+  FROM tr t JOIN cen c ON c.user_id = t.user_id AND c.phase = t.phase
+  WHERE t.trend IS NOT NULL
+), w AS (
+  SELECT user_id,
+         CAST(floor(r * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18, 6)) AS rq,
+         CAST(floor((r + s) * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18, 6)) AS dsq,
+         CAST(floor((r + tre) * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18, 6)) AS dtq
+  FROM dec
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_used,
+         sum(rq) AS sr, sum(rq * rq) AS qr,
+         sum(dsq) AS ss, sum(dsq * dsq) AS qs,
+         sum(dtq) AS st, sum(dtq * dtq) AS qt
+  FROM w GROUP BY user_id
+), v AS (
+  SELECT user_id, n_used,
+         (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+            / CAST(n_used AS DOUBLE)) / CAST(n_used AS DOUBLE) AS vr,
+         (CAST(qs AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+            / CAST(n_used AS DOUBLE)) / CAST(n_used AS DOUBLE) AS vds,
+         (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+            / CAST(n_used AS DOUBLE)) / CAST(n_used AS DOUBLE) AS vdt
+  FROM agg
+)
+SELECT user_id, n_used,
+       floor(vr * 1000000 + 0.5) / 1000000 AS var_rem,
+       floor(vds * 1000000 + 0.5) / 1000000 AS var_detrended,
+       floor(vdt * 1000000 + 0.5) / 1000000 AS var_deseasonalized,
+       CASE WHEN vdt > 0.0 THEN
+         floor(greatest(0.0, 1.0 - vr / vdt) * 1000000 + 0.5) / 1000000
+       END AS trend_strength,
+       CASE WHEN vds > 0.0 THEN
+         floor(greatest(0.0, 1.0 - vr / vds) * 1000000 + 0.5) / 1000000
+       END AS seasonal_strength
+FROM v
 """
 
 
@@ -5983,6 +6088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
         "token_novelty": _q_token_novelty,
+        "stl_strength": _q_stl_strength,
         "psi_drift": _q_psi_drift,
         "hill_tail": _q_hill_tail,
         "benford": _q_benford,
@@ -6107,6 +6213,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
         "token_novelty": _ORACLE_TOKEN_NOVELTY,
+        "stl_strength": _ORACLE_STL_STRENGTH,
         "psi_drift": _ORACLE_PSI_DRIFT,
         "hill_tail": _ORACLE_HILL,
         "benford": _benford_oracle(),

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["seasonal_decompose"]
+__all__ = ["seasonal_decompose", "stl_strength"]
 
 
 def seasonal_decompose(
@@ -156,4 +156,99 @@ def seasonal_decompose(
             "remainder", F.col("_v") - F.col("_trend") - F.col("_seasonal")
         )
         .drop("_v", "_phase", "_trend", "_seasonal")
+    )
+
+
+def stl_strength(
+    df: DataFrame,
+    key,
+    period: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_used, var_rem, var_detrended, var_deseasonalized,
+    trend_strength, seasonal_strength) — the Wang–Smith–Hyndman (2006)
+    decomposition-strength features (the ``feat_stl`` pair the M4
+    feature space and Hyndman's anomaly pipelines key on):
+
+        F_T = max(0, 1 − Var(R) / Var(T + R))   trend strength
+        F_S = max(0, 1 − Var(R) / Var(S + R))   seasonal strength
+
+    computed per key over the rows whose centered MA window is complete
+    (``trend`` non-NULL), on top of :func:`seasonal_decompose`.  Both
+    land in [0, 1]: ~0 = the component explains nothing, →1 = the
+    series is almost entirely that component.  The triage statistic
+    for "which of my million signals deserve a seasonal model".
+
+    Exactness: each of R, S+R, T+R is floor-quantized to the 6-dp grid
+    and cast to DECIMAL(18,6); sums and sums-of-squares run in exact
+    DECIMAL (products are DECIMAL(37,12) — no precision loss), and each
+    population variance is then a fixed-order float expression, so the
+    SQL replay matches bit-for-bit.  A component with zero variance
+    yields NULL strength.
+
+    Scale shape: the decompose plan (one keyed shuffle + a dimension
+    join) plus ONE same-key hash aggregate; no extra Exchange, no
+    Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    dec = seasonal_decompose(
+        df,
+        key,
+        period,
+        ts_col=ts_col,
+        value_col=value_col,
+        tiebreak_col=tiebreak_col,
+    )
+    used = dec.where(F.col("trend").isNotNull())
+
+    def q6d(c):
+        return _floor_round(c, 6).cast("decimal(18, 6)")
+
+    r = F.col("remainder")
+    w = used.select(
+        *keys,
+        q6d(r).alias("_r"),
+        q6d(r + F.col("seasonal")).alias("_ds"),
+        q6d(r + F.col("trend")).alias("_dt"),
+    )
+    agg = w.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.sum("_r").alias("_sr"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_qr"),
+        F.sum("_ds").alias("_ss"),
+        F.sum(F.col("_ds") * F.col("_ds")).alias("_qs"),
+        F.sum("_dt").alias("_st"),
+        F.sum(F.col("_dt") * F.col("_dt")).alias("_qt"),
+    )
+    n = F.col("n_used").cast("double")
+
+    def var_(s_name: str, q_name: str):
+        sd = F.col(s_name).cast("double")
+        qd = F.col(q_name).cast("double")
+        return (qd - sd * sd / n) / n
+
+    vr = var_("_sr", "_qr")
+    vds = var_("_ss", "_qs")
+    vdt = var_("_st", "_qt")
+    nulld = F.lit(None).cast("double")
+    return agg.select(
+        *keys,
+        "n_used",
+        vr.alias("var_rem"),
+        vds.alias("var_detrended"),
+        vdt.alias("var_deseasonalized"),
+        F.when(
+            vdt > F.lit(0.0),
+            F.greatest(F.lit(0.0), F.lit(1.0) - vr / vdt),
+        )
+        .otherwise(nulld)
+        .alias("trend_strength"),
+        F.when(
+            vds > F.lit(0.0),
+            F.greatest(F.lit(0.0), F.lit(1.0) - vr / vds),
+        )
+        .otherwise(nulld)
+        .alias("seasonal_strength"),
     )
