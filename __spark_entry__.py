@@ -68,6 +68,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   vocab_coverage    pipeline     Good-Turing missing mass + Chao1 floor
   token_novelty     pipeline     corpus-first-word freshness per doc
   stl_strength      timeseries   trend/seasonal strength (Wang-Smith-Hyndman)
+  heaps_law         pipeline     vocabulary-growth exponent fit (Heaps 1978)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -4184,6 +4185,87 @@ FROM agg
 """
 
 
+def _q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit per source
+    (operators/corpus.heaps_law): cumulative (tokens, types) curve in
+    ingest order, 12-dp-quantized log-log points, DECIMAL-exact fit
+    sums — word-keyed first-occurrence window + group-keyed cumulative
+    windows, text shuffled once."""
+    from eristropy_spark.operators.corpus import heaps_law
+
+    r = heaps_law(_docs(spark, sf_dir))
+    return r.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        _r6("beta").alias("beta"),
+        _r6("k").alias("k"),
+    )
+
+
+_ORACLE_HEAPS_LAW = """
+WITH tok AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), per_doc_tok AS (
+  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS ntok
+  FROM tok GROUP BY source, doc_id
+), dw AS (
+  SELECT DISTINCT source, doc_id, w FROM tok
+), first AS (
+  SELECT source, doc_id,
+         min(doc_id) OVER (PARTITION BY source, w) AS fst
+  FROM dw
+), per_doc_new AS (
+  SELECT source, doc_id,
+         CAST(sum(CASE WHEN fst = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS nnew
+  FROM first GROUP BY source, doc_id
+), cum AS (
+  SELECT t.source,
+         CAST(sum(t.ntok) OVER w AS BIGINT) AS nd,
+         CAST(sum(n.nnew) OVER w AS BIGINT) AS vd
+  FROM per_doc_tok t
+  JOIN per_doc_new n ON n.source = t.source AND n.doc_id = t.doc_id
+  WINDOW w AS (PARTITION BY t.source ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pts AS (
+  SELECT source, nd, vd,
+         CAST(floor(ln(CAST(nd AS DOUBLE)) * 1000000000000.0 + 0.5)
+              / 1000000000000.0 AS DECIMAL(14, 12)) AS x,
+         CAST(floor(ln(CAST(vd AS DOUBLE)) * 1000000000000.0 + 0.5)
+              / 1000000000000.0 AS DECIMAL(14, 12)) AS y
+  FROM cum
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         max(nd) AS n_tokens,
+         max(vd) AS n_types,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY source
+), fit AS (
+  SELECT source, n_docs, n_tokens, n_types,
+         CAST(n_docs AS DOUBLE) AS m,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
+  FROM agg
+), b AS (
+  SELECT source, n_docs, n_tokens, n_types, m, sxd, syd,
+         m * sxxd - sxd * sxd AS den,
+         (m * sxyd - sxd * syd) / (m * sxxd - sxd * sxd) AS beta
+  FROM fit
+)
+SELECT source, n_docs, n_tokens, n_types,
+       CASE WHEN n_docs >= 2 AND den > 0.0 THEN
+         floor(beta * 1000000 + 0.5) / 1000000 END AS beta,
+       CASE WHEN n_docs >= 2 AND den > 0.0 THEN
+         floor(exp((syd - beta * sxd) / m) * 1000000 + 0.5) / 1000000
+       END AS k
+FROM b
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -6089,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "token_novelty": _q_token_novelty,
         "stl_strength": _q_stl_strength,
+        "heaps_law": _q_heaps_law,
         "psi_drift": _q_psi_drift,
         "hill_tail": _q_hill_tail,
         "benford": _q_benford,
@@ -6214,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
         "token_novelty": _ORACLE_TOKEN_NOVELTY,
         "stl_strength": _ORACLE_STL_STRENGTH,
+        "heaps_law": _ORACLE_HEAPS_LAW,
         "psi_drift": _ORACLE_PSI_DRIFT,
         "hill_tail": _ORACLE_HILL,
         "benford": _benford_oracle(),

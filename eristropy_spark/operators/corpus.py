@@ -31,6 +31,7 @@ __all__ = [
     "kn_bigram_score",
     "vocab_coverage",
     "token_novelty",
+    "heaps_law",
 ]
 
 
@@ -461,4 +462,106 @@ def token_novelty(
         (F.col("n_novel").cast("double") / F.col("n_types").cast("double")).alias(
             "novelty_frac"
         ),
+    )
+
+
+def heaps_law(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, n_types, beta, k) — Heaps'-law fit
+    V(N) ≈ K·N^β per corpus slice (Heaps 1978; Herdan 1960): the
+    vocabulary-growth exponent from a log-log least-squares fit over
+    the per-document cumulative (tokens-seen N_d, types-seen V_d)
+    curve in ingest (``doc_id``) order.  Natural language sits at
+    β ≈ 0.4–0.6 — β near 1 flags synthetic/ID-like text (vocabulary
+    never saturates), β near 0 flags template spam (no new words);
+    the slice-level complement of ``vocab_coverage``'s point
+    estimates.
+
+    Exactness: N_d and V_d are exact integers (cumulative sums of
+    per-doc token and first-occurrence counts); ln N_d / ln V_d are
+    floor-quantized to the 12-dp grid and all fit sums (Σx, Σy, Σxy,
+    Σx²) run in DECIMAL(38,12), so β and K are fixed-order float
+    expressions an independent SQL replay reproduces bit-for-bit.
+    Slices where the fit is degenerate (one document, or zero x
+    variance) emit NULL beta/k.
+
+    Scale shape: explode + (group, doc) token counts; distinct
+    (group, word) first-occurrence via ONE word-keyed window; two
+    cumulative windows + a group reduce, all on group-prefixed keys.
+    Text crosses the wire once, as words; no Python.
+    """
+    from pyspark.sql import Window
+
+    src = F.col(group_col).alias("source")
+    tok = docs.select(
+        src, F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    )
+    per_doc_tok = tok.groupBy("source", "doc_id").agg(
+        F.count("*").cast("long").alias("_ntok")
+    )
+    dw = tok.groupBy("source", "doc_id", "_w").agg(
+        F.count("*").alias("_c")
+    ).drop("_c")
+    first = dw.withColumn(
+        "_first", F.min("doc_id").over(Window.partitionBy("source", "_w"))
+    )
+    per_doc_new = first.groupBy("source", "doc_id").agg(
+        F.sum(F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("_nnew")
+    )
+    per_doc = per_doc_tok.join(per_doc_new, ["source", "doc_id"])
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_doc.select(
+        "source",
+        F.sum("_ntok").over(w_cum).alias("_nd"),
+        F.sum("_nnew").over(w_cum).alias("_vd"),
+    )
+    from eristropy_spark.operators.changepoint import _floor_round
+
+    # decimal(14,12): ln of a count is < 100, and a narrow operand type
+    # keeps the x*y / x*x products inside exact decimal (wide operands
+    # would trip Spark's 38-digit precision cap and silently truncate)
+    x = _floor_round(F.log(F.col("_nd").cast("double")), 12).cast(
+        "decimal(14, 12)"
+    )
+    y = _floor_round(F.log(F.col("_vd").cast("double")), 12).cast(
+        "decimal(14, 12)"
+    )
+    pts = cum.select("source", "_nd", "_vd", x.alias("_x"), y.alias("_y"))
+    agg = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("_nd").alias("n_tokens"),
+        F.max("_vd").alias("n_types"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    m = F.col("n_docs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    den = m * sxx - sx * sx
+    beta = (m * sxy - sx * sy) / den
+    lnk = (sy - beta * sx) / m
+    ok = (F.col("n_docs") >= 2) & (den > F.lit(0.0))
+    nulld = F.lit(None).cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.when(ok, beta).otherwise(nulld).alias("beta"),
+        F.when(ok, F.exp(lnk)).otherwise(nulld).alias("k"),
     )

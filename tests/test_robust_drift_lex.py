@@ -308,3 +308,75 @@ def test_token_novelty_partition_invariance(spark):
     # freshness is conserved: total novel types == corpus vocabulary
     vocab = {w for _, t in rows for w in t.split(" ")}
     assert sum(r["n_novel"] for r in a.values()) == len(vocab)
+
+
+# ------------------------------------------------------- heaps_law
+
+
+def test_heaps_law_recovers_planted_exponent(spark):
+    """Synthetic corpus drawn so V(N) ~ N^beta by construction: doc d
+    introduces ~c*(N_d^b - N_{d-1}^b) fresh words among repeats."""
+    from eristropy_spark.operators.corpus import heaps_law
+
+    b_true = 0.5
+    rows = []
+    vocab_next = 0
+    n_seen = 0
+    for d in range(60):
+        words = []
+        for _ in range(40):
+            n_seen += 1
+            target_v = int(round(3.0 * n_seen**b_true))
+            if target_v > vocab_next:
+                words.append(f"new{vocab_next}")
+                vocab_next = target_v
+            else:
+                words.append(f"new{max(0, vocab_next - 3)}")
+        rows.append((int(d), "s", " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = heaps_law(df).collect()[0]
+    assert got["n_docs"] == 60
+    assert got["beta"] == pytest.approx(b_true, abs=0.08)
+    assert got["k"] == pytest.approx(3.0, rel=0.5)
+
+
+def test_heaps_law_matches_numpy_fit(spark):
+    from eristropy_spark.operators.corpus import heaps_law
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (int(d), "s", " ".join(f"t{int(x)}" for x in rng.zipf(1.5, 30) % 500))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = heaps_law(df).collect()[0]
+
+    # independent local recomputation of the cumulative curve + fit
+    seen: set[str] = set()
+    nd = vd = 0
+    xs, ys = [], []
+    for d, _, text in sorted(rows):
+        ws = text.split(" ")
+        nd += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                vd += 1
+        xs.append(np.log(nd))
+        ys.append(np.log(vd))
+    beta, lnk = np.polyfit(xs, ys, 1)
+    assert got["n_tokens"] == nd
+    assert got["n_types"] == len(seen)
+    assert got["beta"] == pytest.approx(float(beta), abs=1e-9)
+    assert got["k"] == pytest.approx(float(np.exp(lnk)), rel=1e-9)
+
+
+def test_heaps_law_degenerate_single_doc(spark):
+    from eristropy_spark.operators.corpus import heaps_law
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b c")], "doc_id long, source string, text string"
+    )
+    got = heaps_law(df).collect()[0]
+    assert got["beta"] is None and got["k"] is None
+    assert got["n_types"] == 3
