@@ -69,6 +69,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   token_novelty     pipeline     corpus-first-word freshness per doc
   stl_strength      timeseries   trend/seasonal strength (Wang-Smith-Hyndman)
   heaps_law         pipeline     vocabulary-growth exponent fit (Heaps 1978)
+  fuzzyen           E-family     Fuzzy Entropy (Chen 2007, full SQL replay)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -3091,6 +3092,89 @@ SELECT d.doc_id, CAST(d.n AS INT) AS n,
 FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
 LEFT JOIN phi1 p1 USING (doc_id)
 LEFT JOIN phi2 p2 USING (doc_id)
+"""
+
+
+def _q_fuzzyen(spark, sf_dir):
+    """Fuzzy Entropy (Chen et al. 2007) per signal at m=2, r=0.2 over
+    the z-normed tokenize layout (operators/fuzzyen.fuzzyen_points):
+    the fourth regularity kernel next to SampEn/PermEn/ApEn — Gaussian
+    membership over baseline-removed templates, 9-dp-quantized
+    memberships summed as exact integers so the O(n²) SQL replay
+    matches bit-for-bit pre-rounding."""
+    from eristropy_spark.operators.fuzzyen import fuzzyen_points
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = fuzzyen_points(tokens, array_col="tokens", keep_cols=("doc_id",),
+                       m=2, r=0.2, normalize=True)
+    return r.select("doc_id", "n", _r6("fuzzyen").alias("fuzzyen"))
+
+
+_ORACLE_FUZZYEN = """
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+z AS (
+  SELECT doc_id, i, n, tok,
+         (tok - avg(tok) OVER d) / nullif(stddev_samp(tok) OVER d, 0) AS zv
+  FROM seq
+  WINDOW d AS (PARTITION BY doc_id)
+),
+z2 AS (
+  SELECT *,
+         lead(zv, 1) OVER (PARTITION BY doc_id ORDER BY i) AS zv1,
+         lead(zv, 2) OVER (PARTITION BY doc_id ORDER BY i) AS zv2
+  FROM z
+),
+ok AS (
+  SELECT doc_id FROM z GROUP BY doc_id
+  HAVING max(n) >= 4 AND count(zv) = max(n)
+),
+u AS (
+  SELECT doc_id, i, n,
+         zv - (zv + zv1) / 2.0 AS a0,
+         zv1 - (zv + zv1) / 2.0 AS a1,
+         zv - (zv + zv1 + zv2) / 3.0 AS b0,
+         zv1 - (zv + zv1 + zv2) / 3.0 AS b1,
+         zv2 - (zv + zv1 + zv2) / 3.0 AS b2
+  FROM z2
+  WHERE i <= n - 2 AND doc_id IN (SELECT doc_id FROM ok)
+),
+s2 AS (
+  SELECT x.doc_id, max(x.n) AS n,
+         sum(CAST(floor(exp(-(greatest(abs(x.a0 - y.a0), abs(x.a1 - y.a1))
+                             * greatest(abs(x.a0 - y.a0), abs(x.a1 - y.a1)))
+                            / 0.2)
+                        * 1000000000.0 + 0.5) / 1000000000.0
+                  AS DECIMAL(10, 9))) AS sm,
+         sum(CAST(floor(exp(-(greatest(abs(x.b0 - y.b0), abs(x.b1 - y.b1),
+                                       abs(x.b2 - y.b2))
+                             * greatest(abs(x.b0 - y.b0), abs(x.b1 - y.b1),
+                                        abs(x.b2 - y.b2)))
+                            / 0.2)
+                        * 1000000000.0 + 0.5) / 1000000000.0
+                  AS DECIMAL(10, 9))) AS sm1
+  FROM u x JOIN u y ON x.doc_id = y.doc_id AND x.i <> y.i
+  GROUP BY x.doc_id
+),
+val AS (
+  SELECT doc_id, n,
+         ln(CAST(sm AS DOUBLE)
+            / CAST((n - 2) * (n - 3) AS DOUBLE))
+         - ln(CAST(sm1 AS DOUBLE)
+              / CAST((n - 2) * (n - 3) AS DOUBLE)) AS fz
+  FROM s2
+  WHERE CAST(sm AS DOUBLE) > 0 AND CAST(sm1 AS DOUBLE) > 0
+)
+SELECT d.doc_id, CAST(d.n AS INT) AS n,
+       floor(v.fz * 1000000.0 + 0.5) / 1000000.0 AS fuzzyen
+FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
+LEFT JOIN val v USING (doc_id)
 """
 
 
@@ -6122,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "rolling_stats": _q_rolling_stats,
         "apen": _q_apen,
+        "fuzzyen": _q_fuzzyen,
         "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
         "theilsen_trend": _q_theilsen,
@@ -6245,6 +6330,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "rolling_stats": _ORACLE_ROLLING_STATS,
         "apen": _ORACLE_APEN,
+        "fuzzyen": _ORACLE_FUZZYEN,
         "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "theilsen_trend": _ORACLE_THEILSEN,
