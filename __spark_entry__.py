@@ -70,6 +70,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   stl_strength      timeseries   trend/seasonal strength (Wang-Smith-Hyndman)
   heaps_law         pipeline     vocabulary-growth exponent fit (Heaps 1978)
   fuzzyen           E-family     Fuzzy Entropy (Chen 2007, full SQL replay)
+  pacf              timeseries   partial autocorrelation (Durbin-Levinson)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -3455,6 +3456,86 @@ FROM fit
 """
 
 
+def _q_pacf(spark, sf_dir):
+    """Partial autocorrelations at lags 1..3 per signal
+    (operators/acf.pacf_points): Durbin-Levinson unrolled on 6-dp
+    QUANTIZED autocorrelations (quantize-then-derive) — the Box-
+    Jenkins AR-order identifier next to acf/ar2_forecast; zero extra
+    shuffle, one Arrow boundary."""
+    from eristropy_spark.operators.acf import pacf_points
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = pacf_points(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        _r6("r1").alias("r1"),
+        _r6("r2").alias("r2"),
+        _r6("r3").alias("r3"),
+        _r6("pacf1").alias("pacf1"),
+        _r6("pacf2").alias("pacf2"),
+        _r6("pacf3").alias("pacf3"),
+    )
+
+
+_ORACLE_PACF = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+), st AS (
+  SELECT doc_id, sum(tok) / count(*) AS mu, CAST(count(*) AS INT) AS n
+  FROM pts GROUP BY doc_id
+), dev AS (
+  SELECT p.doc_id, p.i, p.tok - s.mu AS d
+  FROM pts p JOIN st s USING (doc_id)
+), den AS (
+  SELECT doc_id, sum(d * d) AS den FROM dev GROUP BY doc_id
+), nums AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN b.i = a.i + 1 THEN a.d * b.d END) AS num1,
+         sum(CASE WHEN b.i = a.i + 2 THEN a.d * b.d END) AS num2,
+         sum(CASE WHEN b.i = a.i + 3 THEN a.d * b.d END) AS num3
+  FROM dev a JOIN dev b ON b.doc_id = a.doc_id
+                       AND b.i BETWEEN a.i + 1 AND a.i + 3
+  GROUP BY a.doc_id
+), rr AS (
+  SELECT s.doc_id, s.n,
+         CASE WHEN s.n >= 4 AND d.den > 0
+              THEN floor(m.num1 / d.den * 1000000.0 + 0.5) / 1000000.0
+         END AS r1,
+         CASE WHEN s.n >= 4 AND d.den > 0
+              THEN floor(m.num2 / d.den * 1000000.0 + 0.5) / 1000000.0
+         END AS r2,
+         CASE WHEN s.n >= 4 AND d.den > 0
+              THEN floor(m.num3 / d.den * 1000000.0 + 0.5) / 1000000.0
+         END AS r3
+  FROM st s LEFT JOIN den d USING (doc_id) LEFT JOIN nums m USING (doc_id)
+), p2 AS (
+  SELECT doc_id, n, r1, r2, r3,
+         CASE WHEN 1.0 - r1 * r1 <> 0.0
+              THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS pacf2
+  FROM rr
+), p3 AS (
+  SELECT doc_id, n, r1, r2, r3, pacf2,
+         r1 - pacf2 * r1 AS phi21
+  FROM p2
+)
+SELECT doc_id, n, r1, r2, r3,
+       r1 AS pacf1,
+       floor(pacf2 * 1000000.0 + 0.5) / 1000000.0 AS pacf2,
+       CASE WHEN pacf2 IS NOT NULL
+                 AND 1.0 - (phi21 * r1 + pacf2 * r2) <> 0.0
+            THEN floor((r3 - (phi21 * r2 + pacf2 * r1))
+                       / (1.0 - (phi21 * r1 + pacf2 * r2))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS pacf3
+FROM p3
+"""
+
+
 def _q_pmi(spark, sf_dir):
     """Top-40 bigram collocations by PMI over the document corpus
     (operators/corpus.pmi_collocations): in-row bigram enumeration,
@@ -6212,6 +6293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_trend": _q_theilsen,
         "holt": _q_holt,
         "ar2_forecast": _q_ar2,
+        "pacf": _q_pacf,
         "pmi_collocations": _q_pmi,
         "corpus_divergence": _q_corpus_divergence,
         "counter_rate": _q_counter_rate,
@@ -6336,6 +6418,7 @@ def oracle_sql() -> dict[str, str]:
         "theilsen_trend": _ORACLE_THEILSEN,
         "holt": _ORACLE_HOLT,
         "ar2_forecast": _ORACLE_AR2,
+        "pacf": _ORACLE_PACF,
         "pmi_collocations": _ORACLE_PMI,
         "corpus_divergence": _ORACLE_CORPUS_DIVERGENCE,
         "counter_rate": _ORACLE_COUNTER_RATE,

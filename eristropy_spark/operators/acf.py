@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-__all__ = ["acf_long", "ar2_forecast", "ljung_box", "ess"]
+__all__ = ["acf_long", "ar2_forecast", "ljung_box", "ess", "pacf_points"]
 
 
 def acf_long(
@@ -423,3 +423,105 @@ def ess(
         tau.alias("tau"),
         (F.col("n").cast("double") / tau).alias("ess"),
     )
+
+
+def pacf_points(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-signal partial autocorrelations at lags 1..3 via the
+    Durbin–Levinson recursion unrolled (Durbin 1960; Box–Jenkins'
+    identification tool: the PACF cutoff says WHICH AR order fits,
+    where the ACF only says "autocorrelated"):
+
+        pacf1 = r1
+        pacf2 = (r2 - r1²) / (1 - r1²)
+        phi21 = r1 - pacf2*r1
+        pacf3 = (r3 - (phi21*r2 + pacf2*r1))
+                / (1 - (phi21*r1 + pacf2*r2))
+
+    Emits (``*keep_cols``, n, r1, r2, r3, pacf1, pacf2, pacf3), one
+    row per signal.  Same exactness contract as :func:`ar2_forecast`:
+    the biased autocorrelations are quantized to the 6-dp grid BEFORE
+    the closed forms (quantize-then-derive — the 1-r1² style
+    denominators would amplify sum-order ulps), so every downstream
+    double is bit-reproducible by the SQL replay.  Guards: n < 4 or a
+    zero-variance series emit NULL columns; degenerate denominators
+    (|r1| = 1, or a singular lag-2 system) emit NULL pacf2/pacf3.
+    Zero shuffle — one ``mapInArrow`` boundary over the array layout.
+    """
+    import math
+    from typing import Iterator as _It
+
+    import numpy as np
+    import pyarrow as pa
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    out_names = ("n", "r1", "r2", "r3", "pacf1", "pacf2", "pacf3")
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [StructField("n", IntegerType())]
+        + [StructField(c, DoubleType()) for c in out_names[1:]]
+    )
+
+    def _r6(v: float) -> float:
+        return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+
+    def _compute(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            cols: dict[str, list] = {k: [] for k in out_names}
+
+            def _null_row(n):
+                cols["n"].append(n)
+                for k in out_names[1:]:
+                    cols[k].append(None)
+
+            for v in views:
+                n = 0 if v is None else int(v.size)
+                if n < 4:
+                    _null_row(n)
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                mu = float(x.sum()) / n
+                d = x - mu
+                den = float(d @ d)
+                if den == 0.0:
+                    _null_row(n)
+                    continue
+                r1 = _r6(float(d[:-1] @ d[1:]) / den)
+                r2 = _r6(float(d[:-2] @ d[2:]) / den)
+                r3 = _r6(float(d[:-3] @ d[3:]) / den)
+                cols["n"].append(n)
+                cols["r1"].append(r1)
+                cols["r2"].append(r2)
+                cols["r3"].append(r3)
+                cols["pacf1"].append(r1)
+                den2 = 1.0 - r1 * r1
+                if den2 == 0.0:
+                    cols["pacf2"].append(None)
+                    cols["pacf3"].append(None)
+                    continue
+                pacf2 = (r2 - r1 * r1) / den2
+                cols["pacf2"].append(pacf2)
+                phi21 = r1 - pacf2 * r1
+                den3 = 1.0 - (phi21 * r1 + pacf2 * r2)
+                if den3 == 0.0:
+                    cols["pacf3"].append(None)
+                    continue
+                cols["pacf3"].append(
+                    (r3 - (phi21 * r2 + pacf2 * r1)) / den3
+                )
+            arrays = [batch.column(c) for c in keep_cols]
+            arrays.append(pa.array(cols["n"], type=pa.int32()))
+            for k in out_names[1:]:
+                arrays.append(pa.array(cols[k], type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, *out_names]
+            )
+
+    return src.mapInArrow(_compute, schema)

@@ -3,6 +3,7 @@ local-recomputation parity, degenerate inputs, discrimination
 properties, and partition invariance."""
 
 import datetime as dt
+import math
 from collections import Counter
 
 import numpy as np
@@ -380,3 +381,75 @@ def test_heaps_law_degenerate_single_doc(spark):
     got = heaps_law(df).collect()[0]
     assert got["beta"] is None and got["k"] is None
     assert got["n_types"] == 3
+
+
+# ------------------------------------------------------------ pacf
+
+
+def test_pacf_matches_durbin_levinson(spark):
+    """Full Durbin–Levinson recursion (independent implementation) on
+    the same 6-dp-quantized autocorrelations."""
+    from eristropy_spark.operators.acf import pacf_points
+
+    rng = np.random.default_rng(8)
+    rows = [
+        (f"d{i}", [int(x) for x in rng.integers(0, 100, 60)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r for r in pacf_points(df).collect()}
+
+    def q6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    for doc_id, toks in rows:
+        x = np.asarray(toks, dtype=float)
+        n = x.size
+        mu = float(x.sum()) / n
+        d = x - mu
+        den = float(d @ d)
+        r = [1.0] + [q6(float(d[:-k] @ d[k:]) / den) for k in (1, 2, 3)]
+        # Durbin–Levinson, general recursion
+        phi_prev: list[float] = []
+        pacf = []
+        for k in range(1, 4):
+            num = r[k] - sum(phi_prev[j] * r[k - 1 - j] for j in range(k - 1))
+            den_k = 1.0 - sum(phi_prev[j] * r[j + 1] for j in range(k - 1))
+            a = num / den_k
+            pacf.append(a)
+            phi_prev = [p - a * q for p, q in zip(phi_prev, phi_prev[::-1])] + [a]
+        row = got[doc_id]
+        assert row["pacf1"] == pytest.approx(pacf[0], abs=2e-6)
+        assert row["pacf2"] == pytest.approx(pacf[1], abs=2e-6)
+        assert row["pacf3"] == pytest.approx(pacf[2], abs=2e-6)
+
+
+def test_pacf_ar1_cutoff(spark):
+    """For an AR(1) process, PACF cuts off after lag 1: pacf2/pacf3
+    are near zero while pacf1 ~ phi."""
+    from eristropy_spark.operators.acf import pacf_points
+
+    rng = np.random.default_rng(9)
+    x = [0.0]
+    for _ in range(2000):
+        x.append(0.7 * x[-1] + rng.normal())
+    toks = [int(round(v * 100)) for v in x]
+    df = spark.createDataFrame(
+        [("ar1", toks)], "doc_id string, tokens array<int>"
+    )
+    row = pacf_points(df).collect()[0]
+    assert row["pacf1"] == pytest.approx(0.7, abs=0.06)
+    assert abs(row["pacf2"]) < 0.08
+    assert abs(row["pacf3"]) < 0.08
+
+
+def test_pacf_degenerate(spark):
+    from eristropy_spark.operators.acf import pacf_points
+
+    df = spark.createDataFrame(
+        [("short", [1, 2, 3]), ("const", [5] * 20)],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r["doc_id"]: r for r in pacf_points(df).collect()}
+    assert got["short"]["pacf1"] is None
+    assert got["const"]["pacf1"] is None
