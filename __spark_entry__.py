@@ -71,6 +71,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   heaps_law         pipeline     vocabulary-growth exponent fit (Heaps 1978)
   fuzzyen           E-family     Fuzzy Entropy (Chen 2007, full SQL replay)
   pacf              timeseries   partial autocorrelation (Durbin-Levinson)
+  ccnet_buckets     pipeline     per-source head/middle/tail quality terciles
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -2906,6 +2907,55 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
              * 1000000 + 0.5) / 1000000 AS logprob
 FROM toks t LEFT JOIN vocab v ON t.tok = v.token CROSS JOIN tot
 GROUP BY t.doc_id
+"""
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality terciles per source
+    (operators/text.ccnet_buckets): 6-dp-quantized unigram LM score,
+    exact interpolated tercile thresholds (percentile ≡ quantile_cont)
+    — broadcast vocab, one doc-keyed join, ONE source-keyed window."""
+    from eristropy_spark.operators.text import build_vocab, ccnet_buckets
+
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocab(docs, top_k=500, min_count=2)
+    r = ccnet_buckets(docs, vocab, alpha=1.0)
+    return r.select("doc_id", "source", "n_tok", _r6("score").alias("score"), "bucket")
+
+
+_ORACLE_CCNET_BUCKETS = """
+WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  HAVING count(*) >= 2
+  ORDER BY cnt DESC, token
+  LIMIT 500
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+  FROM vocab
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), sc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         floor(avg(ln((coalesce(v.cnt, 0) + 1.0)
+                      / (tot.N + 1.0 * (tot.V + 1.0))))
+               * 1000000 + 0.5) / 1000000 AS score
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.token CROSS JOIN tot
+  GROUP BY t.doc_id
+), j AS (
+  SELECT s.doc_id, d.source, s.n_tok, s.score,
+         quantile_cont(s.score, 1.0/3.0)
+           OVER (PARTITION BY d.source) AS q13,
+         quantile_cont(s.score, 2.0/3.0)
+           OVER (PARTITION BY d.source) AS q23
+  FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, source, n_tok, score,
+       CASE WHEN score >= q23 THEN 'head'
+            WHEN score >= q13 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j
 """
 
 
@@ -6322,6 +6372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": _q_build_vocab,
         "shuffle_corpus": _q_shuffle_corpus,
         "unigram_logprob": _q_unigram_logprob,
+        "ccnet_buckets": _q_ccnet_buckets,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "fingerprint_overlap": _q_fingerprint_overlap,
         "duplicate_spans": _q_duplicate_spans,
@@ -6450,6 +6501,7 @@ def oracle_sql() -> dict[str, str]:
         "build_vocab": _ORACLE_BUILD_VOCAB,
         "shuffle_corpus": _ORACLE_SHUFFLE_CORPUS,
         "unigram_logprob": _ORACLE_UNIGRAM_LOGPROB,
+        "ccnet_buckets": _ORACLE_CCNET_BUCKETS,
         "fingerprint_winnow": _ORACLE_FINGERPRINT_WINNOW,
         "fingerprint_overlap": _ORACLE_FINGERPRINT_OVERLAP,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,

@@ -36,6 +36,7 @@ __all__ = [
     "build_vocab",
     "unigram_logprob",
     "lexical_richness",
+    "ccnet_buckets",
     "STOPWORDS",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
@@ -604,3 +605,62 @@ def lexical_richness(
             / (n * n)
         ).alias("yule_k"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    vocab: DataFrame,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, n_tok, score, bucket) — CCNet-style quality
+    bucketing (Wenzek et al. 2020 §4.3): per source, documents split
+    into ``head`` / ``middle`` / ``tail`` terciles of their
+    language-model score (here the deterministic unigram proxy of
+    :func:`unigram_logprob`; CCNet uses a real LM's perplexity).  The
+    standard training-mix lever: keep head, sample middle, drop tail —
+    per SOURCE, so a clean-but-small source isn't judged against the
+    crawl's distribution.
+
+    Determinism: the score is floor-quantized to the 6-dp grid BEFORE
+    the tercile thresholds (exact interpolated ``percentile`` ≡
+    DuckDB's ``quantile_cont``) and the >= comparisons, so boundary
+    assignments are engine- and partitioning-stable even though the
+    raw per-doc mean is a float reduction.
+
+    Scale shape: the unigram score plan (broadcast vocab, text never
+    shuffles, one doc-keyed aggregate), a doc-keyed equi join to
+    re-attach source, then ONE source-keyed window pass for both
+    thresholds.  No Python.
+    """
+    from pyspark.sql import Window
+
+    from eristropy_spark.operators.changepoint import _floor_round
+
+    scores = unigram_logprob(
+        docs, vocab, alpha=alpha, id_col=id_col, text_col=text_col
+    )
+    dims = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    j = scores.join(dims, "doc_id")
+    s6 = _floor_round(F.col("logprob"), 6)
+    w_src = Window.partitionBy("source")
+    q13 = F.percentile(s6, F.lit(1.0 / 3.0)).over(w_src)
+    q23 = F.percentile(s6, F.lit(2.0 / 3.0)).over(w_src)
+    withq = j.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        s6.alias("score"),
+        q13.alias("_q13"),
+        q23.alias("_q23"),
+    )
+    bucket = (
+        F.when(F.col("score") >= F.col("_q23"), F.lit("head"))
+        .when(F.col("score") >= F.col("_q13"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return withq.select("doc_id", "source", "n_tok", "score", bucket.alias("bucket"))

@@ -453,3 +453,62 @@ def test_pacf_degenerate(spark):
     got = {r["doc_id"]: r for r in pacf_points(df).collect()}
     assert got["short"]["pacf1"] is None
     assert got["const"]["pacf1"] is None
+
+
+# ----------------------------------------------------- ccnet_buckets
+
+
+def test_ccnet_buckets_tercile_structure(spark):
+    from eristropy_spark.operators.text import build_vocab, ccnet_buckets
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(90):
+        src = "a" if i < 45 else "b"
+        # typical docs reuse a small vocab; junk docs are all-OOV
+        if i % 3 == 0:
+            text = " ".join(f"junk{i}_{j}" for j in range(20))
+        else:
+            text = " ".join(
+                f"w{int(x)}" for x in rng.integers(0, 10, 20)
+            )
+        rows.append((i, src, text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    vocab = build_vocab(df, top_k=50, min_count=2)
+    out = ccnet_buckets(df, vocab).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(out) == 90
+    for src, rs in by_src.items():
+        got = {b: [r["score"] for r in rs if r["bucket"] == b]
+               for b in ("head", "middle", "tail")}
+        # ordering invariant: every head score >= every middle score
+        # >= every tail score
+        assert min(got["head"]) >= max(got["middle"])
+        assert min(got["middle"]) >= max(got["tail"])
+        # terciles are roughly balanced
+        for b in ("head", "middle", "tail"):
+            assert 45 / 5 <= len(got[b]) <= 45 * 2 / 3
+    # the all-OOV junk docs all land in tail
+    junk_ids = {i for i in range(90) if i % 3 == 0}
+    for r in out:
+        if r["doc_id"] in junk_ids:
+            assert r["bucket"] == "tail"
+
+
+def test_ccnet_buckets_partition_invariance(spark):
+    from eristropy_spark.operators.text import build_vocab, ccnet_buckets
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, "s", " ".join(f"w{int(x)}" for x in rng.integers(0, 30, 15)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    vocab = build_vocab(df, top_k=20, min_count=2)
+    a = {r["doc_id"]: r["bucket"]
+         for r in ccnet_buckets(df.repartition(1), vocab).collect()}
+    b = {r["doc_id"]: r["bucket"]
+         for r in ccnet_buckets(df.repartition(9), vocab).collect()}
+    assert a == b
