@@ -72,6 +72,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   fuzzyen           E-family     Fuzzy Entropy (Chen 2007, full SQL replay)
   pacf              timeseries   partial autocorrelation (Durbin-Levinson)
   ccnet_buckets     pipeline     per-source head/middle/tail quality terciles
+  cvm_drift         timeseries   Cramér-von Mises squared-CDF-gap drift
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -4481,6 +4482,86 @@ FROM b
 """
 
 
+def _q_cvm_drift(spark, sf_dir):
+    """Two-sample Cramér-von Mises drift per signal
+    (operators/drift.cvm_drift): accumulated squared CDF gap over the
+    pooled census — exact DECIMAL(38,0) numerator (HUGEINT in the
+    replay), Anderson's normalized t_adj; the ks_drift census shuffle
+    shape, no joins, no Python."""
+    from eristropy_spark.operators.drift import cvm_drift
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id", "value")
+    r = cvm_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.col("s_num").cast("string").alias("s_num"),
+        _r6("t_stat").alias("t_stat"),
+        _r6("t_adj").alias("t_adj"),
+    )
+
+
+_ORACLE_CVM_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb,
+         CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER w AS BIGINT) AS cumb
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT user_id, event_type, ca, cb, cuma, cumb,
+         max(cuma) OVER (PARTITION BY user_id, event_type) AS na,
+         max(cumb) OVER (PARTITION BY user_id, event_type) AS nb
+  FROM cum
+), red AS (
+  SELECT user_id, event_type,
+         max(na) AS n_ref, max(nb) AS n_cur,
+         sum(CAST(ca + cb AS HUGEINT)
+             * (CAST(cuma * nb - cumb * na AS HUGEINT)
+                * CAST(cuma * nb - cumb * na AS HUGEINT))) AS s
+  FROM tot GROUP BY user_id, event_type
+), vals AS (
+  SELECT user_id, event_type, n_ref, n_cur, s,
+         CAST(n_ref AS DOUBLE) AS na, CAST(n_cur AS DOUBLE) AS nb,
+         CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) AS nd
+  FROM red
+), st AS (
+  SELECT user_id, event_type, n_ref, n_cur, s, na, nb, nd,
+         CAST(s AS DOUBLE) / (nd * nd * (na * nb)) AS t,
+         (1.0 + 1.0 / nd) / 6.0 AS e_t,
+         (nd + 1.0) / (45.0 * nd * nd)
+           * (4.0 * na * nb * nd - 3.0 * (na * na + nb * nb)
+              - 2.0 * na * nb)
+           / (4.0 * na * nb) AS var_t
+  FROM vals
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       CAST(s AS VARCHAR) AS s_num,
+       CASE WHEN n_ref >= 2 AND n_cur >= 2 THEN
+         floor(t * 1000000 + 0.5) / 1000000 END AS t_stat,
+       CASE WHEN n_ref >= 2 AND n_cur >= 2 AND var_t > 0.0 THEN
+         floor((t - e_t) / sqrt(var_t) * 1000000 + 0.5) / 1000000
+       END AS t_adj
+FROM st
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -6384,6 +6465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "ks_drift": _q_ks_drift,
         "wasserstein_drift": _q_wasserstein,
+        "cvm_drift": _q_cvm_drift,
         "robust_scale": _q_robust_scale,
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
@@ -6513,6 +6595,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _ORACLE_ZIPF,
         "ks_drift": _ORACLE_KS_DRIFT,
         "wasserstein_drift": _ORACLE_WASSERSTEIN,
+        "cvm_drift": _ORACLE_CVM_DRIFT,
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,

@@ -512,3 +512,64 @@ def test_ccnet_buckets_partition_invariance(spark):
     b = {r["doc_id"]: r["bucket"]
          for r in ccnet_buckets(df.repartition(9), vocab).collect()}
     assert a == b
+
+
+# -------------------------------------------------------- cvm_drift
+
+
+def _cvm_local(vals):
+    """Literal pooled-census CvM: T = (nm/N²)·Σ w·(Fa−Fb)²."""
+    n = len(vals)
+    a = np.asarray(vals[: n // 2], dtype=float)
+    b = np.asarray(vals[n // 2:], dtype=float)
+    na, nb = len(a), len(b)
+    xs, wa = np.unique(a, return_counts=True)
+    ys, wb = np.unique(b, return_counts=True)
+    pooled = np.unique(np.concatenate([xs, ys]))
+    ca = np.array([wa[xs == v].sum() for v in pooled])
+    cb = np.array([wb[ys == v].sum() for v in pooled])
+    cuma, cumb = np.cumsum(ca), np.cumsum(cb)
+    w = ca + cb
+    gaps = cuma / na - cumb / nb
+    N = na + nb
+    return float(na * nb / N**2 * np.sum(w * gaps**2))
+
+
+def test_cvm_matches_local(spark):
+    rng = np.random.default_rng(12)
+    series = {
+        "noise": list(rng.normal(0, 1, 140)),
+        "shift": list(rng.normal(0, 1, 70)) + list(rng.normal(1.5, 1, 70)),
+        "scale": list(rng.normal(0, 1, 70)) + list(rng.normal(0, 3, 70)),
+    }
+    from eristropy_spark.operators.drift import cvm_drift
+
+    got = _keyed(
+        cvm_drift(_events_df(spark, series), ("user_id", "event_type"),
+                  tiebreak_col="event_id")
+    )
+    for k, vals in series.items():
+        assert got[k]["t_stat"] == pytest.approx(_cvm_local(vals), abs=1e-6)
+    # discrimination: drifted series far exceed the 0.461 critical
+    # value and the stable one doesn't
+    assert got["shift"]["t_stat"] > 0.461
+    assert got["scale"]["t_stat"] > 0.461
+    assert got["noise"]["t_stat"] < 0.461
+    assert got["shift"]["t_adj"] > 2.0
+    assert got["noise"]["t_adj"] < 2.0
+
+
+def test_cvm_degenerate_and_invariance(spark):
+    from eristropy_spark.operators.drift import cvm_drift
+
+    rng = np.random.default_rng(13)
+    series = {"one": [1.0], "const": [2.0] * 30,
+              "x": list(rng.normal(0, 1, 75))}
+    df = _events_df(spark, series)
+    got = _keyed(cvm_drift(df, ("user_id", "event_type")))
+    assert got["one"]["t_stat"] is None
+    assert got["const"]["t_stat"] == 0.0  # identical halves
+    a = _keyed(cvm_drift(df.repartition(1), ("user_id", "event_type")))
+    b = _keyed(cvm_drift(df.repartition(7), ("user_id", "event_type")))
+    for k in series:
+        assert a[k]["t_stat"] == b[k]["t_stat"]
