@@ -632,11 +632,16 @@ def ccnet_buckets(
 
     Scale shape: the unigram score plan (broadcast vocab, text never
     shuffles, one doc-keyed aggregate), a doc-keyed equi join to
-    re-attach source, then ONE source-keyed window pass for both
-    thresholds.  No Python.
+    re-attach source, then a source-keyed THRESHOLD aggregate whose
+    result (one row per source) broadcasts back — NOT a window
+    partitioned by source, which would funnel every row into
+    n_sources partitions (a skew cliff at corpus scale) and buffer
+    whole sources per task.  The threshold aggregate's exact
+    ``percentile`` still buffers one source's scores on one task (the
+    documented exact-path bound; swap in approx_percentile for
+    unbounded sources) but only (source, score) pairs travel, never
+    the full rows.  No Python.
     """
-    from pyspark.sql import Window
-
     from eristropy_spark.operators.changepoint import _floor_round
 
     scores = unigram_logprob(
@@ -647,17 +652,12 @@ def ccnet_buckets(
     )
     j = scores.join(dims, "doc_id")
     s6 = _floor_round(F.col("logprob"), 6)
-    w_src = Window.partitionBy("source")
-    q13 = F.percentile(s6, F.lit(1.0 / 3.0)).over(w_src)
-    q23 = F.percentile(s6, F.lit(2.0 / 3.0)).over(w_src)
-    withq = j.select(
-        "doc_id",
-        "source",
-        "n_tok",
-        s6.alias("score"),
-        q13.alias("_q13"),
-        q23.alias("_q23"),
+    scored = j.select("doc_id", "source", "n_tok", s6.alias("score"))
+    thresholds = scored.groupBy("source").agg(
+        F.percentile(F.col("score"), F.lit(1.0 / 3.0)).alias("_q13"),
+        F.percentile(F.col("score"), F.lit(2.0 / 3.0)).alias("_q23"),
     )
+    withq = scored.join(F.broadcast(thresholds), "source")
     bucket = (
         F.when(F.col("score") >= F.col("_q23"), F.lit("head"))
         .when(F.col("score") >= F.col("_q13"), F.lit("middle"))
