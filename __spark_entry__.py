@@ -73,6 +73,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   pacf              timeseries   partial autocorrelation (Durbin-Levinson)
   ccnet_buckets     pipeline     per-source head/middle/tail quality terciles
   cvm_drift         timeseries   Cramér-von Mises squared-CDF-gap drift
+  cvar_tail         timeseries   VaR/CVaR expected shortfall + mean excess
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -4562,6 +4563,58 @@ FROM st
 """
 
 
+def _q_cvar_tail(spark, sf_dir):
+    """VaR / CVaR (expected shortfall) at 0.95 per signal
+    (operators/tails.cvar_tail): exact interpolated quantile
+    (percentile ≡ quantile_cont), DECIMAL-exact tail mean, POT mean
+    excess — ONE keyed Exchange (window + same-key groupBy)."""
+    from eristropy_spark.operators.tails import cvar_tail
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    r = cvar_tail(ev, ("user_id", "event_type"), alpha=0.95)
+    return r.select(
+        "user_id",
+        "event_type",
+        "n",
+        _r6("var_alpha").alias("var_alpha"),
+        "n_exceed",
+        _r6("cvar").alias("cvar"),
+        _r6("mean_excess").alias("mean_excess"),
+    )
+
+
+_ORACLE_CVAR_TAIL = """
+WITH pts AS (
+  SELECT user_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+), q AS (
+  SELECT user_id, event_type, quantile_cont(v, 0.95) AS var_alpha
+  FROM pts GROUP BY user_id, event_type
+), j AS (
+  SELECT p.user_id, p.event_type, p.v, q.var_alpha,
+         (p.v >= q.var_alpha) AS tail,
+         CAST(floor(p.v * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(26, 6)) AS vq
+  FROM pts p JOIN q ON q.user_id = p.user_id
+                   AND q.event_type = p.event_type
+), agg AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         max(var_alpha) AS var_alpha,
+         CAST(sum(CASE WHEN tail THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+         sum(CASE WHEN tail THEN vq END) AS tail_sum
+  FROM j GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n,
+       floor(var_alpha * 1000000 + 0.5) / 1000000 AS var_alpha,
+       n_exceed,
+       floor((CAST(tail_sum AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS cvar,
+       floor((CAST(tail_sum AS DOUBLE) / CAST(n_exceed AS DOUBLE)
+              - var_alpha) * 1000000 + 0.5) / 1000000 AS mean_excess
+FROM agg
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -6474,6 +6527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": _q_heaps_law,
         "psi_drift": _q_psi_drift,
         "hill_tail": _q_hill_tail,
+        "cvar_tail": _q_cvar_tail,
         "benford": _q_benford,
         "ljung_box": _q_ljung_box,
         "matrix_profile": _q_matrix_profile,
@@ -6604,6 +6658,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law": _ORACLE_HEAPS_LAW,
         "psi_drift": _ORACLE_PSI_DRIFT,
         "hill_tail": _ORACLE_HILL,
+        "cvar_tail": _ORACLE_CVAR_TAIL,
         "benford": _benford_oracle(),
         "ljung_box": _ORACLE_LJUNG_BOX,
         "matrix_profile": _ORACLE_MATRIX_PROFILE,

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["hill_tail", "benford", "BENFORD_P"]
+__all__ = ["hill_tail", "benford", "BENFORD_P", "cvar_tail"]
 
 # p_d = log10(1 + 1/d), d = 1..9 — full round-trip repr; the oracle SQL
 # embeds exactly these literal texts
@@ -174,4 +174,64 @@ def benford(
         "n_digits_present",
         (F.col("_schi") + F.col("n").cast("double")).alias("chi2"),
         ((F.col("_smad") + F.lit(1.0)) / F.lit(9.0)).alias("mad"),
+    )
+
+
+def cvar_tail(
+    df: DataFrame,
+    key,
+    value_col: str = "value",
+    alpha: float = 0.95,
+) -> DataFrame:
+    """(*key, n, var_alpha, n_exceed, cvar, mean_excess) — Value-at-
+    Risk and Conditional VaR (expected shortfall) per key at level
+    ``alpha`` (Rockafellar & Uryasev 2000; the coherent tail-risk
+    measure Basel/monitoring stacks report next to a Hill exponent):
+
+        var_alpha   = exact interpolated alpha-quantile of the values
+        cvar        = mean of the values >= var_alpha
+        mean_excess = cvar - var_alpha   (the POT mean-excess statistic)
+
+    Exactness: the quantile is Spark's exact ``percentile`` (≡ DuckDB
+    ``quantile_cont`` bit-for-bit); tail membership is a deterministic
+    >= comparison against that shared double; the tail sum runs in
+    DECIMAL(26,6) over 6-dp-quantized values so the mean is ONE
+    division of exact operands.  Keys with an empty tail (n = 0)
+    cannot occur (the max always qualifies); n < 2 emits the row with
+    cvar = var = the value itself.
+
+    Scale shape: ONE keyed Exchange — an unbounded window for the
+    quantile (exact-path bound: one key's values buffer on one task;
+    approx_percentile is the unbounded-key swap) and a same-key
+    groupBy.  No joins, no Python.
+    """
+    from pyspark.sql import Window
+
+    from eristropy_spark.operators.changepoint import _floor_round
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    keys = [key] if isinstance(key, str) else list(key)
+    w_key = Window.partitionBy(*keys)
+
+    v = F.col(value_col).cast("double")
+    pts = df.select(*keys, v.alias("_v")).withColumn(
+        "_var", F.percentile(F.col("_v"), F.lit(float(alpha))).over(w_key)
+    )
+    in_tail = F.col("_v") >= F.col("_var")
+    vq = _floor_round(F.col("_v"), 6).cast("decimal(26, 6)")
+    agg = pts.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_var").alias("var_alpha"),
+        F.sum(F.when(in_tail, 1).otherwise(0)).cast("long").alias("n_exceed"),
+        F.sum(F.when(in_tail, vq)).alias("_tail_sum"),
+    )
+    cvar = F.col("_tail_sum").cast("double") / F.col("n_exceed").cast("double")
+    return agg.select(
+        *keys,
+        "n",
+        "var_alpha",
+        "n_exceed",
+        cvar.alias("cvar"),
+        (cvar - F.col("var_alpha")).alias("mean_excess"),
     )

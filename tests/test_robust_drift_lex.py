@@ -573,3 +573,44 @@ def test_cvm_degenerate_and_invariance(spark):
     b = _keyed(cvm_drift(df.repartition(7), ("user_id", "event_type")))
     for k in series:
         assert a[k]["t_stat"] == b[k]["t_stat"]
+
+
+# -------------------------------------------------------- cvar_tail
+
+
+def test_cvar_matches_numpy(spark):
+    from eristropy_spark.operators.tails import cvar_tail
+
+    rng = np.random.default_rng(14)
+    series = {
+        "normal": list(rng.normal(0, 1, 200)),
+        "heavy": list(rng.standard_t(2, 200) * 2),
+    }
+    got = _keyed(cvar_tail(_events_df(spark, series), ("user_id", "event_type")))
+    for k, vals in series.items():
+        v = np.asarray(vals)
+        var = float(np.quantile(v, 0.95, method="linear"))
+        q6 = np.floor(v[v >= var] * 1e6 + 0.5) / 1e6
+        cvar = float(q6.mean())
+        row = got[k]
+        assert row["var_alpha"] == pytest.approx(var, rel=1e-9)
+        assert row["n_exceed"] == int((v >= var).sum())
+        assert row["cvar"] == pytest.approx(cvar, abs=1e-6)
+        assert row["mean_excess"] == pytest.approx(cvar - var, abs=1e-6)
+        assert row["cvar"] >= row["var_alpha"]
+    # heavier tail -> larger mean excess
+    assert got["heavy"]["mean_excess"] > got["normal"]["mean_excess"]
+
+
+def test_cvar_degenerate_and_validation(spark):
+    from eristropy_spark.operators.tails import cvar_tail
+
+    got = _keyed(
+        cvar_tail(_events_df(spark, {"const": [2.0] * 20, "one": [3.0]}),
+                  ("user_id", "event_type"))
+    )
+    assert got["const"]["cvar"] == 2.0
+    assert got["const"]["mean_excess"] == 0.0
+    assert got["one"]["n_exceed"] == 1 and got["one"]["cvar"] == 3.0
+    with pytest.raises(ValueError, match="alpha"):
+        cvar_tail(_events_df(spark, {"x": [1.0]}), "user_id", alpha=1.0)
