@@ -74,6 +74,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   ccnet_buckets     pipeline     per-source head/middle/tail quality terciles
   cvm_drift         timeseries   Cramér-von Mises squared-CDF-gap drift
   cvar_tail         timeseries   VaR/CVaR expected shortfall + mean excess
+  gini_balance      pipeline     doc-size inequality per source (exact Gini)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -4615,6 +4616,44 @@ FROM agg
 """
 
 
+def _q_gini_balance(spark, sf_dir):
+    """Gini coefficient of per-doc token counts per source
+    (operators/sampling.gini_balance): the shard-balance statistic —
+    exact-integer rank formulation, in-row token counting, ONE
+    source-keyed Exchange."""
+    from eristropy_spark.operators.sampling import gini_balance
+
+    r = gini_balance(_docs(spark, sf_dir))
+    return r.select(
+        "source", "n_docs", "total_tok", _r6("gini").alias("gini")
+    )
+
+
+_ORACLE_GINI_BALANCE = """
+WITH per_doc AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+), ranked AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+  FROM per_doc
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS total_tok,
+         CAST(sum(i * x) AS BIGINT) AS ix
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, total_tok,
+       CASE WHEN total_tok > 0 THEN
+         floor((CAST(2 * ix - (n_docs + 1) * total_tok AS DOUBLE)
+                / CAST(n_docs * total_tok AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS gini
+FROM agg
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -6528,6 +6567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "hill_tail": _q_hill_tail,
         "cvar_tail": _q_cvar_tail,
+        "gini_balance": _q_gini_balance,
         "benford": _q_benford,
         "ljung_box": _q_ljung_box,
         "matrix_profile": _q_matrix_profile,
@@ -6659,6 +6699,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _ORACLE_PSI_DRIFT,
         "hill_tail": _ORACLE_HILL,
         "cvar_tail": _ORACLE_CVAR_TAIL,
+        "gini_balance": _ORACLE_GINI_BALANCE,
         "benford": _benford_oracle(),
         "ljung_box": _ORACLE_LJUNG_BOX,
         "matrix_profile": _ORACLE_MATRIX_PROFILE,

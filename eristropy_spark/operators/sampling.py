@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus", "shuffle_corpus", "stratified_sample"]
+__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus", "shuffle_corpus", "stratified_sample", "gini_balance"]
 
 
 def md5_bucket(key: Column) -> Column:
@@ -219,4 +219,59 @@ def stratified_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def gini_balance(
+    docs,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(source, n_docs, total_tok, gini) — Gini coefficient of the
+    per-document token-count distribution within each source (Gini
+    1912, rank formulation):
+
+        G = (2·Σ_i i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    over counts sorted ascending.  The shard-balance / packing-planner
+    statistic: G ≈ 0 means uniform doc sizes (any chunking works),
+    G → 1 means a few giant documents dominate the source (pack or
+    split before sharding, or the long tail of tasks stalls the
+    stage).  Every term is an exact integer — ties contribute x·Σi
+    independent of their order, so the (count, doc_id) rank tiebreak
+    is purely cosmetic and the single final division is the only float
+    op (bit-identical in any engine).
+
+    Scale shape: an in-row token count (no explode — ``size(split())``
+    is pure codegen), ONE source-keyed Exchange for the rank window +
+    same-key reduce.  No joins, no Python.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_doc = docs.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("_x"),
+    )
+    w = Window.partitionBy("source").orderBy("_x", "doc_id")
+    ranked = per_doc.withColumn("_i", F.row_number().over(w))
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_x").cast("long").alias("total_tok"),
+        F.sum(F.col("_i") * F.col("_x")).cast("long").alias("_ix"),
+    )
+    n = F.col("n_docs")
+    tot = F.col("total_tok")
+    gini = (
+        (F.lit(2) * F.col("_ix") - (n + F.lit(1)) * tot).cast("double")
+        / (n * tot).cast("double")
+    )
+    nulld = F.lit(None).cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tok",
+        F.when(tot > 0, gini).otherwise(nulld).alias("gini"),
     )

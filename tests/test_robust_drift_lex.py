@@ -614,3 +614,56 @@ def test_cvar_degenerate_and_validation(spark):
     assert got["one"]["n_exceed"] == 1 and got["one"]["cvar"] == 3.0
     with pytest.raises(ValueError, match="alpha"):
         cvar_tail(_events_df(spark, {"x": [1.0]}), "user_id", alpha=1.0)
+
+
+# ----------------------------------------------------- gini_balance
+
+
+def test_gini_matches_textbook(spark):
+    from eristropy_spark.operators.sampling import gini_balance
+
+    rng = np.random.default_rng(15)
+    rows = []
+    # uniform source: every doc 10 tokens -> G = 0
+    for i in range(30):
+        rows.append((i, "uniform", " ".join(["w"] * 10)))
+    # skewed source: one giant doc among tiny ones
+    for i in range(30, 60):
+        n = 1000 if i == 30 else 2
+        rows.append((i, "skewed", " ".join(["w"] * n)))
+    # zipf-ish source, checked against the textbook mean-difference form
+    sizes = [int(x) for x in rng.zipf(1.8, 40) % 200 + 1]
+    for j, n in enumerate(sizes):
+        rows.append((100 + j, "zipf", " ".join(["w"] * n)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in gini_balance(df).collect()}
+
+    assert got["uniform"]["gini"] == 0.0
+    assert got["skewed"]["gini"] > 0.9
+
+    x = np.sort(np.asarray(sizes, dtype=float))
+    n = len(x)
+    want = float(
+        (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * x.sum())
+        / (n * x.sum())
+    )
+    assert got["zipf"]["gini"] == pytest.approx(want, abs=1e-6)
+    # textbook identity: G = mean absolute difference / (2*mean)
+    mad = np.abs(x[:, None] - x[None, :]).mean()
+    assert got["zipf"]["gini"] == pytest.approx(
+        mad / (2 * x.mean()), abs=1e-6
+    )
+
+
+def test_gini_partition_invariance(spark):
+    from eristropy_spark.operators.sampling import gini_balance
+
+    rng = np.random.default_rng(16)
+    rows = [
+        (i, "s", " ".join(["w"] * int(rng.integers(1, 50))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = gini_balance(df.repartition(1)).collect()[0]["gini"]
+    b = gini_balance(df.repartition(13)).collect()[0]["gini"]
+    assert a == b
