@@ -75,6 +75,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   cvm_drift         timeseries   Cramér-von Mises squared-CDF-gap drift
   cvar_tail         timeseries   VaR/CVaR expected shortfall + mean excess
   gini_balance      pipeline     doc-size inequality per source (exact Gini)
+  wavelet_entropy   timeseries   Haar octave energies + wavelet entropy
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -3229,6 +3230,92 @@ SELECT d.doc_id, CAST(d.n AS INT) AS n,
        floor(v.fz * 1000000.0 + 0.5) / 1000000.0 AS fuzzyen
 FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
 LEFT JOIN val v USING (doc_id)
+"""
+
+
+def _q_wavelet_entropy(spark, sf_dir):
+    """Haar wavelet energy spectrum + wavelet entropy per signal
+    (operators/wavelet.wavelet_entropy; Rosso et al. 2001): exact
+    integer octave energies (block sums, no trig), ascending-level
+    ordered folds — zero extra shuffle, one Arrow boundary."""
+    from eristropy_spark.operators.wavelet import wavelet_entropy
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = wavelet_entropy(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        "n_levels",
+        _r6("h_wavelet").alias("h_wavelet"),
+        "dominant_level",
+        _r6("p_dominant").alias("p_dominant"),
+    )
+
+
+_ORACLE_WAVELET = """
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS BIGINT) AS tok,
+         row_number() OVER w - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), lv AS (
+  SELECT s.doc_id, s.n, s.i, s.tok, l.k
+  FROM seq s, LATERAL (SELECT unnest(generate_series(1, 12)) AS k) l
+  WHERE (CAST(1 AS BIGINT) << l.k) <= s.n
+    AND s.i < (s.n // (CAST(1 AS BIGINT) << l.k))
+                * (CAST(1 AS BIGINT) << l.k)
+), halves AS (
+  SELECT doc_id, k,
+         i // (CAST(1 AS BIGINT) << k) AS blk,
+         (i % (CAST(1 AS BIGINT) << k))
+            < (CAST(1 AS BIGINT) << (k - 1)) AS left_half,
+         tok
+  FROM lv
+), blocks AS (
+  SELECT doc_id, k, blk,
+         CAST(sum(CASE WHEN left_half THEN tok ELSE 0 END)
+              - sum(CASE WHEN left_half THEN 0 ELSE tok END)
+              AS HUGEINT) AS d
+  FROM halves GROUP BY doc_id, k, blk
+), energy AS (
+  SELECT doc_id, k,
+         CAST(sum(d * d) AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT) << k AS DOUBLE) AS e
+  FROM blocks GROUP BY doc_id, k
+), tot AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_levels,
+         sum(e ORDER BY k) AS total
+  FROM energy GROUP BY doc_id
+), ent AS (
+  SELECT e.doc_id,
+         -sum(CASE WHEN e.e / t.total > 0.0
+                   THEN (e.e / t.total) * ln(e.e / t.total) END
+              ORDER BY e.k) AS h
+  FROM energy e JOIN tot t USING (doc_id)
+  WHERE t.total > 0.0
+  GROUP BY e.doc_id
+), dom AS (
+  SELECT doc_id, k AS dominant_level, e
+  FROM (SELECT doc_id, k, e,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY e DESC, k ASC) AS rn
+        FROM energy) WHERE rn = 1
+)
+SELECT d.doc_id, CAST(d.n AS INT) AS n,
+       coalesce(t.n_levels, 0) AS n_levels,
+       floor(en.h * 1000000.0 + 0.5) / 1000000.0 AS h_wavelet,
+       CASE WHEN t.total > 0.0 THEN CAST(dm.dominant_level AS INT)
+       END AS dominant_level,
+       CASE WHEN t.total > 0.0 THEN
+         floor(dm.e / t.total * 1000000.0 + 0.5) / 1000000.0
+       END AS p_dominant
+FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN ent en USING (doc_id)
+LEFT JOIN dom dm USING (doc_id)
 """
 
 
@@ -6511,6 +6598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": _q_rolling_stats,
         "apen": _q_apen,
         "fuzzyen": _q_fuzzyen,
+        "wavelet_entropy": _q_wavelet_entropy,
         "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
         "theilsen_trend": _q_theilsen,
@@ -6640,6 +6728,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_stats": _ORACLE_ROLLING_STATS,
         "apen": _ORACLE_APEN,
         "fuzzyen": _ORACLE_FUZZYEN,
+        "wavelet_entropy": _ORACLE_WAVELET,
         "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "theilsen_trend": _ORACLE_THEILSEN,
