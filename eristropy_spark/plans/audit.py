@@ -906,4 +906,124 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+
+    # 51. wasserstein / cvm drift: the ks_drift census family — keyed
+    # rank window + (key, value) census aggregate + cdf windows, <= 3
+    # keyed Exchanges, never a join or single-partition window, zero
+    # Python
+    for qn in ("wasserstein_drift", "cvm_drift"):
+        wq = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(wq)
+        checks.append(
+            (f"{qn}: <=3 keyed Exchanges, no Join, no single-partition "
+             "window, zero Python",
+             p.count("Exchange") <= 3
+             and "Join" not in p
+             and "SinglePartition" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
+    # 52. robust_scale / cvar_tail: two unbounded windows + a groupBy
+    # all on ONE key Exchange, zero Python
+    for qn in ("robust_scale", "cvar_tail"):
+        rq = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(rq)
+        checks.append(
+            (f"{qn}: ONE key Exchange (windows + same-key reduce), "
+             "no Join, zero Python",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and "SinglePartition" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
+    # 53. lexical_richness / vocab_coverage: explode + two CHAINED
+    # two-phase aggregates (word-prefixed key, then id/group key) —
+    # no join, no window, zero Python
+    for qn in ("lexical_richness", "vocab_coverage"):
+        lq = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(lq)
+        checks.append(
+            (f"{qn}: two chained hash aggregates, no Join/Window, "
+             "zero Python",
+             p.count("Exchange") <= 2
+             and "Join" not in p
+             and "Window" not in p
+             and "SinglePartition" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
+    # 54. token_novelty: distinct pairs + word-keyed min window +
+    # doc reduce — <= 3 keyed Exchanges, no Join, zero Python
+    tq = entrymod.queries()["token_novelty"](spark, sf_dir)
+    p = plan_of(tq)
+    checks.append(
+        ("token_novelty: <=3 keyed Exchanges, no Join, zero Python",
+         p.count("Exchange") <= 3
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 55. heaps_law: per-doc aggregates + ONE keyed equi join + group
+    # cumulative windows — never cartesian, zero Python
+    hq = entrymod.queries()["heaps_law"](spark, sf_dir)
+    p = plan_of(hq)
+    checks.append(
+        ("heaps_law: keyed equi-join only, no cartesian, zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 56. stl_strength: the decompose plan (broadcast index join) plus
+    # ONE same-key aggregate — no sort-merge join, no Python
+    sq3 = entrymod.queries()["stl_strength"](spark, sf_dir)
+    p = plan_of(sq3)
+    checks.append(
+        ("stl_strength: decompose plan + same-key reduce, broadcast "
+         "index join, no Python",
+         "BroadcastHashJoin" in p
+         and "SortMergeJoin" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 57. fuzzyen / pacf / wavelet_entropy: array-kernel projections —
+    # ONE Arrow boundary, only tokenize's Exchange
+    for qn in ("fuzzyen", "pacf", "wavelet_entropy"):
+        fq = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(fq)
+        checks.append(
+            (f"{qn}: ONE Arrow boundary, only tokenize's Exchange",
+             p.count("Exchange") == 1 and _py_node_count(p) == 1, p)
+        )
+
+    # 58. ccnet_buckets: broadcast vocab + broadcast tercile thresholds
+    # (never a source-partitioned window over full rows), no cartesian
+    # beyond the 1-row totals broadcast, zero Python
+    cq = entrymod.queries()["ccnet_buckets"](spark, sf_dir)
+    p = plan_of(cq)
+    checks.append(
+        ("ccnet_buckets: broadcast thresholds (no source-window over "
+         "rows), no cartesian, zero Python",
+         "BroadcastHashJoin" in p
+         and "CartesianProduct" not in p
+         and "Window" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 59. gini_balance: in-row token count + ONE source-keyed Exchange
+    # (rank window + same-key reduce), zero Python
+    gq2 = entrymod.queries()["gini_balance"](spark, sf_dir)
+    p = plan_of(gq2)
+    checks.append(
+        ("gini_balance: ONE keyed Exchange, in-row counting, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
