@@ -76,6 +76,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   cvar_tail         timeseries   VaR/CVaR expected shortfall + mean excess
   gini_balance      pipeline     doc-size inequality per source (exact Gini)
   wavelet_entropy   timeseries   Haar octave energies + wavelet entropy
+  bubble_entropy    E-family     rank-based swap entropy (Manis 2017)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -3316,6 +3317,78 @@ FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN ent en USING (doc_id)
 LEFT JOIN dom dm USING (doc_id)
+"""
+
+
+def _q_bubble(spark, sf_dir):
+    """Bubble entropy (Manis et al. 2017) per signal at m=4 over the
+    tokenize layout (operators/bubble.bubble_points): the rank-based,
+    tolerance-free fifth regularity kernel — inversion counts and
+    swap-histogram Σc² are exact integers, each Rényi-2 level one
+    fixed float expression; zero extra shuffle, one Arrow boundary."""
+    from eristropy_spark.operators.bubble import bubble_points
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = bubble_points(tokens, array_col="tokens", keep_cols=("doc_id",), m=4)
+    return r.select(
+        "doc_id",
+        "n",
+        _r6("h_m").alias("h_m"),
+        _r6("h_m1").alias("h_m1"),
+        _r6("bubble").alias("bubble"),
+    )
+
+
+_ORACLE_BUBBLE = """
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), led AS (
+  SELECT doc_id, i, n, tok,
+         lead(tok, 1) OVER o AS t1,
+         lead(tok, 2) OVER o AS t2,
+         lead(tok, 3) OVER o AS t3,
+         lead(tok, 4) OVER o AS t4
+  FROM seq
+  WINDOW o AS (PARTITION BY doc_id ORDER BY i)
+), s4 AS (
+  SELECT doc_id, n, CASE WHEN tok > t1 THEN 1 ELSE 0 END + CASE WHEN tok > t2 THEN 1 ELSE 0 END + CASE WHEN tok > t3 THEN 1 ELSE 0 END + CASE WHEN t1 > t2 THEN 1 ELSE 0 END + CASE WHEN t1 > t3 THEN 1 ELSE 0 END + CASE WHEN t2 > t3 THEN 1 ELSE 0 END AS sw
+  FROM led WHERE i <= n - 3
+), s5 AS (
+  SELECT doc_id, n, CASE WHEN tok > t1 THEN 1 ELSE 0 END + CASE WHEN tok > t2 THEN 1 ELSE 0 END + CASE WHEN tok > t3 THEN 1 ELSE 0 END + CASE WHEN tok > t4 THEN 1 ELSE 0 END + CASE WHEN t1 > t2 THEN 1 ELSE 0 END + CASE WHEN t1 > t3 THEN 1 ELSE 0 END + CASE WHEN t1 > t4 THEN 1 ELSE 0 END + CASE WHEN t2 > t3 THEN 1 ELSE 0 END + CASE WHEN t2 > t4 THEN 1 ELSE 0 END + CASE WHEN t3 > t4 THEN 1 ELSE 0 END AS sw
+  FROM led WHERE i <= n - 4
+), h4 AS (
+  SELECT doc_id, max(n) AS n,
+         -ln(CAST(sum(c * c) AS DOUBLE)
+             / (CAST(max(n) - 3 AS DOUBLE) * CAST(max(n) - 3 AS DOUBLE)))
+           AS h
+  FROM (SELECT doc_id, max(n) AS n, sw, CAST(count(*) AS BIGINT) AS c
+        FROM s4 GROUP BY doc_id, sw)
+  GROUP BY doc_id
+), h5 AS (
+  SELECT doc_id,
+         -ln(CAST(sum(c * c) AS DOUBLE)
+             / (CAST(max(n) - 4 AS DOUBLE) * CAST(max(n) - 4 AS DOUBLE)))
+           AS h
+  FROM (SELECT doc_id, max(n) AS n, sw, CAST(count(*) AS BIGINT) AS c
+        FROM s5 GROUP BY doc_id, sw)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS INT) AS n,
+       CASE WHEN d.n >= 5 THEN
+         floor(a.h * 1000000.0 + 0.5) / 1000000.0 END AS h_m,
+       CASE WHEN d.n >= 5 THEN
+         floor(b.h * 1000000.0 + 0.5) / 1000000.0 END AS h_m1,
+       CASE WHEN d.n >= 5 THEN
+         floor((b.h - a.h) / ln(5.0 / 3.0) * 1000000.0 + 0.5) / 1000000.0
+       END AS bubble
+FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
+LEFT JOIN h4 a USING (doc_id)
+LEFT JOIN h5 b USING (doc_id)
 """
 
 
@@ -6599,6 +6672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apen": _q_apen,
         "fuzzyen": _q_fuzzyen,
         "wavelet_entropy": _q_wavelet_entropy,
+        "bubble_entropy": _q_bubble,
         "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
         "theilsen_trend": _q_theilsen,
@@ -6729,6 +6803,7 @@ def oracle_sql() -> dict[str, str]:
         "apen": _ORACLE_APEN,
         "fuzzyen": _ORACLE_FUZZYEN,
         "wavelet_entropy": _ORACLE_WAVELET,
+        "bubble_entropy": _ORACLE_BUBBLE,
         "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "theilsen_trend": _ORACLE_THEILSEN,
