@@ -77,6 +77,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   gini_balance      pipeline     doc-size inequality per source (exact Gini)
   wavelet_entropy   timeseries   Haar octave energies + wavelet entropy
   bubble_entropy    E-family     rank-based swap entropy (Manis 2017)
+  quantile_drift    timeseries   per-quantile shift vector (QQ monitoring)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -4814,6 +4815,68 @@ FROM agg
 """
 
 
+def _q_quantile_drift(spark, sf_dir):
+    """Quantile-shift vector per signal (operators/drift.quantile_drift):
+    first-half vs second-half exact interpolated quintiles + shifts —
+    WHERE the distribution moved; ONE keyed Exchange, in-row explode,
+    no Python."""
+    from eristropy_spark.operators.drift import quantile_drift
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id", "value")
+    r = quantile_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        _r6("p").alias("p"),
+        _r6("q_ref").alias("q_ref"),
+        _r6("q_cur").alias("q_cur"),
+        _r6("shift").alias("shift"),
+    )
+
+
+_ORACLE_QUANTILE_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), red AS (
+  SELECT user_id, event_type,
+         quantile_cont(CASE WHEN ref THEN v END, 0.1) AS r0,
+         quantile_cont(CASE WHEN NOT ref THEN v END, 0.1) AS c0,
+         quantile_cont(CASE WHEN ref THEN v END, 0.25) AS r1,
+         quantile_cont(CASE WHEN NOT ref THEN v END, 0.25) AS c1,
+         quantile_cont(CASE WHEN ref THEN v END, 0.5) AS r2,
+         quantile_cont(CASE WHEN NOT ref THEN v END, 0.5) AS c2,
+         quantile_cont(CASE WHEN ref THEN v END, 0.75) AS r3,
+         quantile_cont(CASE WHEN NOT ref THEN v END, 0.75) AS c3,
+         quantile_cont(CASE WHEN ref THEN v END, 0.9) AS r4,
+         quantile_cont(CASE WHEN NOT ref THEN v END, 0.9) AS c4
+  FROM tagged GROUP BY user_id, event_type
+), ex AS (
+  SELECT user_id, event_type, u.p, u.q_ref, u.q_cur
+  FROM red, LATERAL (
+    SELECT unnest([
+      {'p': 0.1, 'q_ref': r0, 'q_cur': c0},
+      {'p': 0.25, 'q_ref': r1, 'q_cur': c1},
+      {'p': 0.5, 'q_ref': r2, 'q_cur': c2},
+      {'p': 0.75, 'q_ref': r3, 'q_cur': c3},
+      {'p': 0.9, 'q_ref': r4, 'q_cur': c4}
+    ], recursive := true)
+  ) u
+)
+SELECT user_id, event_type,
+       floor(p * 1000000 + 0.5) / 1000000 AS p,
+       floor(q_ref * 1000000 + 0.5) / 1000000 AS q_ref,
+       floor(q_cur * 1000000 + 0.5) / 1000000 AS q_cur,
+       floor((q_cur - q_ref) * 1000000 + 0.5) / 1000000 AS shift
+FROM ex
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -6720,6 +6783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "wasserstein_drift": _q_wasserstein,
         "cvm_drift": _q_cvm_drift,
+        "quantile_drift": _q_quantile_drift,
         "robust_scale": _q_robust_scale,
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
@@ -6854,6 +6918,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _ORACLE_KS_DRIFT,
         "wasserstein_drift": _ORACLE_WASSERSTEIN,
         "cvm_drift": _ORACLE_CVM_DRIFT,
+        "quantile_drift": _ORACLE_QUANTILE_DRIFT,
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,

@@ -667,3 +667,61 @@ def test_gini_partition_invariance(spark):
     a = gini_balance(df.repartition(1)).collect()[0]["gini"]
     b = gini_balance(df.repartition(13)).collect()[0]["gini"]
     assert a == b
+
+
+# ---------------------------------------------------- quantile_drift
+
+
+def test_quantile_drift_matches_numpy(spark):
+    from eristropy_spark.operators.drift import quantile_drift
+
+    rng = np.random.default_rng(17)
+    vals = list(rng.normal(0, 1, 80)) + list(rng.normal(0, 3, 80))
+    got = quantile_drift(
+        _events_df(spark, {"s": vals}), ("user_id", "event_type"),
+        tiebreak_col="event_id",
+    ).collect()
+    assert len(got) == 5
+    a = np.asarray(vals[:80])
+    b = np.asarray(vals[80:])
+    for r in got:
+        p = r["p"]
+        assert r["q_ref"] == pytest.approx(
+            float(np.quantile(a, p, method="linear")), abs=1e-6
+        )
+        assert r["q_cur"] == pytest.approx(
+            float(np.quantile(b, p, method="linear")), abs=1e-6
+        )
+        assert r["shift"] == pytest.approx(r["q_cur"] - r["q_ref"], abs=2e-6)
+    # a scale blow-up: tails shift outward, the median barely moves
+    by_p = {r["p"]: r["shift"] for r in got}
+    assert by_p[0.9] > 1.0 and by_p[0.1] < -1.0
+    assert abs(by_p[0.5]) < 0.6
+
+
+def test_quantile_drift_level_shift_uniform(spark):
+    from eristropy_spark.operators.drift import quantile_drift
+
+    base = list(np.linspace(0, 1, 60))
+    got = quantile_drift(
+        _events_df(spark, {"s": base + [v + 5.0 for v in base]}),
+        ("user_id", "event_type"),
+    ).collect()
+    # a pure level shift moves EVERY quantile by the same amount
+    for r in got:
+        assert r["shift"] == pytest.approx(5.0, abs=1e-9)
+
+
+def test_quantile_drift_single_point_and_validation(spark):
+    from eristropy_spark.operators.drift import quantile_drift
+
+    got = quantile_drift(
+        _events_df(spark, {"one": [2.0]}), ("user_id", "event_type")
+    ).collect()
+    for r in got:
+        assert r["q_ref"] is None  # first half empty at n=1
+        assert r["shift"] is None
+    with pytest.raises(ValueError, match="probs"):
+        quantile_drift(
+            _events_df(spark, {"x": [1.0]}), "user_id", probs=(0.0, 0.5)
+        )
