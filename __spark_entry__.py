@@ -78,6 +78,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   wavelet_entropy   timeseries   Haar octave energies + wavelet entropy
   bubble_entropy    E-family     rank-based swap entropy (Manis 2017)
   quantile_drift    timeseries   per-quantile shift vector (QQ monitoring)
+  seasonal_mk       timeseries   phase-stratified Mann-Kendall (Hirsch-Slack)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -3390,6 +3391,76 @@ SELECT d.doc_id, CAST(d.n AS INT) AS n,
 FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
 LEFT JOIN h4 a USING (doc_id)
 LEFT JOIN h5 b USING (doc_id)
+"""
+
+
+def _q_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test per signal at period 6
+    (operators/robust.seasonal_mann_kendall; Hirsch & Slack 1984):
+    phase-stratified S and tie-corrected variance, exact integers
+    until the final /18 and z — zero extra shuffle, one Arrow
+    boundary."""
+    from eristropy_spark.operators.robust import seasonal_mann_kendall
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = seasonal_mann_kendall(
+        tokens, period=6, array_col="tokens", keep_cols=("doc_id",)
+    )
+    return r.select(
+        "doc_id",
+        "n",
+        "period",
+        "s",
+        _r6("var_s").alias("var_s"),
+        _r6("z").alias("z"),
+    )
+
+
+_ORACLE_SEASONAL_MK = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         (row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) - 1) AS i
+  FROM events
+), ph AS (
+  SELECT doc_id, tok, i, i % 6 AS g FROM pts
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+), sgn AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN b.tok > a.tok THEN 1
+                       WHEN b.tok < a.tok THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM ph a JOIN ph b ON b.doc_id = a.doc_id AND b.g = a.g AND b.i > a.i
+  GROUP BY a.doc_id
+), phase_n AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS ng
+  FROM ph GROUP BY doc_id, g
+), ties AS (
+  SELECT doc_id, g,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT doc_id, g, tok, CAST(count(*) AS BIGINT) AS t
+        FROM ph GROUP BY doc_id, g, tok)
+  GROUP BY doc_id, g
+), var_num AS (
+  SELECT p.doc_id,
+         CAST(sum(p.ng * (p.ng - 1) * (2 * p.ng + 5) - t.tie_term)
+              AS BIGINT) AS num
+  FROM phase_n p JOIN ties t ON t.doc_id = p.doc_id AND t.g = p.g
+  GROUP BY p.doc_id
+), st AS (
+  SELECT n.doc_id, n.n, s.s,
+         CASE WHEN s.s IS NOT NULL THEN v.num / 18.0 END AS var_s
+  FROM nn n LEFT JOIN sgn s USING (doc_id) LEFT JOIN var_num v USING (doc_id)
+)
+SELECT doc_id, n, CAST(6 AS INT) AS period, s,
+       floor(var_s * 1000000 + 0.5) / 1000000 AS var_s,
+       floor((CASE WHEN var_s IS NULL THEN NULL
+                   WHEN var_s <= 0 THEN NULL
+                   WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                   WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                   ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS z
+FROM st
 """
 
 
@@ -6775,6 +6846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_overlap": _q_fingerprint_overlap,
         "duplicate_spans": _q_duplicate_spans,
         "mann_kendall": _q_mann_kendall,
+        "seasonal_mk": _q_seasonal_mk,
         "pettitt": _q_pettitt,
         "renyi_entropy": _q_renyi_entropy,
         "m4_downsample": _q_m4_downsample,
@@ -6910,6 +6982,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_overlap": _ORACLE_FINGERPRINT_OVERLAP,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
         "mann_kendall": _ORACLE_MANN_KENDALL,
+        "seasonal_mk": _ORACLE_SEASONAL_MK,
         "pettitt": _ORACLE_PETTITT,
         "renyi_entropy": _ORACLE_RENYI,
         "m4_downsample": _ORACLE_M4,

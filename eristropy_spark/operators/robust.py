@@ -26,6 +26,7 @@ memory (pre-aggregate long signals to a coarser grain first, or use
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -37,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["theilsen_trend", "mann_kendall", "robust_scale"]
+__all__ = ["theilsen_trend", "mann_kendall", "robust_scale", "seasonal_mann_kendall"]
 
 
 def _qcont(sorted_vals, p: float):
@@ -292,3 +293,118 @@ def robust_scale(
         (F.lit(1.4826) * F.col("mad")).alias("sigma_mad"),
         "n_outliers",
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    period: int,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    max_points: int = 4096,
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test per signal (Hirsch & Slack
+    1984, Water Resour. Res. 20:727) — the MK variant that is not
+    fooled by seasonality: the plain test reads a stable annual cycle
+    as "trend", the seasonal form compares each phase only with ITSELF
+    across cycles (January with January), then pools:
+
+        S     = Σ_g S_g          (S_g = MK statistic within phase g)
+        var_S = [Σ_g (n_g(n_g−1)(2n_g+5) − tie_g)] / 18
+        z     = (S∓1)/sqrt(var_S)  (continuity-corrected, as in MK)
+
+    the independent-seasons form (the serial-covariance correction of
+    the paper's §4 is for autocorrelated residuals; documented out of
+    scope).  Emits (``*keep_cols``, n, period, s, var_s, z).
+
+    S, every tie term, and var_S's numerator are exact integers — the
+    /18.0 and the z expression are the only float ops, in the same
+    order as the SQL replay.  Signals with fewer than 2 points in
+    every phase emit NULL stats.  ``max_points`` fail-louds the O(n²)
+    per-phase pair matrix like :func:`mann_kendall`.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from typing import Iterator as _It
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("n", IntegerType()),
+            StructField("period", IntegerType()),
+            StructField("s", LongType()),
+            StructField("var_s", DoubleType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def _compute(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            ns, ss, vs, zs = [], [], [], []
+            for v in views:
+                n = 0 if v is None else int(v.size)
+                ns.append(n)
+                if n > max_points:
+                    raise ValueError(
+                        f"seasonal_mann_kendall: signal has {n} points > "
+                        f"max_points={max_points} — pre-aggregate or raise "
+                        "max_points explicitly"
+                    )
+                x = np.asarray(v) if n else np.empty(0, dtype=np.int64)
+                s = 0
+                var_num = 0
+                any_pairs = False
+                for g in range(period):
+                    xg = x[g::period]
+                    ng = int(xg.size)
+                    if ng < 2:
+                        continue
+                    any_pairs = True
+                    i, j = np.triu_indices(ng, k=1)
+                    s += int(
+                        np.sign(
+                            xg[j].astype(np.int64) - xg[i].astype(np.int64)
+                        ).sum()
+                    )
+                    _, counts = np.unique(xg, return_counts=True)
+                    t = counts.astype(np.int64)
+                    tie = int((t * (t - 1) * (2 * t + 5)).sum())
+                    var_num += ng * (ng - 1) * (2 * ng + 5) - tie
+                if not any_pairs:
+                    ss.append(None)
+                    vs.append(None)
+                    zs.append(None)
+                    continue
+                var_s = var_num / 18.0
+                if var_s > 0.0:
+                    if s > 0:
+                        z = (s - 1) / math.sqrt(var_s)
+                    elif s < 0:
+                        z = (s + 1) / math.sqrt(var_s)
+                    else:
+                        z = 0.0
+                else:
+                    z = None
+                ss.append(s)
+                vs.append(var_s)
+                zs.append(z)
+            arrays = [batch.column(c) for c in keep_cols]
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array([period] * len(ns), type=pa.int32()))
+            arrays.append(pa.array(ss, type=pa.int64()))
+            arrays.append(pa.array(vs, type=pa.float64()))
+            arrays.append(pa.array(zs, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, [*keep_cols, "n", "period", "s", "var_s", "z"]
+            )
+
+    return src.mapInArrow(_compute, schema)

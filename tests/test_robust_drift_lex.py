@@ -725,3 +725,74 @@ def test_quantile_drift_single_point_and_validation(spark):
         quantile_drift(
             _events_df(spark, {"x": [1.0]}), "user_id", probs=(0.0, 0.5)
         )
+
+
+# ------------------------------------------------------ seasonal_mk
+
+
+def test_seasonal_mk_ignores_pure_seasonality(spark):
+    """A stable seasonal cycle fools plain MK (strong |z|) but not the
+    seasonal test (z ~ 0); a real trend trips both."""
+    from eristropy_spark.operators.robust import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    cycle = [10, 50, 90, 50, 10, 0] * 20
+    rng = np.random.default_rng(18)
+    noise = [int(x) for x in rng.integers(-3, 4, 120)]
+    seasonal = [c + e for c, e in zip(cycle, noise)]
+    trended = [v + 2 * (i // 6) for i, v in enumerate(seasonal)]
+    df = spark.createDataFrame(
+        [("seasonal", seasonal), ("trended", trended)],
+        "doc_id string, tokens array<int>",
+    )
+    smk = {r["doc_id"]: r for r in
+           seasonal_mann_kendall(df, period=6).collect()}
+    assert abs(smk["seasonal"]["z"]) < 1.96  # no trend detected
+    assert smk["trended"]["z"] > 3.0  # real cross-cycle trend detected
+
+
+def test_seasonal_mk_matches_local(spark):
+    from eristropy_spark.operators.robust import seasonal_mann_kendall
+
+    rng = np.random.default_rng(19)
+    toks = [int(x) for x in rng.integers(0, 30, 75)]
+    row = seasonal_mann_kendall(
+        spark.createDataFrame([("d", toks)], "doc_id string, tokens array<int>"),
+        period=6,
+    ).collect()[0]
+
+    s = 0
+    var_num = 0
+    for g in range(6):
+        xg = toks[g::6]
+        ng = len(xg)
+        for a in range(ng):
+            for b in range(a + 1, ng):
+                s += (xg[b] > xg[a]) - (xg[b] < xg[a])
+        from collections import Counter
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xg).values())
+        var_num += ng * (ng - 1) * (2 * ng + 5) - tie
+    var_s = var_num / 18.0
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+        (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    )
+    assert row["s"] == s
+    assert row["var_s"] == var_s
+    assert row["z"] == z
+
+
+def test_seasonal_mk_degenerate(spark):
+    from eristropy_spark.operators.robust import seasonal_mann_kendall
+
+    df = spark.createDataFrame(
+        [("short", [1, 2, 3]), ("const", [5] * 36)],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r["doc_id"]: r for r in
+           seasonal_mann_kendall(df, period=6).collect()}
+    assert got["short"]["s"] is None  # no phase has 2 points
+    assert got["const"]["s"] == 0 and got["const"]["z"] is None  # var 0
+    with pytest.raises(ValueError, match="period"):
+        seasonal_mann_kendall(df, period=1)
