@@ -79,6 +79,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   bubble_entropy    E-family     rank-based swap entropy (Manis 2017)
   quantile_drift    timeseries   per-quantile shift vector (QQ monitoring)
   seasonal_mk       timeseries   phase-stratified Mann-Kendall (Hirsch-Slack)
+  expanding_zscore  timeseries   lifetime z-score (streaming-twin exact sums)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -2165,6 +2166,58 @@ SELECT event_id, user_id,
        (floor(cusum_pos * 1000000.0 + 0.5) / 1000000.0 > 3.0
         OR floor(cusum_neg * 1000000.0 + 0.5) / 1000000.0 > 3.0) AS alarm
 FROM s
+"""
+
+
+def _q_expanding_zscore(spark, sf_dir):
+    """Expanding (lifetime) z-score per event
+    (operators/rolling.expanding_zscore): DECIMAL-exact running Σv/Σv²
+    on streaming frames, fixed-order mean/var/z — ONE keyed Exchange,
+    no Python; the batch twin of streaming/zscore."""
+    from eristropy_spark.operators.rolling import expanding_zscore
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    r = expanding_zscore(ev, "user_id", tiebreak_col="event_id")
+    return r.select(
+        "event_id",
+        "user_id",
+        _r6("exp_mean").alias("exp_mean"),
+        _r6("exp_std").alias("exp_std"),
+        _r6("exp_z").alias("exp_z"),
+    )
+
+
+_ORACLE_EXPANDING_ZSCORE = """
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         floor(value * 1000000.0 + 0.5) / 1000000.0 AS v6,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18, 6)) AS vq
+  FROM events
+), run AS (
+  SELECT event_id, user_id, v6,
+         count(*) OVER w AS n,
+         sum(vq) OVER w AS s1,
+         sum(vq * vq) OVER w AS s2
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT event_id, user_id, v6, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         (CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS var
+  FROM run
+)
+SELECT event_id, user_id,
+       floor(mean * 1000000 + 0.5) / 1000000 AS exp_mean,
+       CASE WHEN n >= 2 THEN
+         floor(sqrt(var) * 1000000 + 0.5) / 1000000 END AS exp_std,
+       CASE WHEN n >= 2 AND var > 0.0 THEN
+         floor(((v6 - mean) / sqrt(var)) * 1000000 + 0.5) / 1000000
+       END AS exp_z
+FROM st
 """
 
 
@@ -6803,6 +6856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
         "rolling_stats": _q_rolling_stats,
+        "expanding_zscore": _q_expanding_zscore,
         "apen": _q_apen,
         "fuzzyen": _q_fuzzyen,
         "wavelet_entropy": _q_wavelet_entropy,
@@ -6936,6 +6990,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "rolling_stats": _ORACLE_ROLLING_STATS,
+        "expanding_zscore": _ORACLE_EXPANDING_ZSCORE,
         "apen": _ORACLE_APEN,
         "fuzzyen": _ORACLE_FUZZYEN,
         "wavelet_entropy": _ORACLE_WAVELET,

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_stats", "rolling_zscore", "rolling_quantile", "max_drawdown"]
+__all__ = ["rolling_stats", "rolling_zscore", "rolling_quantile", "max_drawdown", "expanding_zscore"]
 
 _STATS = ("mean", "std", "min", "max", "n")
 
@@ -250,4 +250,68 @@ def max_drawdown(
             F.col("_at.t").alias("trough_ts"),
             "max_drawdown",
         )
+    )
+
+
+def expanding_zscore(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Append ``exp_mean``, ``exp_std``, ``exp_z`` per row — the
+    EXPANDING (lifetime) z-score: each point scored against the full
+    history up to and including itself, per key in (ts, tiebreak)
+    order.  The batch twin of ``streaming_zscore`` (state = three
+    integers), and the unbounded-window complement of
+    ``rolling_zscore``'s trailing frame.
+
+    Exactness: values are floor-quantized to the 6-dp grid and the
+    running Σv / Σv² accumulate in exact DECIMAL (18,6 operands keep
+    the square inside a lossless DECIMAL(37,12)); mean, the ddof=1
+    variance and z are then fixed-order float expressions — so the
+    streaming twin's integer state reproduces every double
+    bit-for-bit, and so does the SQL replay.  Rows with n = 1 or zero
+    variance emit NULL z (std is NULL at n = 1).
+
+    Scale shape: ONE keyed Exchange; both running sums are streaming
+    (unbounded-preceding) frames over the same sort — O(1) window
+    state per row.  No joins, no Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    from eristropy_spark.operators.changepoint import _floor_round
+
+    v6 = _floor_round(F.col(value_col).cast("double"), 6)
+    vq = v6.cast("decimal(18, 6)")
+    base = (
+        df.withColumn("_v6", v6)
+        .withColumn("_n", F.count("*").over(w))
+        .withColumn("_s1", F.sum(vq).over(w))
+        .withColumn("_s2", F.sum(vq * vq).over(w))
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    std = F.when(F.col("_n") >= 2, F.sqrt(var))
+    z = F.when(
+        (F.col("_n") >= 2) & (var > F.lit(0.0)),
+        (F.col("_v6") - mean) / F.sqrt(var),
+    )
+    return (
+        base.withColumn("exp_mean", mean)
+        .withColumn("exp_std", std)
+        .withColumn("exp_z", z)
+        .drop("_v6", "_n", "_s1", "_s2")
     )
