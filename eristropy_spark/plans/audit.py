@@ -992,7 +992,8 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
 
     # 57. fuzzyen / pacf / wavelet_entropy: array-kernel projections —
     # ONE Arrow boundary, only tokenize's Exchange
-    for qn in ("fuzzyen", "pacf", "wavelet_entropy", "bubble_entropy"):
+    for qn in ("fuzzyen", "pacf", "wavelet_entropy", "bubble_entropy",
+               "seasonal_mk"):
         fq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(fq)
         checks.append(
@@ -1023,6 +1024,36 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          p.count("Exchange") == 1
          and "Join" not in p
          and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+
+    # 60. quantile_drift: half-split window + per-(key, half) exact
+    # percentiles + in-row explode — ONE keyed Exchange, no Join, no
+    # Python
+    qd = entrymod.queries()["quantile_drift"](spark, sf_dir)
+    p = plan_of(qd)
+    checks.append(
+        ("quantile_drift: ONE keyed Exchange, in-row explode, no Join, "
+         "zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 61. expanding_zscore: both running sums are streaming
+    # (unbounded-preceding) frames over ONE keyed Exchange — O(1)
+    # window state per row, zero Python
+    ez = entrymod.queries()["expanding_zscore"](spark, sf_dir)
+    p = plan_of(ez)
+    checks.append(
+        ("expanding_zscore: ONE keyed Exchange, streaming frames, "
+         "zero Python",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and "unboundedfollowing" not in p.lower()
          and _py_node_count(p) == 0, p)
     )
 
