@@ -80,6 +80,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   quantile_drift    timeseries   per-quantile shift vector (QQ monitoring)
   seasonal_mk       timeseries   phase-stratified Mann-Kendall (Hirsch-Slack)
   expanding_zscore  timeseries   lifetime z-score (streaming-twin exact sums)
+  normality         timeseries   Jarque-Bera + Grubbs diagnostics
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -5001,6 +5002,87 @@ FROM ex
 """
 
 
+def _q_normality(spark, sf_dir):
+    """Jarque-Bera normality moments + Grubbs max-deviation per signal
+    (operators/normality.normality_stats): quantized order-free moment
+    sums (DECIMAL(38,9)), fixed-order skew/kurtosis/JB — the router
+    between z-score and MAD-based monitors; ONE keyed Exchange, no
+    Python."""
+    from eristropy_spark.operators.normality import normality_stats
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    r = normality_stats(ev, ("user_id", "event_type"))
+    return r.select(
+        "user_id",
+        "event_type",
+        "n",
+        _r6("mean").alias("mean"),
+        _r6("std").alias("std"),
+        _r6("skew").alias("skew"),
+        _r6("kurt_excess").alias("kurt_excess"),
+        _r6("jb").alias("jb"),
+        _r6("g_max").alias("g_max"),
+    )
+
+
+_ORACLE_NORMALITY = """
+WITH q AS (
+  SELECT user_id, event_type,
+         floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS v,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18, 6)) AS vq
+  FROM events
+), m AS (
+  SELECT user_id, event_type, v,
+         floor((CAST(sum(vq) OVER k AS DOUBLE) / count(*) OVER k)
+               * 1000000.0 + 0.5) / 1000000.0 AS mean6
+  FROM q
+  WINDOW k AS (PARTITION BY user_id, event_type)
+), g AS (
+  SELECT user_id, event_type, v, mean6,
+         CAST(round((v - mean6) * 1000000.0) AS HUGEINT) AS du
+  FROM m
+), agg AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         max(mean6) AS mean,
+         sum(du * du) AS s2,
+         sum(du * du * du) AS s3,
+         sum(du * du * du * du) AS s4,
+         max(abs(v - mean6)) AS dmax
+  FROM g GROUP BY user_id, event_type
+), st AS (
+  SELECT user_id, event_type, n, mean, dmax,
+         (CAST(s2 AS DOUBLE) / 1.0e12) / CAST(n AS DOUBLE) AS m2,
+         (CAST(s3 AS DOUBLE) / 1.0e18) / CAST(n AS DOUBLE) AS m3,
+         (CAST(s4 AS DOUBLE) / 1.0e24) / CAST(n AS DOUBLE) AS m4,
+         sqrt((CAST(s2 AS DOUBLE) / 1.0e12)
+              / (CAST(n AS DOUBLE) - 1.0)) AS std
+  FROM agg
+), fin AS (
+  SELECT user_id, event_type, n, mean, std, dmax, m2,
+         m3 / pow(m2, 1.5) AS skew,
+         m4 / (m2 * m2) - 3.0 AS kurt
+  FROM st
+)
+SELECT user_id, event_type, n,
+       floor(mean * 1000000 + 0.5) / 1000000 AS mean,
+       CASE WHEN n >= 2 THEN floor(std * 1000000 + 0.5) / 1000000
+       END AS std,
+       CASE WHEN n >= 3 AND m2 > 0.0 THEN
+         floor(skew * 1000000 + 0.5) / 1000000 END AS skew,
+       CASE WHEN n >= 3 AND m2 > 0.0 THEN
+         floor(kurt * 1000000 + 0.5) / 1000000 END AS kurt_excess,
+       CASE WHEN n >= 3 AND m2 > 0.0 THEN
+         floor((CAST(n AS DOUBLE) / 6.0
+                * (skew * skew + kurt * kurt / 4.0))
+               * 1000000 + 0.5) / 1000000 END AS jb,
+       CASE WHEN n >= 3 AND m2 > 0.0 THEN
+         floor((dmax / std) * 1000000 + 0.5) / 1000000 END AS g_max
+FROM fin
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -6920,6 +7002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": _q_hill_tail,
         "cvar_tail": _q_cvar_tail,
         "gini_balance": _q_gini_balance,
+        "normality": _q_normality,
         "benford": _q_benford,
         "ljung_box": _q_ljung_box,
         "matrix_profile": _q_matrix_profile,
@@ -7057,6 +7140,7 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail": _ORACLE_HILL,
         "cvar_tail": _ORACLE_CVAR_TAIL,
         "gini_balance": _ORACLE_GINI_BALANCE,
+        "normality": _ORACLE_NORMALITY,
         "benford": _benford_oracle(),
         "ljung_box": _ORACLE_LJUNG_BOX,
         "matrix_profile": _ORACLE_MATRIX_PROFILE,

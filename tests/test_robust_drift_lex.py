@@ -796,3 +796,66 @@ def test_seasonal_mk_degenerate(spark):
     assert got["const"]["s"] == 0 and got["const"]["z"] is None  # var 0
     with pytest.raises(ValueError, match="period"):
         seasonal_mann_kendall(df, period=1)
+
+
+# -------------------------------------------------- normality_stats
+
+
+def test_normality_matches_scipy_free_local(spark):
+    from eristropy_spark.operators.normality import normality_stats
+
+    rng = np.random.default_rng(22)
+    series = {
+        "normal": list(rng.normal(10, 2, 300)),
+        "heavy": list(rng.standard_t(3, 300) * 2),
+        "skewed": list(rng.exponential(2.0, 300)),
+    }
+    got = _keyed(normality_stats(_events_df(spark, series), ("user_id", "event_type")))
+    for k, vals in series.items():
+        v6 = np.floor(np.asarray(vals) * 1e6 + 0.5) / 1e6
+        mean6 = math.floor(v6.mean() * 1e6 + 0.5) / 1e6
+        du = np.round((v6 - mean6) * 1e6).astype(np.int64)
+        n = len(vals)
+        m2 = (float((du.astype(object) ** 2).sum()) / 1e12) / n
+        m3 = (float((du.astype(object) ** 3).sum()) / 1e18) / n
+        m4 = (float((du.astype(object) ** 4).sum()) / 1e24) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3
+        jb = n / 6 * (skew**2 + kurt**2 / 4)
+        row = got[k]
+        assert row["skew"] == pytest.approx(skew, abs=2e-6)
+        assert row["kurt_excess"] == pytest.approx(kurt, abs=2e-6)
+        assert row["jb"] == pytest.approx(jb, abs=1e-4)
+    # discrimination: normal passes (jb < 5.99 usually), heavy/skewed fail
+    assert got["normal"]["jb"] < 8
+    assert got["heavy"]["jb"] > 20 and got["heavy"]["kurt_excess"] > 1
+    assert got["skewed"]["jb"] > 20 and got["skewed"]["skew"] > 1
+
+
+def test_normality_grubbs_flags_spike(spark):
+    from eristropy_spark.operators.normality import normality_stats
+
+    rng = np.random.default_rng(23)
+    base = list(rng.normal(0, 1, 99))
+    got = _keyed(
+        normality_stats(
+            _events_df(spark, {"spiked": base + [15.0], "clean": base + [0.0]}),
+            ("user_id", "event_type"),
+        )
+    )
+    # Grubbs critical value at n=100, alpha=0.05 is ~3.38
+    assert got["spiked"]["g_max"] > 3.38
+    assert got["clean"]["g_max"] < 3.38
+
+
+def test_normality_degenerate(spark):
+    from eristropy_spark.operators.normality import normality_stats
+
+    got = _keyed(
+        normality_stats(
+            _events_df(spark, {"const": [4.0] * 20, "two": [1.0, 2.0]}),
+            ("user_id", "event_type"),
+        )
+    )
+    assert got["const"]["jb"] is None and got["const"]["std"] == 0.0
+    assert got["two"]["jb"] is None and got["two"]["std"] is not None
