@@ -81,6 +81,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   seasonal_mk       timeseries   phase-stratified Mann-Kendall (Hirsch-Slack)
   expanding_zscore  timeseries   lifetime z-score (streaming-twin exact sums)
   normality         timeseries   Jarque-Bera + Grubbs diagnostics
+  categorical_drift timeseries   JS divergence of the category mix
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -5083,6 +5084,86 @@ FROM fin
 """
 
 
+def _q_categorical_drift(spark, sf_dir):
+    """JS divergence of each user's first-half vs second-half
+    event-type mix (operators/drift.categorical_drift): the
+    categorical drift member — Laplace-smoothed over the union
+    category set, 12-dp DECIMAL term sums; census shuffle shape, no
+    joins, no Python."""
+    from eristropy_spark.operators.drift import categorical_drift
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    r = categorical_drift(ev, "user_id", cat_col="event_type", tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "n_ref",
+        "n_cur",
+        "n_cats",
+        _r6("js_div").alias("js_div"),
+    )
+
+
+_ORACLE_CATEGORICAL_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, c, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, c,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, c
+), tot AS (
+  SELECT user_id, ca, cb,
+         CAST(sum(ca) OVER k AS BIGINT) AS na,
+         CAST(sum(cb) OVER k AS BIGINT) AS nb,
+         CAST(count(*) OVER k AS BIGINT) AS nc
+  FROM cv
+  WINDOW k AS (PARTITION BY user_id)
+), terms AS (
+  SELECT user_id, na, nb, nc,
+         CAST(floor((((CAST(ca AS DOUBLE) + 0.5)
+                      / (CAST(na AS DOUBLE) + CAST(nc AS DOUBLE) * 0.5))
+                     * ln(((CAST(ca AS DOUBLE) + 0.5)
+                           / (CAST(na AS DOUBLE) + CAST(nc AS DOUBLE) * 0.5))
+                          / ((((CAST(ca AS DOUBLE) + 0.5)
+                               / (CAST(na AS DOUBLE)
+                                  + CAST(nc AS DOUBLE) * 0.5))
+                              + ((CAST(cb AS DOUBLE) + 0.5)
+                                 / (CAST(nb AS DOUBLE)
+                                    + CAST(nc AS DOUBLE) * 0.5))) / 2.0))
+                     + ((CAST(cb AS DOUBLE) + 0.5)
+                        / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE) * 0.5))
+                       * ln(((CAST(cb AS DOUBLE) + 0.5)
+                             / (CAST(nb AS DOUBLE)
+                                + CAST(nc AS DOUBLE) * 0.5))
+                            / ((((CAST(ca AS DOUBLE) + 0.5)
+                                 / (CAST(na AS DOUBLE)
+                                    + CAST(nc AS DOUBLE) * 0.5))
+                                + ((CAST(cb AS DOUBLE) + 0.5)
+                                   / (CAST(nb AS DOUBLE)
+                                      + CAST(nc AS DOUBLE) * 0.5))) / 2.0)))
+                    / 2.0 * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS term
+  FROM tot
+), red AS (
+  SELECT user_id,
+         max(na) AS n_ref, max(nb) AS n_cur,
+         CAST(max(nc) AS INT) AS n_cats,
+         CAST(sum(term) AS DOUBLE) AS js
+  FROM terms GROUP BY user_id
+)
+SELECT user_id, n_ref, n_cur, n_cats,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(js * 1000000 + 0.5) / 1000000 END AS js_div
+FROM red
+"""
+
+
 def _q_hill_tail(spark, sf_dir):
     """Hill tail-index estimator per signal (operators/tails.hill_tail):
     per-key top-21 magnitudes via ONE rank-window pass, 12-dp DECIMAL
@@ -6992,6 +7073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": _q_wasserstein,
         "cvm_drift": _q_cvm_drift,
         "quantile_drift": _q_quantile_drift,
+        "categorical_drift": _q_categorical_drift,
         "robust_scale": _q_robust_scale,
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
@@ -7130,6 +7212,7 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_drift": _ORACLE_WASSERSTEIN,
         "cvm_drift": _ORACLE_CVM_DRIFT,
         "quantile_drift": _ORACLE_QUANTILE_DRIFT,
+        "categorical_drift": _ORACLE_CATEGORICAL_DRIFT,
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -592,4 +592,87 @@ def quantile_drift(
         F.col("_q.q_ref").alias("q_ref"),
         F.col("_q.q_cur").alias("q_cur"),
         (F.col("_q.q_cur") - F.col("_q.q_ref")).alias("shift"),
+    )
+
+
+def categorical_drift(
+    df: DataFrame,
+    key,
+    cat_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",  # noqa: ARG001 — kept for API symmetry
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, n_cats, js_div) — Jensen–Shannon
+    divergence between the first-half and second-half CATEGORY mix of
+    each key (Lin 1991): the categorical member of the drift family —
+    ks/w1/cvm/psi watch a numeric column's distribution, this watches
+    "did the event-type / source / label mix change?".  JS is bounded
+    in [0, ln 2], symmetric, and defined for disjoint supports — the
+    reasons it beats raw KL for monitoring.
+
+    With Laplace smoothing (+0.5 per category over the union category
+    set C of both halves; p = (c + 0.5)/(n + 0.5·|C|)):
+
+        m  = (p + q)/2
+        JS = Σ_c [ p·ln(p/m) + q·ln(q/m) ] / 2
+
+    Each per-category term is one fixed float expression floor-
+    quantized to the 12-dp grid and summed as DECIMAL(38,12), the
+    repo's quantize-then-derive rule — bit-replayable, partition-
+    invariant.  Keys with an empty half emit NULL js_div.
+
+    Scale shape: the drift-family census — a keyed rank window, a
+    (key, category) two-phase hash aggregate, one per-key reduce.
+    State per key is O(|C|), never O(rows).  No joins, no Python.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(cat_col).alias("_c"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = pts.groupBy(*keys, "_c").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    tot = (
+        cnt.withColumn("_na", F.sum("_ca").over(w_key))
+        .withColumn("_nb", F.sum("_cb").over(w_key))
+        .withColumn("_nc", F.count("*").over(w_key))
+    )
+    half_c = F.col("_nc").cast("double") * F.lit(0.5)
+    p = (F.col("_ca").cast("double") + F.lit(0.5)) / (
+        F.col("_na").cast("double") + half_c
+    )
+    q = (F.col("_cb").cast("double") + F.lit(0.5)) / (
+        F.col("_nb").cast("double") + half_c
+    )
+    m = (p + q) / F.lit(2.0)
+    term = _floor_round(
+        (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0), 12
+    ).cast("decimal(38, 12)")
+    red = tot.groupBy(*keys).agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.max("_nc").cast("int").alias("n_cats"),
+        F.sum(term).alias("_js"),
+    )
+    ok = (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "n_cats",
+        F.when(ok, F.col("_js").cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("js_div"),
     )

@@ -911,7 +911,7 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # rank window + (key, value) census aggregate + cdf windows, <= 3
     # keyed Exchanges, never a join or single-partition window, zero
     # Python
-    for qn in ("wasserstein_drift", "cvm_drift"):
+    for qn in ("wasserstein_drift", "cvm_drift", "categorical_drift"):
         wq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(wq)
         checks.append(

@@ -859,3 +859,73 @@ def test_normality_degenerate(spark):
     )
     assert got["const"]["jb"] is None and got["const"]["std"] == 0.0
     assert got["two"]["jb"] is None and got["two"]["std"] is not None
+
+
+# ------------------------------------------------- categorical_drift
+
+
+def _cat_events_df(spark, series):
+    rows = [
+        (k, str(c), _ts(i), i)
+        for k, cats in series.items()
+        for i, c in enumerate(cats)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp, event_id long"
+    )
+
+
+def test_categorical_drift_matches_local(spark):
+    from eristropy_spark.operators.drift import categorical_drift
+
+    rng = np.random.default_rng(24)
+    series = {
+        "stable": list(rng.choice(["a", "b", "c"], 120, p=[0.5, 0.3, 0.2])),
+        "flip": ["a"] * 60 + ["b"] * 60,
+        "new_cat": list(rng.choice(["a", "b"], 60)) + ["z"] * 60,
+    }
+    got = {
+        r["user_id"]: r
+        for r in categorical_drift(
+            _cat_events_df(spark, series), "user_id",
+            cat_col="event_type", tiebreak_col="event_id",
+        ).collect()
+    }
+    for k, cats in series.items():
+        n = len(cats)
+        ref, cur = cats[: n // 2], cats[n // 2:]
+        union = sorted(set(cats))
+        C = len(union)
+        js = 0.0
+        for c in union:
+            p = (ref.count(c) + 0.5) / (len(ref) + 0.5 * C)
+            q = (cur.count(c) + 0.5) / (len(cur) + 0.5 * C)
+            m = (p + q) / 2
+            js += (p * math.log(p / m) + q * math.log(q / m)) / 2
+        row = got[k]
+        assert row["n_cats"] == C
+        assert row["js_div"] == pytest.approx(js, abs=1e-6)
+    # discrimination + the ln2 bound
+    assert got["flip"]["js_div"] > 0.5
+    assert got["new_cat"]["js_div"] > 0.3
+    assert got["stable"]["js_div"] < 0.05
+    for k in series:
+        assert 0.0 <= got[k]["js_div"] <= math.log(2) + 1e-9
+
+
+def test_categorical_drift_degenerate_and_invariance(spark):
+    from eristropy_spark.operators.drift import categorical_drift
+
+    series = {"one": ["a"], "const": ["x"] * 30}
+    df = _cat_events_df(spark, series)
+    got = {
+        r["user_id"]: r
+        for r in categorical_drift(df, "user_id", cat_col="event_type").collect()
+    }
+    assert got["one"]["js_div"] is None  # empty first half
+    assert got["const"]["js_div"] == 0.0  # identical mixes
+    a = {r["user_id"]: r["js_div"] for r in categorical_drift(
+        df.repartition(1), "user_id", cat_col="event_type").collect()}
+    b = {r["user_id"]: r["js_div"] for r in categorical_drift(
+        df.repartition(5), "user_id", cat_col="event_type").collect()}
+    assert a == b
