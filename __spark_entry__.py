@@ -82,6 +82,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   expanding_zscore  timeseries   lifetime z-score (streaming-twin exact sums)
   normality         timeseries   Jarque-Bera + Grubbs diagnostics
   categorical_drift timeseries   JS divergence of the category mix
+  dtw_distance      timeseries   banded-DTW pair distance (exact int64,
+                                 unrolled window-CTE SQL replay)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -6787,6 +6789,101 @@ FROM prs
 """
 
 
+def _q_dtw_distance(spark, sf_dir):
+    """Dynamic-time-warping distance between same-user signal pairs
+    (operators/dtw.dtw_pairs, Sakoe & Chiba 1978 / Berndt & Clifford
+    1994): exact-int64 elastic alignment over quantized token
+    sequences — the tempo-tolerant complement of crosscorr (lag-rigid)
+    and cross_sampen (pattern-count).  Pairs form within each user's
+    event-type set, arrays truncate to max_len BEFORE the self-join,
+    and the O(L²) dp runs as a vectorized row sweep (prefix sum +
+    running min per row) in ONE mapInArrow boundary.  Because every
+    dp cell is integer, the oracle replays the dp EXACTLY: the row
+    recurrence unrolls into max_len chained window-function CTEs via
+    the entry-point identity
+    dp[i][j] = S[j] + min_{k<=j}(min(dp[i-1][k], dp[i-1][k-1]) - S[k-1])."""
+    from eristropy_spark.operators.dtw import dtw_pairs
+
+    tokens = events_to_tokens(_utc(spark), sf_dir).withColumn(
+        "user", F.substring_index("doc_id", ":", 1)
+    )
+    r = dtw_pairs(
+        tokens, key_col="user", label_col="source", array_col="tokens",
+        max_len=24,
+    )
+    return r.select(
+        "key", "src_a", "src_b", "n_a", "n_b", "dtw",
+        _r6("dtw_norm").alias("dtw_norm"),
+    )
+
+
+def _oracle_dtw(max_len: int = 24, big: int = 1 << 40) -> str:
+    """Generated full DuckDB replay of dtw_pairs: the dp row
+    recurrence unrolled into ``max_len`` chained CTEs, each one prefix
+    sum + running min over the previous row (same min-plus identity as
+    the kernel; exact BIGINT arithmetic, so value-hash-identical)."""
+    parts = [
+        """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS tok,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_full
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, tok, i,
+         CAST(least(n_full, %d) AS INT) AS n
+  FROM seq WHERE i <= %d
+), grid AS (
+  SELECT a.user_id AS key, a.event_type AS src_a, b.event_type AS src_b,
+         a.i AS i, b.i AS j, abs(a.tok - b.tok) AS c,
+         a.n AS n_a, b.n AS n_b
+  FROM s a JOIN s b ON b.user_id = a.user_id
+                   AND a.event_type < b.event_type
+), r1 AS (
+  SELECT key, src_a, src_b, j, n_a, n_b,
+         sum(c) OVER (PARTITION BY key, src_a, src_b ORDER BY j) AS dp
+  FROM grid WHERE i = 1
+)"""
+        % (max_len, max_len)
+    ]
+    for step in range(2, max_len + 1):
+        parts.append(
+            """, r%d AS (
+  SELECT key, src_a, src_b, j, n_a, n_b,
+         S + min(g) OVER (PARTITION BY key, src_a, src_b ORDER BY j) AS dp
+  FROM (
+    SELECT g.key, g.src_a, g.src_b, g.j, g.n_a, g.n_b,
+           sum(g.c) OVER w AS S,
+           least(p.dp, coalesce(lag(p.dp) OVER w, %d))
+             - (sum(g.c) OVER w - g.c) AS g
+    FROM grid g JOIN r%d p
+      ON p.key = g.key AND p.src_a = g.src_a AND p.src_b = g.src_b
+     AND p.j = g.j
+    WHERE g.i = %d
+    WINDOW w AS (PARTITION BY g.key, g.src_a, g.src_b ORDER BY g.j)
+  ) t
+)"""
+            % (step, big, step - 1, step)
+        )
+    answers = " UNION ALL ".join(
+        "SELECT key, src_a, src_b, n_a, n_b, dp FROM r%d "
+        "WHERE n_a = %d AND j = n_b" % (step, step)
+        for step in range(1, max_len + 1)
+    )
+    parts.append(
+        """
+SELECT CAST(key AS VARCHAR) AS key, src_a, src_b, n_a, n_b,
+       CAST(dp AS BIGINT) AS dtw,
+       floor(CAST(dp AS DOUBLE) / (n_a + n_b) * 1000000 + 0.5)
+         / 1000000 AS dtw_norm
+FROM (%s)"""
+        % answers
+    )
+    return "".join(parts)
+
+
 def _q_kalman_level(spark, sf_dir):
     """Local-level Kalman filter per user stream (operators/smoothing
     .kalman_level, Kalman 1960 / Durbin & Koopman §2): time-varying
@@ -7074,6 +7171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_drift": _q_cvm_drift,
         "quantile_drift": _q_quantile_drift,
         "categorical_drift": _q_categorical_drift,
+        "dtw_distance": _q_dtw_distance,
         "robust_scale": _q_robust_scale,
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
@@ -7213,6 +7311,7 @@ def oracle_sql() -> dict[str, str]:
         "cvm_drift": _ORACLE_CVM_DRIFT,
         "quantile_drift": _ORACLE_QUANTILE_DRIFT,
         "categorical_drift": _ORACLE_CATEGORICAL_DRIFT,
+        "dtw_distance": _oracle_dtw(),
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,
