@@ -84,6 +84,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   categorical_drift timeseries   JS divergence of the category mix
   dtw_distance      timeseries   banded-DTW pair distance (exact int64,
                                  unrolled window-CTE SQL replay)
+  seq_align         pipeline     token edit distance + LCS pair similarity
+                                 (dual unrolled dp SQL replay)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -6835,13 +6837,13 @@ WITH seq AS (
   SELECT user_id, event_type, tok, i,
          CAST(least(n_full, %d) AS INT) AS n
   FROM seq WHERE i <= %d
-), grid AS (
+), grid AS MATERIALIZED (
   SELECT a.user_id AS key, a.event_type AS src_a, b.event_type AS src_b,
          a.i AS i, b.i AS j, abs(a.tok - b.tok) AS c,
          a.n AS n_a, b.n AS n_b
   FROM s a JOIN s b ON b.user_id = a.user_id
                    AND a.event_type < b.event_type
-), r1 AS (
+), r1 AS MATERIALIZED (
   SELECT key, src_a, src_b, j, n_a, n_b,
          sum(c) OVER (PARTITION BY key, src_a, src_b ORDER BY j) AS dp
   FROM grid WHERE i = 1
@@ -6850,7 +6852,7 @@ WITH seq AS (
     ]
     for step in range(2, max_len + 1):
         parts.append(
-            """, r%d AS (
+            """, r%d AS MATERIALIZED (
   SELECT key, src_a, src_b, j, n_a, n_b,
          S + min(g) OVER (PARTITION BY key, src_a, src_b ORDER BY j) AS dp
   FROM (
@@ -6880,6 +6882,128 @@ SELECT CAST(key AS VARCHAR) AS key, src_a, src_b, n_a, n_b,
          / 1000000 AS dtw_norm
 FROM (%s)"""
         % answers
+    )
+    return "".join(parts)
+
+
+def _q_seq_align(spark, sf_dir):
+    """Token-level edit distance + LCS length between same-user signal
+    pairs (operators/seqalign.align_pairs, Levenshtein 1966 / Wagner &
+    Fischer 1974): the token-IDENTITY member of the pair family —
+    DTW charges value gaps, edit/LCS charge insert/delete/substitute
+    events.  Same scale shape as dtw_distance (truncate-before-join,
+    ONE mapInArrow dp sweep); both dp tables are pure int64 counts, so
+    the oracle unrolls BOTH recurrences into chained window-function
+    CTEs (edit: j + min(i, runmin(min(prev+1, prev_diag+sub) - k));
+    lcs: runmax(max(prev, prev_diag + eq))) and joins their answer
+    rows — exact end-to-end."""
+    from eristropy_spark.operators.seqalign import align_pairs
+
+    tokens = events_to_tokens(_utc(spark), sf_dir).withColumn(
+        "user", F.substring_index("doc_id", ":", 1)
+    )
+    r = align_pairs(
+        tokens, key_col="user", label_col="source", array_col="tokens",
+        max_len=24,
+    )
+    return r.select(
+        "key", "src_a", "src_b", "n_a", "n_b", "edit_dist", "lcs_len",
+        _r6("edit_sim").alias("edit_sim"),
+    )
+
+
+def _oracle_seq_align(max_len: int = 24) -> str:
+    """Generated full DuckDB replay of align_pairs: BOTH dp
+    recurrences (Levenshtein + LCS) unrolled into ``max_len`` chained
+    window-function CTEs over one shared cost grid, answer rows
+    joined per pair (exact BIGINT arithmetic throughout)."""
+    pk = "PARTITION BY key, src_a, src_b"
+    gpk = "PARTITION BY g.key, g.src_a, g.src_b"
+    parts = [
+        """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS tok,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_full
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, tok, i,
+         CAST(least(n_full, %d) AS INT) AS n
+  FROM seq WHERE i <= %d
+), grid AS MATERIALIZED (
+  SELECT a.user_id AS key, a.event_type AS src_a, b.event_type AS src_b,
+         a.i AS i, b.i AS j,
+         CAST(a.tok <> b.tok AS BIGINT) AS sub,
+         CAST(a.tok = b.tok AS BIGINT) AS eq,
+         a.n AS n_a, b.n AS n_b
+  FROM s a JOIN s b ON b.user_id = a.user_id
+                   AND a.event_type < b.event_type
+), e0 AS MATERIALIZED (
+  SELECT key, src_a, src_b, j, n_a, n_b, CAST(j AS BIGINT) AS dp
+  FROM grid WHERE i = 1
+), l0 AS MATERIALIZED (
+  SELECT key, src_a, src_b, j, n_a, n_b, CAST(0 AS BIGINT) AS dp
+  FROM grid WHERE i = 1
+)"""
+        % (max_len, max_len)
+    ]
+    for step in range(1, max_len + 1):
+        parts.append(
+            """, e%d AS MATERIALIZED (
+  SELECT key, src_a, src_b, j, n_a, n_b,
+         j + least(min(g) OVER (%s ORDER BY j), %d) AS dp
+  FROM (
+    SELECT g.key, g.src_a, g.src_b, g.j, g.n_a, g.n_b,
+           least(p.dp + 1,
+                 coalesce(lag(p.dp) OVER w, %d) + g.sub) - g.j AS g
+    FROM grid g JOIN e%d p
+      ON p.key = g.key AND p.src_a = g.src_a AND p.src_b = g.src_b
+     AND p.j = g.j
+    WHERE g.i = %d
+    WINDOW w AS (%s ORDER BY g.j)
+  ) t
+), l%d AS MATERIALIZED (
+  SELECT key, src_a, src_b, j, n_a, n_b,
+         max(g) OVER (%s ORDER BY j) AS dp
+  FROM (
+    SELECT g.key, g.src_a, g.src_b, g.j, g.n_a, g.n_b,
+           greatest(p.dp, coalesce(lag(p.dp) OVER w, 0) + g.eq) AS g
+    FROM grid g JOIN l%d p
+      ON p.key = g.key AND p.src_a = g.src_a AND p.src_b = g.src_b
+     AND p.j = g.j
+    WHERE g.i = %d
+    WINDOW w AS (%s ORDER BY g.j)
+  ) t
+)"""
+            % (
+                step, pk, step, step - 1, step - 1, step, gpk,
+                step, pk, step - 1, step, gpk,
+            )
+        )
+    ans_e = " UNION ALL ".join(
+        "SELECT key, src_a, src_b, n_a, n_b, dp FROM e%d "
+        "WHERE n_a = %d AND j = n_b" % (step, step)
+        for step in range(1, max_len + 1)
+    )
+    ans_l = " UNION ALL ".join(
+        "SELECT key, src_a, src_b, dp FROM l%d "
+        "WHERE n_a = %d AND j = n_b" % (step, step)
+        for step in range(1, max_len + 1)
+    )
+    parts.append(
+        """
+, ae AS (%s), al AS (%s)
+SELECT CAST(ae.key AS VARCHAR) AS key, ae.src_a, ae.src_b,
+       ae.n_a, ae.n_b,
+       CAST(ae.dp AS BIGINT) AS edit_dist,
+       CAST(al.dp AS BIGINT) AS lcs_len,
+       floor((1.0 - CAST(ae.dp AS DOUBLE) / greatest(ae.n_a, ae.n_b))
+             * 1000000 + 0.5) / 1000000 AS edit_sim
+FROM ae JOIN al ON al.key = ae.key AND al.src_a = ae.src_a
+               AND al.src_b = ae.src_b"""
+        % (ans_e, ans_l)
     )
     return "".join(parts)
 
@@ -7172,6 +7296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift": _q_quantile_drift,
         "categorical_drift": _q_categorical_drift,
         "dtw_distance": _q_dtw_distance,
+        "seq_align": _q_seq_align,
         "robust_scale": _q_robust_scale,
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
@@ -7312,6 +7437,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_drift": _ORACLE_QUANTILE_DRIFT,
         "categorical_drift": _ORACLE_CATEGORICAL_DRIFT,
         "dtw_distance": _oracle_dtw(),
+        "seq_align": _oracle_seq_align(),
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,

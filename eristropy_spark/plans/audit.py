@@ -1062,17 +1062,18 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # flip to sort-merge at scale — still keyed, never cartesian),
     # then exactly ONE MapInArrow boundary for the dp row sweep.
     # Arrays are truncated to max_len upstream of the join.
-    dtwq = entrymod.queries()["dtw_distance"](spark, sf_dir)
-    p = plan_of(dtwq)
-    checks.append(
-        ("dtw_distance: keyed pair join (no cartesian), <=3 Exchanges, "
-         "ONE MapInArrow, no single-partition stage",
-         p.count("Exchange") <= 3
-         and "CartesianProduct" not in p
-         and "Join" in p
-         and "SinglePartition" not in p
-         and p.count("MapInArrow") == 1
-         and _py_node_count(p) == 1, p)
-    )
+    for qn in ("dtw_distance", "seq_align"):
+        dtwq = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(dtwq)
+        checks.append(
+            (f"{qn}: keyed pair join (no cartesian), <=3 Exchanges, "
+             "ONE MapInArrow, no single-partition stage",
+             p.count("Exchange") <= 3
+             and "CartesianProduct" not in p
+             and "Join" in p
+             and "SinglePartition" not in p
+             and p.count("MapInArrow") == 1
+             and _py_node_count(p) == 1, p)
+        )
 
     return checks
