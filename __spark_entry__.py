@@ -86,6 +86,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
                                  unrolled window-CTE SQL replay)
   seq_align         pipeline     token edit distance + LCS pair similarity
                                  (dual unrolled dp SQL replay)
+  forecast_eval     timeseries   naive/mean/drift backtest + MASE skill
+                                 (Hyndman-Koehler 2006, exact DECIMAL sums)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -7008,6 +7010,103 @@ FROM ae JOIN al ON al.key = ae.key AND al.src_a = ae.src_a
     return "".join(parts)
 
 
+def _q_forecast_eval(spark, sf_dir):
+    """Forecast-baseline backtest per signal (operators/backtest
+    .backtest_baselines, Hyndman & Koehler 2006 MASE): in-sample
+    one-step errors of the naive / expanding-mean / drift forecasters
+    and their scale-free MASE skill scores — the forecastability
+    triage next to ewma/holt/ar2.  Values are fed 100x-quantized so
+    the expanding prefix sum is integer-exact in double; |e| and e²
+    quantize to 12/6-dp DECIMAL(38,0) exact sums (partition-order-free
+    by construction), every output ONE mirrored float expression."""
+    from eristropy_spark.operators.backtest import backtest_baselines
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).alias("q"),
+    )
+    r = backtest_baselines(
+        ev, key=["user_id", "event_type"], ts_col="ts", value_col="q",
+        tiebreak_col="event_id",
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "n",
+        _r6("mae_naive").alias("mae_naive"),
+        _r6("rmse_naive").alias("rmse_naive"),
+        _r6("mae_mean").alias("mae_mean"),
+        _r6("mae_drift").alias("mae_drift"),
+        _r6("mase_mean").alias("mase_mean"),
+        _r6("mase_drift").alias("mase_drift"),
+    )
+
+
+_ORACLE_FORECAST_EVAL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 100) AS DOUBLE) AS y
+  FROM events
+), pts AS (
+  SELECT user_id, event_type, y,
+         row_number() OVER w AS t,
+         lag(y) OVER w AS prev,
+         sum(y) OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS s,
+         first_value(y) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS y1
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), errs AS (
+  SELECT user_id, event_type,
+         CAST(floor(abs(y - prev) * 1e12 + 0.5) AS HUGEINT) AS qn,
+         CAST(floor((y - prev) * (y - prev) * 1e6 + 0.5) AS HUGEINT)
+           AS qn2,
+         CAST(floor(abs(y - s / (t - 1)) * 1e12 + 0.5) AS HUGEINT) AS qm,
+         CASE WHEN t >= 3 THEN
+           CAST(floor(abs(y - (prev + (prev - y1) / (t - 2)))
+                      * 1e12 + 0.5) AS HUGEINT)
+         END AS qd
+  FROM pts
+), agg AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS INT) AS n,
+         sum(qn) AS sn, count(qn) AS cn, sum(qn2) AS sn2,
+         sum(qm) AS sm, count(qm) AS cm,
+         sum(qd) AS sd, count(qd) AS cd
+  FROM errs GROUP BY user_id, event_type
+), vals AS (
+  SELECT user_id, event_type, n,
+         CAST(sn AS DOUBLE) / 1e12 / cn AS mae_naive,
+         sqrt(CAST(sn2 AS DOUBLE) / 1e6 / cn) AS rmse_naive,
+         CAST(sm AS DOUBLE) / 1e12 / cm AS mae_mean,
+         CASE WHEN cd > 0 THEN CAST(sd AS DOUBLE) / 1e12 / cd END
+           AS mae_drift,
+         sn
+  FROM agg
+)
+SELECT user_id, event_type, n,
+       floor(mae_naive * 1000000 + 0.5) / 1000000 AS mae_naive,
+       floor(rmse_naive * 1000000 + 0.5) / 1000000 AS rmse_naive,
+       floor(mae_mean * 1000000 + 0.5) / 1000000 AS mae_mean,
+       floor(mae_drift * 1000000 + 0.5) / 1000000 AS mae_drift,
+       CASE WHEN sn > 0 THEN
+         floor((mae_mean / mae_naive) * 1000000 + 0.5) / 1000000
+       END AS mase_mean,
+       CASE WHEN sn > 0 THEN
+         floor((mae_drift / mae_naive) * 1000000 + 0.5) / 1000000
+       END AS mase_drift
+FROM vals
+"""
+
+
 def _q_kalman_level(spark, sf_dir):
     """Local-level Kalman filter per user stream (operators/smoothing
     .kalman_level, Kalman 1960 / Durbin & Koopman §2): time-varying
@@ -7297,6 +7396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": _q_categorical_drift,
         "dtw_distance": _q_dtw_distance,
         "seq_align": _q_seq_align,
+        "forecast_eval": _q_forecast_eval,
         "robust_scale": _q_robust_scale,
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
@@ -7438,6 +7538,7 @@ def oracle_sql() -> dict[str, str]:
         "categorical_drift": _ORACLE_CATEGORICAL_DRIFT,
         "dtw_distance": _oracle_dtw(),
         "seq_align": _oracle_seq_align(),
+        "forecast_eval": _ORACLE_FORECAST_EVAL,
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,

@@ -1062,6 +1062,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # flip to sort-merge at scale — still keyed, never cartesian),
     # then exactly ONE MapInArrow boundary for the dp row sweep.
     # Arrays are truncated to max_len upstream of the join.
+    # 63. forecast_eval: lag/prefix windows + same-key reduce on ONE
+    # keyed Exchange, prefix frames only (streaming O(1) state),
+    # exact-DECIMAL sums, zero Python
+    fe = entrymod.queries()["forecast_eval"](spark, sf_dir)
+    p = plan_of(fe)
+    checks.append(
+        ("forecast_eval: ONE keyed Exchange, prefix frames only, "
+         "no Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and "unboundedfollowing" not in p.lower()
+         and _py_node_count(p) == 0, p)
+    )
+
     for qn in ("dtw_distance", "seq_align"):
         dtwq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(dtwq)
