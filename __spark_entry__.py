@@ -88,6 +88,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
                                  (dual unrolled dp SQL replay)
   forecast_eval     timeseries   naive/mean/drift backtest + MASE skill
                                  (Hyndman-Koehler 2006, exact DECIMAL sums)
+  binseg            timeseries   depth-2 binary-segmentation changepoints
+                                 (exact prefix-sum gains, mirrored argmax)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
 """
@@ -7107,6 +7109,128 @@ FROM vals
 """
 
 
+def _q_binseg(spark, sf_dir):
+    """Binary-segmentation multiple change-point detection, depth 2
+    (operators/changepoint.binseg_changepoints, Scott & Knott 1974 /
+    Killick et al. 2012): best least-squares mean-shift split per
+    signal, then the best split inside each half — the multiple-CP
+    extension of pettitt (single CP) and cusum (known-target chart).
+    Prefix-sum identity makes each candidate's gain an exact-DECIMAL
+    numerator over one mirrored float division, so the argmaxes (and
+    every output) replay exactly in SQL; pure codegen on ONE keyed
+    Exchange (prefix frames + rank-by-gain sorts), no joins, no
+    Python."""
+    from eristropy_spark.operators.changepoint import binseg_changepoints
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("q"),
+    )
+    r = binseg_changepoints(
+        ev, key=["user_id", "event_type"], ts_col="ts", value_col="q",
+        tiebreak_col="event_id",
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "n",
+        "k1",
+        _r6("gain1").alias("gain1"),
+        "k2_left",
+        _r6("gain_left").alias("gain_left"),
+        "k2_right",
+        _r6("gain_right").alias("gain_right"),
+    )
+
+
+_ORACLE_BINSEG = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS q
+  FROM events
+), pts AS (
+  SELECT user_id, event_type,
+         CAST(sum(q) OVER w AS HUGEINT) AS s,
+         row_number() OVER w AS k,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n,
+         CAST(sum(q) OVER (PARTITION BY user_id, event_type) AS HUGEINT)
+           AS sn
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), l1a AS (
+  SELECT *, CASE WHEN k < n THEN
+    CAST(s * s * (n - k) + (sn - s) * (sn - s) * k AS DOUBLE)
+      / (CAST(k AS DOUBLE) * (n - k)) END AS v1
+  FROM pts
+), l1b AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY v1 DESC NULLS LAST, k ASC) AS rn1
+  FROM l1a
+), l1c AS (
+  SELECT *,
+         max(CASE WHEN rn1 = 1 AND v1 IS NOT NULL THEN k END) OVER p AS k1,
+         max(CASE WHEN rn1 = 1 AND v1 IS NOT NULL THEN v1 END) OVER p
+           AS v1max
+  FROM l1b
+  WINDOW p AS (PARTITION BY user_id, event_type)
+), l1d AS (
+  SELECT *, max(CASE WHEN k = k1 THEN s END) OVER p AS sk1
+  FROM l1c
+  WINDOW p AS (PARTITION BY user_id, event_type)
+), l2a AS (
+  SELECT *,
+         CASE WHEN k < k1 THEN
+           CAST(s * s * (k1 - k) + (sk1 - s) * (sk1 - s) * k AS DOUBLE)
+             / (CAST(k AS DOUBLE) * (k1 - k)) END AS vl,
+         CASE WHEN k > k1 AND k < n THEN
+           CAST((s - sk1) * (s - sk1) * (n - k)
+                + (sn - s) * (sn - s) * (k - k1) AS DOUBLE)
+             / (CAST(k - k1 AS DOUBLE) * (n - k)) END AS vr
+  FROM l1d
+), l2b AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY vl DESC NULLS LAST, k ASC) AS rnl,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY vr DESC NULLS LAST, k ASC) AS rnr
+  FROM l2a
+), l2c AS (
+  SELECT *,
+         max(CASE WHEN rnl = 1 AND vl IS NOT NULL THEN k END) OVER p
+           AS k2l,
+         max(CASE WHEN rnl = 1 AND vl IS NOT NULL THEN vl END) OVER p
+           AS vlmax,
+         max(CASE WHEN rnr = 1 AND vr IS NOT NULL THEN k END) OVER p
+           AS k2r,
+         max(CASE WHEN rnr = 1 AND vr IS NOT NULL THEN vr END) OVER p
+           AS vrmax
+  FROM l2b
+  WINDOW p AS (PARTITION BY user_id, event_type)
+), fin AS (
+  SELECT user_id, event_type,
+         CAST(max(n) AS INT) AS n,
+         CAST(max(k1) AS INT) AS k1,
+         max(v1max - CAST(sn * sn AS DOUBLE) / n) AS g1,
+         CAST(max(k2l) AS INT) AS k2_left,
+         max(vlmax - CAST(sk1 * sk1 AS DOUBLE) / k1) AS gl,
+         CAST(max(k2r) AS INT) AS k2_right,
+         max(vrmax - CAST((sn - sk1) * (sn - sk1) AS DOUBLE) / (n - k1))
+           AS gr
+  FROM l2c GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n, k1,
+       floor(g1 * 1000000 + 0.5) / 1000000 AS gain1,
+       k2_left,
+       floor(gl * 1000000 + 0.5) / 1000000 AS gain_left,
+       k2_right,
+       floor(gr * 1000000 + 0.5) / 1000000 AS gain_right
+FROM fin
+"""
+
+
 def _q_kalman_level(spark, sf_dir):
     """Local-level Kalman filter per user stream (operators/smoothing
     .kalman_level, Kalman 1960 / Durbin & Koopman §2): time-varying
@@ -7397,6 +7521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_distance": _q_dtw_distance,
         "seq_align": _q_seq_align,
         "forecast_eval": _q_forecast_eval,
+        "binseg": _q_binseg,
         "robust_scale": _q_robust_scale,
         "lexical_richness": _q_lexical_richness,
         "vocab_coverage": _q_vocab_coverage,
@@ -7539,6 +7664,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_distance": _oracle_dtw(),
         "seq_align": _oracle_seq_align(),
         "forecast_eval": _ORACLE_FORECAST_EVAL,
+        "binseg": _ORACLE_BINSEG,
         "robust_scale": _ORACLE_ROBUST_SCALE,
         "lexical_richness": _ORACLE_LEXICAL_RICHNESS,
         "vocab_coverage": _ORACLE_VOCAB_COVERAGE,

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cusum_changepoints", "pettitt"]
+__all__ = ["binseg_changepoints", "cusum_changepoints", "pettitt"]
 
 
 def _floor_round(c: Column, d: int) -> Column:
@@ -266,3 +266,134 @@ def pettitt(
             )
 
     return src.mapInArrow(_compute, schema)
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Binary-segmentation multiple change-point detection, depth 2
+    (Scott & Knott 1974; the top of every binseg/PELT implementation,
+    e.g. Killick et al. 2012 §2.2) — least-squares mean-shift cost.
+
+    For a segment the best split maximizes the variance-reduction gain
+
+        G(k) = SSE(seg) - SSE(left) - SSE(right)
+             = S_k^2/k + (S_seg - S_k)^2/(len-k) - S_seg^2/len
+
+    (prefix-sum identity: the sum-of-squares terms cancel), so the
+    whole search is prefix sums + an argmax — no per-cell dp.  Depth 2
+    unrolled: the best global split k1, then the best split inside
+    each half.  One row per key:
+
+        (n, k1, gain1, k2_left, gain_left, k2_right, gain_right)
+
+    k's are 1-based last-index-of-left-segment positions; gains are in
+    value^2 units, NULL when the (sub)segment is too short (< 2) or
+    the series is degenerate.  Ties in gain break to the SMALLEST k.
+
+    Exactness contract: feed integer-valued series (quantize first —
+    the repo convention); prefix sums and the gain numerator
+    a(k) = S_k^2*(len-k) + (S_seg-S_k)^2*k are then EXACT DECIMAL(38,0)
+    ints, and each compared statistic is ONE fixed float expression
+    a/(k*(len-k)) — bit-identical across engines, so the argmax (and
+    therefore every output) replays exactly in SQL.
+
+    Scale shape: pure whole-stage codegen on ONE key Exchange — prefix
+    frames, full-partition reduces, and three in-partition sorts (the
+    rank-by-gain argmaxes); no joins, no Python.  Depth is a static
+    constant, so the plan does not grow with data; a key with a
+    billion points streams through every stage.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    prefix = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = Window.partitionBy(*keys)
+
+    dec = "decimal(38,0)"
+    q = F.col(value_col).cast("long")
+    pts = df.select(
+        *keys,
+        F.sum(q).over(prefix).cast(dec).alias("_S"),
+        F.row_number().over(w).alias("_k"),
+        F.count(F.lit(1)).over(wfull).alias("_n"),
+        F.sum(q).over(wfull).cast(dec).alias("_Sn"),
+    )
+
+    def _stat(s_col, k_col, total_col, len_col):
+        """a/(k*(len-k)) with a = s^2*(len-k) + (total-s)^2*k exact."""
+        rest = total_col - s_col
+        a = s_col * s_col * (len_col - k_col) + rest * rest * k_col
+        return a.cast("double") / (
+            k_col.cast("double") * (len_col - k_col)
+        )
+
+    k, n = F.col("_k"), F.col("_n")
+    lvl1 = pts.withColumn(
+        "_v1",
+        F.when(k < n, _stat(F.col("_S"), k, F.col("_Sn"), n)),
+    )
+    rn1w = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last("_v1"), F.asc("_k")
+    )
+    lvl1 = lvl1.withColumn("_rn1", F.row_number().over(rn1w))
+    top1 = F.when((F.col("_rn1") == 1) & F.col("_v1").isNotNull(), True)
+    lvl1 = lvl1.select(
+        *keys,
+        "_S", "_k", "_n", "_Sn", "_v1",
+        F.max(F.when(top1, k)).over(wfull).alias("_k1"),
+        F.max(F.when(top1, F.col("_v1"))).over(wfull).alias("_v1max"),
+    )
+    k1 = F.col("_k1")
+    lvl1 = lvl1.withColumn(
+        "_Sk1", F.max(F.when(k == k1, F.col("_S"))).over(wfull)
+    )
+
+    sk1, s, sn = F.col("_Sk1"), F.col("_S"), F.col("_Sn")
+    lvl2 = lvl1.select(
+        *keys,
+        "_S", "_k", "_n", "_Sn", "_k1", "_v1max", "_Sk1",
+        F.when(k < k1, _stat(s, k, sk1, k1)).alias("_vl"),
+        F.when(
+            (k > k1) & (k < n),
+            _stat(s - sk1, k - k1, sn - sk1, n - k1),
+        ).alias("_vr"),
+    )
+    rnlw = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last("_vl"), F.asc("_k")
+    )
+    rnrw = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last("_vr"), F.asc("_k")
+    )
+    lvl2 = lvl2.withColumn("_rnl", F.row_number().over(rnlw)).withColumn(
+        "_rnr", F.row_number().over(rnrw)
+    )
+    topl = F.when((F.col("_rnl") == 1) & F.col("_vl").isNotNull(), True)
+    topr = F.when((F.col("_rnr") == 1) & F.col("_vr").isNotNull(), True)
+    lvl2 = lvl2.select(
+        *keys,
+        "_n", "_Sn", "_k1", "_v1max", "_Sk1",
+        F.max(F.when(topl, k)).over(wfull).alias("_k2l"),
+        F.max(F.when(topl, F.col("_vl"))).over(wfull).alias("_vlmax"),
+        F.max(F.when(topr, k)).over(wfull).alias("_k2r"),
+        F.max(F.when(topr, F.col("_vr"))).over(wfull).alias("_vrmax"),
+    )
+
+    # gains: G = v_max - S_seg^2/len, each ONE mirrored float expression
+    base1 = (sn * sn).cast("double") / n
+    basel = (sk1 * sk1).cast("double") / k1
+    tr = sn - sk1
+    baser = (tr * tr).cast("double") / (n - k1)
+    return lvl2.groupBy(*keys).agg(
+        F.max("_n").cast("int").alias("n"),
+        F.max("_k1").cast("int").alias("k1"),
+        F.max(F.col("_v1max") - base1).alias("gain1"),
+        F.max("_k2l").cast("int").alias("k2_left"),
+        F.max(F.col("_vlmax") - basel).alias("gain_left"),
+        F.max("_k2r").cast("int").alias("k2_right"),
+        F.max(F.col("_vrmax") - baser).alias("gain_right"),
+    )

@@ -1077,6 +1077,19 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 64. binseg: prefix frames + full-partition reduces + three
+    # rank-by-gain in-partition sorts, all on ONE keyed Exchange —
+    # depth is static, so the plan never grows with data
+    bs = entrymod.queries()["binseg"](spark, sf_dir)
+    p = plan_of(bs)
+    checks.append(
+        ("binseg: ONE keyed Exchange, no Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     for qn in ("dtw_distance", "seq_align"):
         dtwq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(dtwq)
