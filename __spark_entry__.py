@@ -7422,6 +7422,32 @@ _ORACLE_BPE_MERGES = _make_bpe_merges_oracle(_BPE_MERGES)
 _ORACLE_BPE_ENCODE = _make_bpe_encode_oracle(_BPE_MERGES)
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _q_profile_columns(spark, sf_dir):
+    """Column-profiling census over documents (operators/profile
+    .profile_columns): per column (n_rows, n_nonnull, n_distinct,
+    min/max as strings) in ONE aggregate pass — every statistic is an
+    expression in a single agg, the 1-row wide result unpivoted in-row
+    with stack().  exact=True here (verification scale); the 100 TB
+    path swaps count_distinct for HLL++ approx_count_distinct to avoid
+    the multi-distinct Expand blow-up."""
+    from eristropy_spark.operators.profile import profile_columns
+
+    return profile_columns(_docs(spark, sf_dir), _PROFILE_COLS, exact=True)
+
+
+_ORACLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -7560,6 +7586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": _q_kaplan_meier,
         "lz_entropy_rate": _q_lz_entropy_rate,
         "ess": _q_ess,
+        "profile_columns": _q_profile_columns,
     }
 
 
@@ -7703,6 +7730,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier": _ORACLE_KM,
         "lz_entropy_rate": _ORACLE_LZ_RATE,
         "ess": _ORACLE_ESS,
+        "profile_columns": _ORACLE_PROFILE,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL
