@@ -1104,4 +1104,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and _py_node_count(p) == 1, p)
         )
 
+    # 65. profile_columns (approx/scale path): ONE global aggregate
+    # pass — no Join in the in-row stack() unpivot, and no Expand
+    # (the multi-distinct rewrite that multiplies scan rows x n_cols;
+    # the HLL++ path must plan as a plain two-phase aggregate)
+    from eristropy_spark.operators.profile import profile_columns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pr = profile_columns(docs, exact=False)
+    p = plan_of(pr)
+    checks.append(
+        ("profile_columns (approx path): no Join, no Expand, "
+         "zero Python",
+         "Join" not in p
+         and "Expand" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
