@@ -92,6 +92,9 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
                                  (exact prefix-sum gains, mirrored argmax)
   tfidf_topk        pipeline     top-k TF-IDF terms per doc
   md5_sample        pipeline     deterministic partition-invariant sample
+  irreversibility   timeseries   Porta/Guzik time-reversal asymmetry
+  hjorth            timeseries   Hjorth activity/mobility/complexity
+  katz_fd           timeseries   Katz waveform fractal dimension
 """
 
 from __future__ import annotations
@@ -6011,6 +6014,213 @@ FROM e5
 """
 
 
+def _q_irreversibility(spark, sf_dir):
+    """Time-reversal asymmetry per signal (operators/dynamics
+    .irreversibility, Porta et al. 2008 / Guzik et al. 2006): exact
+    int64 increment counts and squared-increment sums in-row, ONE
+    fixed float expression each for Porta %, Guzik GI and the sign-
+    test z — zero Python, zero joins, only tokenize's Exchange."""
+    from eristropy_spark.operators.dynamics import irreversibility
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = irreversibility(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "n_plus", "n_minus",
+        _r6("porta").alias("porta"),
+        _r6("guzik").alias("guzik"),
+        _r6("z").alias("z"),
+    )
+
+
+_ORACLE_IRREV = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), dif AS (
+  SELECT doc_id,
+         CAST(tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+              AS BIGINT) AS d
+  FROM pts
+), dnn AS (
+  SELECT doc_id, d FROM dif WHERE d IS NOT NULL
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+         CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+         CAST(sum(CASE WHEN d > 0 THEN d * d ELSE 0 END) AS BIGINT) AS sp,
+         CAST(sum(d * d) AS BIGINT) AS sa
+  FROM dnn GROUP BY doc_id
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+)
+SELECT nn.doc_id, nn.n,
+       coalesce(agg.n_plus, 0) AS n_plus,
+       coalesce(agg.n_minus, 0) AS n_minus,
+       CASE WHEN coalesce(agg.n_plus, 0) + coalesce(agg.n_minus, 0) > 0
+            THEN floor(CAST(agg.n_minus AS DOUBLE)
+                       / CAST(agg.n_plus + agg.n_minus AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS porta,
+       CASE WHEN coalesce(agg.sa, 0) > 0
+            THEN floor(CAST(agg.sp AS DOUBLE) / CAST(agg.sa AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS guzik,
+       CASE WHEN coalesce(agg.n_plus, 0) + coalesce(agg.n_minus, 0) > 0
+            THEN floor((CAST(agg.n_plus AS DOUBLE)
+                        - CAST(agg.n_minus AS DOUBLE))
+                       / sqrt(CAST(agg.n_plus + agg.n_minus AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000 END AS z
+FROM nn LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _q_hjorth(spark, sf_dir):
+    """Hjorth activity/mobility/complexity per signal (operators/
+    dynamics.hjorth, Hjorth 1970): exact int64 sums over the signal
+    and its first/second differences in-row, population variances and
+    the two sqrt ratios as fixed float expressions — zero Python,
+    zero joins, O(n) per signal."""
+    from eristropy_spark.operators.dynamics import hjorth
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = hjorth(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n",
+        _r6("activity").alias("activity"),
+        _r6("mobility").alias("mobility"),
+        _r6("complexity").alias("complexity"),
+    )
+
+
+_ORACLE_HJORTH = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), dif AS (
+  SELECT doc_id, i, CAST(tok AS BIGINT) AS x,
+         CAST(tok - lag(tok) OVER w AS BIGINT) AS d1
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), dif2 AS (
+  SELECT doc_id, i, x, d1,
+         d1 - lag(d1) OVER (PARTITION BY doc_id ORDER BY i) AS d2
+  FROM dif
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n,
+         CAST(sum(x) AS BIGINT) AS s0,
+         CAST(sum(x * x) AS BIGINT) AS q0,
+         CAST(coalesce(sum(d1), 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(d1 * d1), 0) AS BIGINT) AS q1,
+         CAST(coalesce(sum(d2), 0) AS BIGINT) AS s2,
+         CAST(coalesce(sum(d2 * d2), 0) AS BIGINT) AS q2
+  FROM dif2 GROUP BY doc_id
+)
+SELECT doc_id, n,
+       floor((CAST(q0 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS activity,
+       CASE WHEN n >= 2
+                 AND (CAST(q0 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE) > 0
+            THEN floor(sqrt(((CAST(q1 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                / CAST(n - 1 AS DOUBLE))
+                             / CAST(n - 1 AS DOUBLE))
+                            / ((CAST(q0 AS DOUBLE)
+                                - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               / CAST(n AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000 END AS mobility,
+       CASE WHEN n >= 3
+                 AND (CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n - 1 AS DOUBLE))
+                     / CAST(n - 1 AS DOUBLE) > 0
+                 AND (CAST(q0 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE) > 0
+            THEN floor(sqrt(((CAST(q2 AS DOUBLE)
+                              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                / CAST(n - 2 AS DOUBLE))
+                             / CAST(n - 2 AS DOUBLE))
+                            / ((CAST(q1 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(n - 1 AS DOUBLE))
+                               / CAST(n - 1 AS DOUBLE)))
+                       / sqrt(((CAST(q1 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(n - 1 AS DOUBLE))
+                               / CAST(n - 1 AS DOUBLE))
+                              / ((CAST(q0 AS DOUBLE)
+                                  - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 / CAST(n AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000 END AS complexity
+FROM agg
+"""
+
+
+def _q_katz_fd(spark, sf_dir):
+    """Katz waveform fractal dimension per signal (operators/dynamics
+    .katz_fd, Katz 1988): exact int64 curve length Σ|Δ| and planar
+    extent max|x_i − x_1| in-row, D = ln(m)/(ln(m)+ln(d)−ln(L)) as one
+    fixed float expression — zero Python, zero joins."""
+    from eristropy_spark.operators.dynamics import katz_fd
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = katz_fd(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "curve_len", "extent", _r6("kfd").alias("kfd")
+    )
+
+
+_ORACLE_KATZ = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), dif AS (
+  SELECT doc_id,
+         CAST(tok - lag(tok) OVER w AS BIGINT) AS d,
+         CAST(tok AS BIGINT)
+           - CAST(first_value(tok) OVER w2 AS BIGINT) AS e
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i),
+         w2 AS (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n,
+         CAST(coalesce(sum(abs(d)), 0) AS BIGINT) AS curve_len,
+         CAST(max(abs(e)) AS BIGINT) AS extent
+  FROM dif GROUP BY doc_id
+)
+SELECT doc_id, n, curve_len, extent,
+       CASE WHEN n >= 3 AND curve_len > 0 AND extent > 0
+                 AND ln(CAST(n - 1 AS DOUBLE))
+                     + ln(CAST(extent AS DOUBLE))
+                     - ln(CAST(curve_len AS DOUBLE)) <> 0
+            THEN floor(ln(CAST(n - 1 AS DOUBLE))
+                       / (ln(CAST(n - 1 AS DOUBLE))
+                          + ln(CAST(extent AS DOUBLE))
+                          - ln(CAST(curve_len AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000 END AS kfd
+FROM agg
+"""
+
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -7570,6 +7780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": _q_runs_test,
         "turning_points": _q_turning_points,
         "variance_ratio": _q_variance_ratio,
+        "irreversibility": _q_irreversibility,
+        "hjorth": _q_hjorth,
+        "katz_fd": _q_katz_fd,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -7714,6 +7927,9 @@ def oracle_sql() -> dict[str, str]:
         "runs_test": _ORACLE_RUNS,
         "turning_points": _ORACLE_TURNING,
         "variance_ratio": _ORACLE_VR,
+        "irreversibility": _ORACLE_IRREV,
+        "hjorth": _ORACLE_HJORTH,
+        "katz_fd": _ORACLE_KATZ,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

@@ -703,6 +703,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and _py_node_count(p) == 0, p)
         )
 
+    # 38b. irreversibility / hjorth / katz_fd: the same pure-codegen
+    # in-row class as the randomness tests — only tokenize's Exchange,
+    # no Join, no Window of their own, zero Python
+    for qname in ("irreversibility", "hjorth", "katz_fd"):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (f"{qname}: only tokenize's Exchange, no Join/Window, "
+             "zero Python",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and "Window" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
     # 39. kn_bigram: the corpus-join class — equi-joins only (never a
     # cartesian; the one-row type total rides a broadcast nested-loop
     # like pmi's totals), zero Python
