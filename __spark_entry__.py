@@ -95,6 +95,11 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   irreversibility   timeseries   Porta/Guzik time-reversal asymmetry
   hjorth            timeseries   Hjorth activity/mobility/complexity
   katz_fd           timeseries   Katz waveform fractal dimension
+  multiscale_entropy E-family    Costa 2002 MSE curve (full SQL replay)
+  ts_features       timeseries   tsfresh-style exact feature battery
+  page_hinkley      timeseries   Page-Hinkley running-mean drift alarm
+  mutual_info       timeseries   symbolic Shannon MI between sources
+  transfer_entropy  timeseries   Schreiber TE(X->Y), binary symbols
 """
 
 from __future__ import annotations
@@ -6221,6 +6226,387 @@ FROM agg
 
 
 
+def _q_multiscale_entropy(spark, sf_dir):
+    """Costa multiscale SampEn curve per signal (operators/mse
+    .multiscale_entropy, Costa et al. 2002): z-norm once from exact
+    int64 sums, coarse-grain at scales 1..3 (complete windows), then
+    SampEn(m=2, r=0.2) with the tolerance fixed at scale 1 — coarse
+    values are fixed float expressions of exact integers, so the
+    match counts replay bit-exactly in DuckDB.  ONE Arrow boundary,
+    zero shuffle beyond tokenize's own."""
+    from eristropy_spark.operators.mse import multiscale_entropy
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = multiscale_entropy(
+        tokens, array_col="tokens", keep_cols=("doc_id",), scales=(1, 2, 3)
+    )
+    return r.select(
+        "doc_id", "scale", "n_coarse", "b_cnt", "a_cnt",
+        _r6("sampen").alias("sampen"),
+    )
+
+
+_ORACLE_MSE = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), st AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n,
+         CAST(sum(tok) AS BIGINT) AS s,
+         CAST(sum(CAST(tok AS BIGINT) * CAST(tok AS BIGINT)) AS BIGINT) AS q
+  FROM pts GROUP BY doc_id
+), sc AS (
+  SELECT CAST(unnest([1, 2, 3]) AS INT) AS scale
+), grid AS (
+  SELECT st.doc_id, st.n, st.s, st.q, sc.scale,
+         CAST(st.n // sc.scale AS INT) AS nc
+  FROM st CROSS JOIN sc
+), coarse AS (
+  SELECT p.doc_id, sc.scale, (p.i - 1) // sc.scale AS gidx,
+         CAST(sum(p.tok) AS BIGINT) AS t
+  FROM pts p CROSS JOIN sc
+  GROUP BY p.doc_id, sc.scale, (p.i - 1) // sc.scale
+  HAVING count(*) = sc.scale
+), cz AS (
+  SELECT c.doc_id, c.scale, c.gidx,
+         (CAST(c.t AS DOUBLE) / CAST(c.scale AS DOUBLE)
+          - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+         / sqrt((CAST(st.q AS DOUBLE)
+                 - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                   / CAST(st.n AS DOUBLE))
+                / CAST(st.n - 1 AS DOUBLE)) AS zv,
+         st.n // c.scale AS nc
+  FROM coarse c JOIN st USING (doc_id)
+), cz2 AS (
+  SELECT doc_id, scale, gidx, nc, zv,
+         lead(zv) OVER (PARTITION BY doc_id, scale ORDER BY gidx) AS zv1
+  FROM cz
+), pairs AS (
+  SELECT a.doc_id, a.scale,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2) AS b_cnt,
+         count(*) FILTER (WHERE abs(a.zv - b.zv) < 0.2
+                            AND abs(a.zv1 - b.zv1) < 0.2) AS a_cnt
+  FROM cz2 a JOIN cz2 b
+    ON a.doc_id = b.doc_id AND a.scale = b.scale
+   AND a.gidx < b.gidx AND b.gidx <= a.nc - 2
+  GROUP BY a.doc_id, a.scale
+)
+SELECT g.doc_id, g.scale, g.nc AS n_coarse,
+       CAST(coalesce(p.b_cnt, 0) AS BIGINT) AS b_cnt,
+       CAST(coalesce(p.a_cnt, 0) AS BIGINT) AS a_cnt,
+       CASE WHEN coalesce(p.a_cnt, 0) > 0 AND coalesce(p.b_cnt, 0) > 0
+            THEN floor(-ln(CAST(p.a_cnt AS DOUBLE)
+                           / CAST(p.b_cnt AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000 END AS sampen
+FROM grid g LEFT JOIN pairs p
+  ON p.doc_id = g.doc_id AND p.scale = g.scale
+"""
+
+
+
+def _q_ts_features(spark, sf_dir):
+    """tsfresh-style per-signal feature battery (operators/tsfeatures
+    .ts_features, Christ et al. 2018 catalogue): abs energy, range,
+    above-mean count, mean crossings, longest strikes, mean abs
+    change, CID-CE — every counting decision an exact integer
+    cross-multiply (x·n vs S), zero Python, zero joins, only
+    tokenize's Exchange."""
+    from eristropy_spark.operators.tsfeatures import ts_features
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = ts_features(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "sum_x", "abs_energy", "rng", "n_above_mean",
+        "n_crossings", "strike_above", "strike_below",
+        _r6("mean_abs_change").alias("mean_abs_change"),
+        _r6("cid_ce").alias("cid_ce"),
+    )
+
+
+_ORACLE_TSFEATURES = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), st AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n,
+         CAST(sum(tok) AS BIGINT) AS s,
+         CAST(sum(CAST(tok AS BIGINT) * CAST(tok AS BIGINT)) AS BIGINT)
+           AS abs_energy,
+         CAST(max(tok) - min(tok) AS BIGINT) AS rng
+  FROM pts GROUP BY doc_id
+), cs AS (
+  SELECT p.doc_id, p.i,
+         CASE WHEN CAST(p.tok AS BIGINT) * st.n > st.s THEN 1
+              WHEN CAST(p.tok AS BIGINT) * st.n < st.s THEN -1
+              ELSE 0 END AS c
+  FROM pts p JOIN st USING (doc_id)
+), cnt AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above_mean,
+         CAST(coalesce(sum(CASE WHEN (pl > 0 AND c < 0)
+                                  OR (pl < 0 AND c > 0)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_crossings
+  FROM (
+    SELECT doc_id, c,
+           lag(c) OVER (PARTITION BY doc_id ORDER BY i) AS pl
+    FROM cs
+  ) GROUP BY doc_id
+), runs AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS len
+  FROM (
+    SELECT doc_id, c, i,
+           i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i)
+             AS grp
+    FROM cs WHERE c <> 0
+  ) GROUP BY doc_id, c, grp
+), strikes AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN c = 1 THEN len END), 0) AS strike_above,
+         coalesce(max(CASE WHEN c = -1 THEN len END), 0) AS strike_below
+  FROM runs GROUP BY doc_id
+), dsum AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(abs(d)), 0) AS BIGINT) AS ad,
+         CAST(coalesce(sum(d * d), 0) AS BIGINT) AS sd
+  FROM (
+    SELECT doc_id,
+           CAST(tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                AS BIGINT) AS d
+    FROM pts
+  ) WHERE d IS NOT NULL GROUP BY doc_id
+)
+SELECT st.doc_id, st.n, st.s AS sum_x, st.abs_energy, st.rng,
+       cnt.n_above_mean, cnt.n_crossings,
+       coalesce(k.strike_above, 0) AS strike_above,
+       coalesce(k.strike_below, 0) AS strike_below,
+       CASE WHEN st.n >= 2
+            THEN floor(CAST(coalesce(ds.ad, 0) AS DOUBLE)
+                       / CAST(st.n - 1 AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS mean_abs_change,
+       CASE WHEN st.n >= 2
+            THEN floor(sqrt(CAST(coalesce(ds.sd, 0) AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000 END AS cid_ce
+FROM st
+JOIN cnt USING (doc_id)
+LEFT JOIN strikes k USING (doc_id)
+LEFT JOIN dsum ds USING (doc_id)
+"""
+
+
+def _q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley sequential mean-shift detector per signal
+    (operators/changepoint.page_hinkley, Page 1954; the streaming-
+    drift form): running-mean-centered terms floor-rounded onto the
+    6-dp grid, DECIMAL-exact running sums/min, per-key ph_max and
+    first alarm index — one Exchange + one sort, zero Python."""
+    from eristropy_spark.operators.changepoint import page_hinkley
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = page_hinkley(
+        ev, key=["user_id", "event_type"], ts_col="ts",
+        value_col="value", tiebreak_col="event_id",
+        delta=0.5, lam=25.0,
+    )
+    return r.select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+         .alias("doc_id"),
+        "n",
+        _r6("ph_max").alias("ph_max"),
+        "alarm_i",
+    )
+
+
+_ORACLE_PAGE_HINKLEY = """
+WITH q AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(26, 6)) AS v
+  FROM events
+), r AS (
+  SELECT user_id, event_type, v,
+         row_number() OVER w AS i,
+         sum(v) OVER wr AS s
+  FROM q
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+         wr AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), t AS (
+  SELECT user_id, event_type, i,
+         CAST(floor((CAST(v AS DOUBLE)
+                     - CAST(s AS DOUBLE) / CAST(i AS DOUBLE)
+                     - 0.5)
+                    * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(26, 6)) AS tq
+  FROM r
+), mm AS (
+  SELECT user_id, event_type, i,
+         sum(tq) OVER wr AS m
+  FROM t
+  WINDOW wr AS (PARTITION BY user_id, event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), ph AS (
+  SELECT user_id, event_type, i,
+         m - min(m) OVER wr AS ph
+  FROM mm
+  WINDOW wr AS (PARTITION BY user_id, event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id || ':' || event_type AS doc_id,
+       CAST(count(*) AS INT) AS n,
+       floor(CAST(max(ph) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS ph_max,
+       min(CASE WHEN ph > CAST(25.0 AS DECIMAL(26, 6)) THEN i END)
+         AS alarm_i
+FROM ph GROUP BY user_id, event_type
+"""
+
+
+
+
+def _q_mutual_info(spark, sf_dir):
+    """Symbolic Shannon mutual information between source pairs
+    (operators/infotheory.mutual_info_pairs, Shannon 1948): mean-
+    symbolized 10-min bucket grids (exact u·n > S cross-multiply),
+    2x2 contingency counts from ONE pair aggregate, the four
+    plog-ratio terms 12-dp-quantized and integer-summed (order-free)
+    — bucket equi-joins only, zero Python."""
+    from eristropy_spark.operators.infotheory import mutual_info_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = mutual_info_pairs(
+        ev, source_col="event_type", ts_col="ts", value_col="value",
+        bucket_sec=600, min_overlap=8,
+    )
+    return r.select(
+        "source_x", "source_y", "n", "c00", "c01", "c10", "c11",
+        _r6("mi").alias("mi"),
+    )
+
+
+def _q_transfer_entropy(spark, sf_dir):
+    """Schreiber 2000 transfer entropy TE(X->Y), k=l=1, over binary
+    mean symbols (operators/infotheory.transfer_entropy_pairs): the
+    nonlinear directional complement of granger — (y_t, y_{t-1},
+    x_{t-1}) triple alignment by bucket equi-joins, 2x2x2 counts from
+    ONE pair aggregate, eight 12-dp-quantized plog terms integer-
+    summed; zero Python."""
+    from eristropy_spark.operators.infotheory import transfer_entropy_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = transfer_entropy_pairs(
+        ev, source_col="event_type", ts_col="ts", value_col="value",
+        bucket_sec=600, min_overlap=8,
+    )
+    cells = [f"c{j}{k}{l}" for j in (0, 1) for k in (0, 1) for l in (0, 1)]
+    return r.select(
+        "source_x", "source_y", "n", *cells, _r6("te").alias("te")
+    )
+
+
+def _sql_plog(c: str, num: str, den: str) -> str:
+    """The 12-dp-quantized (c/n)*ln(num/den) plog term, exact BIGINT."""
+    return (
+        f"CASE WHEN {c} > 0 THEN "
+        f"CAST(floor(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE) "
+        f"* ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) "
+        f"* 1000000000000.0 + 0.5) AS BIGINT) ELSE 0 END"
+    )
+
+
+_SQL_SYMBOL_GRID = """grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         CAST(floor((floor(avg(value) * 1000000.0 + 0.5) / 1000000.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS u
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nsrc,
+         CAST(sum(u) AS BIGINT) AS ssrc
+  FROM grid GROUP BY source
+), sg AS (
+  SELECT g.source, g.bucket,
+         CASE WHEN g.u * t.nsrc > t.ssrc THEN 1 ELSE 0 END AS s
+  FROM grid g JOIN st t USING (source)
+)"""
+
+
+def _oracle_mutual_info() -> str:
+    """DuckDB replay of mutual_info_pairs: symbol grid, 2x2 counts,
+    the four quantized plog terms summed as BIGINT."""
+    t00 = _sql_plog("c00", "c00 * n", "(c00 + c01) * (c00 + c10)")
+    t01 = _sql_plog("c01", "c01 * n", "(c00 + c01) * (c01 + c11)")
+    t10 = _sql_plog("c10", "c10 * n", "(c10 + c11) * (c00 + c10)")
+    t11 = _sql_plog("c11", "c11 * n", "(c10 + c11) * (c01 + c11)")
+    return f"""
+WITH {_SQL_SYMBOL_GRID}, pairs AS (
+  SELECT x.source AS source_x, y.source AS source_y,
+         x.s AS sx, y.s AS sy
+  FROM sg x JOIN sg y ON x.bucket = y.bucket AND x.source < y.source
+), agg AS (
+  SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((1 - sx) * (1 - sy)) AS BIGINT) AS c00,
+         CAST(sum((1 - sx) * sy) AS BIGINT) AS c01,
+         CAST(sum(sx * (1 - sy)) AS BIGINT) AS c10,
+         CAST(sum(sx * sy) AS BIGINT) AS c11
+  FROM pairs GROUP BY source_x, source_y
+  HAVING count(*) >= 8
+)
+SELECT source_x, source_y, n, c00, c01, c10, c11,
+       floor(CAST({t00}
+                  + {t01}
+                  + {t10}
+                  + {t11} AS DOUBLE)
+             / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS mi
+FROM agg
+"""
+
+
+def _oracle_transfer_entropy() -> str:
+    """DuckDB replay of transfer_entropy_pairs: symbol grid, granger-
+    style triple alignment, 2x2x2 counts, eight quantized plog terms
+    summed as BIGINT."""
+    cells = [(j, k, l) for j in (0, 1) for k in (0, 1) for l in (0, 1)]
+    terms = []
+    for j, k, l in cells:
+        cjkl = f"c{j}{k}{l}"
+        m_kl = f"(c0{k}{l} + c1{k}{l})"
+        r_jk = f"(c{j}{k}0 + c{j}{k}1)"
+        m_k = f"(c0{k}0 + c0{k}1 + c1{k}0 + c1{k}1)"
+        terms.append(_sql_plog(cjkl, f"{cjkl} * {m_k}", f"{m_kl} * {r_jk}"))
+    cellsum = ",\n         ".join(
+        f"CAST(sum({'z' if j else '(1 - z)'} * {'u' if k else '(1 - u)'}"
+        f" * {'w' if l else '(1 - w)'}) AS BIGINT) AS c{j}{k}{l}"
+        for j, k, l in cells
+    )
+    te_sum = "\n                  + ".join(terms)
+    cols = ", ".join(f"c{j}{k}{l}" for j, k, l in cells)
+    return f"""
+WITH {_SQL_SYMBOL_GRID}, triples AS (
+  SELECT x.source AS source_x, yt.source AS source_y,
+         yt.s AS z, y.s AS u, x.s AS w
+  FROM sg yt
+  JOIN sg y ON y.source = yt.source AND y.bucket = yt.bucket - 1
+  JOIN sg x ON x.bucket = yt.bucket - 1 AND x.source <> yt.source
+), agg AS (
+  SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n,
+         {cellsum}
+  FROM triples GROUP BY source_x, source_y
+  HAVING count(*) >= 8
+)
+SELECT source_x, source_y, n, {cols},
+       floor(CAST({te_sum} AS DOUBLE)
+             / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS te
+FROM agg
+"""
+
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -7783,6 +8169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "irreversibility": _q_irreversibility,
         "hjorth": _q_hjorth,
         "katz_fd": _q_katz_fd,
+        "multiscale_entropy": _q_multiscale_entropy,
+        "ts_features": _q_ts_features,
+        "page_hinkley": _q_page_hinkley,
+        "mutual_info": _q_mutual_info,
+        "transfer_entropy": _q_transfer_entropy,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -7930,6 +8321,11 @@ def oracle_sql() -> dict[str, str]:
         "irreversibility": _ORACLE_IRREV,
         "hjorth": _ORACLE_HJORTH,
         "katz_fd": _ORACLE_KATZ,
+        "multiscale_entropy": _ORACLE_MSE,
+        "ts_features": _ORACLE_TSFEATURES,
+        "page_hinkley": _ORACLE_PAGE_HINKLEY,
+        "mutual_info": _oracle_mutual_info(),
+        "transfer_entropy": _oracle_transfer_entropy(),
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

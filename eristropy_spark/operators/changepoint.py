@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binseg_changepoints", "cusum_changepoints", "pettitt"]
+__all__ = ["binseg_changepoints", "cusum_changepoints", "page_hinkley", "pettitt"]
 
 
 def _floor_round(c: Column, d: int) -> Column:
@@ -396,4 +396,83 @@ def binseg_changepoints(
         F.max(F.col("_vlmax") - basel).alias("gain_left"),
         F.max("_k2r").cast("int").alias("k2_right"),
         F.max(F.col("_vrmax") - baser).alias("gain_right"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    exact_decimals: int = 6,
+) -> DataFrame:
+    """Page–Hinkley sequential mean-shift detector per key (Page 1954,
+    Biometrika 41 — the one-sided form; Mouss et al. 2004 for the
+    streaming-drift formulation used by the online-learning
+    literature).  One summary row per key:
+
+        m_t  = Σ_{i<=t} (x_i − x̄_i − δ),   x̄_i the RUNNING mean,
+        PH_t = m_t − min_{j<=t} m_j,
+        ph_max  = max_t PH_t,
+        alarm_i = first t with PH_t > λ   (NULL if never).
+
+    Unlike ``cusum_changepoints`` (known in-control target, per-row
+    chart), Page–Hinkley self-centers on the running mean — the
+    standard concept-drift door when no target is known.
+
+    Engine exactness: values snap to the ``exact_decimals`` grid as
+    DECIMAL, the running sum S_i is an exact DECIMAL, each per-step
+    term (x_i − S_i/i − δ) is ONE fixed float expression floor-rounded
+    back onto the grid, and m/min/PH accumulate in DECIMAL — exact
+    under any partitioning, identical in the DuckDB replay.  ``delta``
+    and ``lam`` must be exact at the grid.
+
+    Scale shape: one Exchange + one sort per key (three streaming
+    window frames over the same spec), then a hash aggregate; zero
+    Python.  State is O(1) per row — the streaming-twin shape.
+    """
+    if lam <= 0:
+        raise ValueError(f"threshold lam must be > 0, got {lam}")
+    d = int(exact_decimals)
+    if not 0 < d <= 12:
+        raise ValueError(f"exact_decimals must be in 1..12, got {d}")
+    for name, val in (("delta", delta), ("lam", lam)):
+        if round(val, d) != val:
+            raise ValueError(
+                f"{name}={val} is not exact at {d} decimals; quantize it"
+            )
+    keys = [key] if isinstance(key, str) else list(key)
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col is not None else [])
+    order = [F.col(c) for c in order_cols]
+    wrun = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    word = Window.partitionBy(*keys).orderBy(*order)
+    dec = f"decimal({20 + d}, {d})"
+
+    vq = _floor_round(F.col(value_col).cast("double"), d).cast(dec)
+    staged = df.select(*keys, *order_cols, vq.alias("_vq"))
+    staged = staged.withColumn("_i", F.row_number().over(word)).withColumn(
+        "_s", F.sum("_vq").over(wrun)
+    )
+    term = (
+        F.col("_vq").cast("double")
+        - F.col("_s").cast("double") / F.col("_i").cast("double")
+        - F.lit(float(delta))
+    )
+    staged = staged.withColumn("_tq", _floor_round(term, d).cast(dec))
+    staged = staged.withColumn("_m", F.sum("_tq").over(wrun))
+    staged = staged.withColumn(
+        "_ph", F.col("_m") - F.min("_m").over(wrun)
+    )
+    lam_dec = F.lit(float(lam)).cast(dec)
+    return staged.groupBy(*keys).agg(
+        F.count("*").cast("int").alias("n"),
+        F.max("_ph").cast("double").alias("ph_max"),
+        F.min(F.when(F.col("_ph") > lam_dec, F.col("_i"))).alias("alarm_i"),
     )

@@ -718,6 +718,60 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and _py_node_count(p) == 0, p)
         )
 
+    # 38c. multiscale_entropy: ONE Arrow boundary over the array
+    # layout, only tokenize's Exchange, no Join — the Costa curve is
+    # per-signal work, never a pair shuffle
+    mseq = entrymod.queries()["multiscale_entropy"](spark, sf_dir)
+    p = plan_of(mseq)
+    checks.append(
+        ("multiscale_entropy: ONE Arrow boundary, only tokenize's "
+         "Exchange, no Join",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and _py_node_count(p) == 1, p)
+    )
+
+    # 38d. ts_features: the pure-codegen in-row battery — only
+    # tokenize's Exchange, no Join, no Window of its own, zero Python
+    tfq = entrymod.queries()["ts_features"](spark, sf_dir)
+    p = plan_of(tfq)
+    checks.append(
+        ("ts_features: only tokenize's Exchange, no Join/Window, "
+         "zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "Window" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 38e. page_hinkley: ONE key Exchange — the final per-key hash
+    # aggregate reuses the window's hash partitioning (same keys), so
+    # the whole detector is one shuffle + one sort; no Join, zero
+    # Python (the running statistic never collects or recurses)
+    phq = entrymod.queries()["page_hinkley"](spark, sf_dir)
+    p = plan_of(phq)
+    checks.append(
+        ("page_hinkley: ONE Exchange (agg reuses window partitioning), "
+         "no Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 38f. mutual_info / transfer_entropy: the pair-alignment class —
+    # bucket equi-joins only (quadratic in SOURCES, never a cartesian
+    # over rows), per-source stats ride a broadcast, zero Python
+    for qname in ("mutual_info", "transfer_entropy"):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (f"{qname}: equi-joins only (no CartesianProduct/"
+             "BroadcastNestedLoop), zero Python",
+             "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
     # 39. kn_bigram: the corpus-join class — equi-joins only (never a
     # cartesian; the one-row type total rides a broadcast nested-loop
     # like pmi's totals), zero Python
