@@ -100,6 +100,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   page_hinkley      timeseries   Page-Hinkley running-mean drift alarm
   mutual_info       timeseries   symbolic Shannon MI between sources
   transfer_entropy  timeseries   Schreiber TE(X->Y), binary symbols
+  holt_winters      timeseries   additive triple smoothing (list-state
+                                 recursive-CTE replay)
 """
 
 from __future__ import annotations
@@ -6607,6 +6609,99 @@ FROM agg
 
 
 
+
+def _q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters triple smoothing per user (operators/
+    smoothing.holt_winters, Winters 1960): classical two-season init
+    from exact integer sums, then the literal three-state recursion —
+    replayed bit-for-bit by a DuckDB recursive CTE carrying the
+    seasonal ring as a LIST column (the holt protocol, extended with
+    list state).  ONE key shuffle, sequential-scan class."""
+    from eristropy_spark.operators.smoothing import holt_winters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = holt_winters(
+        ev, "user_id", period=7, alpha=0.3, beta=0.1, gamma=0.2,
+        tiebreak_col="event_id",
+    )
+    return r.select(
+        "user_id", "event_id", "i",
+        _r6("level").alias("level"),
+        _r6("trend").alias("trend"),
+        _r6("seasonal").alias("seasonal"),
+        _r6("fitted").alias("fitted"),
+    )
+
+
+_ORACLE_HW = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), base AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN i <= 7 THEN u ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN i > 7 AND i <= 14 THEN u ELSE 0 END)
+              AS BIGINT) AS s2
+  FROM pts WHERE n >= 14 AND i <= 14 GROUP BY user_id
+), init AS (
+  SELECT user_id,
+         (CAST(s1 AS DOUBLE) / 1000000.0) / 7 AS l0,
+         ((CAST(s2 - s1 AS DOUBLE)) / 1000000.0) / 49 AS b0
+  FROM base
+), seas0 AS (
+  SELECT p.user_id,
+         list(CAST(p.u AS DOUBLE) / 1000000.0 - i2.l0 ORDER BY p.i)
+           AS seas
+  FROM pts p JOIN init i2 USING (user_id)
+  WHERE p.i <= 7 GROUP BY p.user_id
+), rec AS (
+  SELECT i2.user_id, CAST(7 AS BIGINT) AS t,
+         i2.l0 AS level, i2.b0 AS trend,
+         CAST(NULL AS DOUBLE) AS s_new, CAST(NULL AS DOUBLE) AS fitted,
+         s0.seas AS seas
+  FROM init i2 JOIN seas0 s0 USING (user_id)
+  UNION ALL
+  SELECT user_id, t,
+         lvl AS level,
+         0.1 * (lvl - pl) + (1.0 - 0.1) * pb AS trend,
+         0.2 * (x - lvl) + (1.0 - 0.2) * su AS s_new,
+         pl + pb + su AS fitted,
+         list_concat(rest, [0.2 * (x - lvl) + (1.0 - 0.2) * su]) AS seas
+  FROM (
+    SELECT r.user_id, r.t + 1 AS t,
+           CAST(p.u AS DOUBLE) / 1000000.0 AS x,
+           r.level AS pl, r.trend AS pb,
+           r.seas[1] AS su,
+           r.seas[2:7] AS rest,
+           0.3 * (CAST(p.u AS DOUBLE) / 1000000.0 - r.seas[1])
+             + (1.0 - 0.3) * (r.level + r.trend) AS lvl
+    FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.i = r.t + 1
+  )
+)
+SELECT p.user_id, p.event_id, p.i,
+       CAST(NULL AS DOUBLE) AS level,
+       CAST(NULL AS DOUBLE) AS trend,
+       floor((CAST(p.u AS DOUBLE) / 1000000.0 - i2.l0)
+             * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+       CAST(NULL AS DOUBLE) AS fitted
+FROM pts p JOIN init i2 USING (user_id)
+WHERE p.i <= 7
+UNION ALL
+SELECT r.user_id, p.event_id, r.t AS i,
+       floor(r.level * 1000000.0 + 0.5) / 1000000.0 AS level,
+       floor(r.trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor(r.s_new * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+       floor(r.fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted
+FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.i = r.t
+WHERE r.t > 7
+"""
+
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -8174,6 +8269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley": _q_page_hinkley,
         "mutual_info": _q_mutual_info,
         "transfer_entropy": _q_transfer_entropy,
+        "holt_winters": _q_holt_winters,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -8326,6 +8422,7 @@ def oracle_sql() -> dict[str, str]:
         "page_hinkley": _ORACLE_PAGE_HINKLEY,
         "mutual_info": _oracle_mutual_info(),
         "transfer_entropy": _oracle_transfer_entropy(),
+        "holt_winters": _ORACLE_HW,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

@@ -22,9 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-__all__ = ["ewma", "holt", "kalman_level"]
+__all__ = ["ewma", "holt", "holt_winters", "kalman_level"]
 
 
 def ewma(
@@ -223,6 +223,121 @@ def kalman_level(
         pdf["pvar"] = pv
         pdf["kgain"] = kg
         pdf["resid"] = rs
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+        _one_group, schema=schema
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    tiebreak_col: str | None = None,
+    exact_decimals: int = 6,
+) -> DataFrame:
+    """Additive Holt–Winters triple exponential smoothing per key
+    (Winters 1960, Mgmt. Sci. 6; the fpp2 ch. 7 additive form) —
+    the seasonal member completing the smoothing family
+    (ewma -> holt -> holt_winters).  One output row per input row of
+    every key with n >= 2·period observations (shorter keys are
+    DROPPED — the classical init below is undefined for them):
+
+        i <= m:  seasonal_i = x_i − l₀            (init row)
+        i >  m:  fitted_t  = l_{t−1} + b_{t−1} + s_{t−m}
+                 l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+                 b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+                 s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    with the classical heuristic init over the first two seasons:
+    l₀ = mean(x_1..x_m), b₀ = Σ(x_{m+i} − x_i)/m² (i = 1..m).
+    Level/trend/fitted are NULL on the m init rows.
+
+    Engine exactness: values snap to the ``exact_decimals`` grid as
+    exact integers u_i; the init moments are exact integer sums turned
+    into fixed float expressions (l₀ = (S/10^d)/m, b₀ = (D/10^d)/m²),
+    and every recursion step is the literal double expression above in
+    that exact order — so an independent recursive-CTE replay carrying
+    the seasonal ring as a LIST column reproduces every state
+    bit-for-bit (the ``holt`` protocol, extended with list state).
+
+    Scale shape: ONE key shuffle, grouped-Pandas sequential scan
+    (documented sequential-scan class, like ewma/holt); O(series)
+    task state.  The seasonal ring is O(period).
+    """
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2, got {m}")
+    for name, val in (("alpha", alpha), ("gamma", gamma)):
+        if not (0.0 < val <= 1.0):
+            raise ValueError(f"{name} must be in (0, 1], got {val}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    d = int(exact_decimals)
+    if not 0 < d <= 12:
+        raise ValueError(f"exact_decimals must be in 1..12, got {d}")
+    import math
+
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("i", LongType(), True),
+            StructField("level", DoubleType(), True),
+            StructField("trend", DoubleType(), True),
+            StructField("seasonal", DoubleType(), True),
+            StructField("fitted", DoubleType(), True),
+        ]
+    )
+    a, bt, g = float(alpha), float(beta), float(gamma)
+    one_a, one_b, one_g = 1.0 - a, 1.0 - bt, 1.0 - g
+    scale = float(10**d)
+
+    def _one_group(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        u = [
+            int(math.floor(float(v) * scale + 0.5))
+            for v in pdf[value_col].to_list()
+        ]
+        n = len(u)
+        if n < 2 * m:
+            return pdf.iloc[0:0].assign(
+                i=[], level=[], trend=[], seasonal=[], fitted=[]
+            )
+        x = [ui / scale for ui in u]
+        l0 = (sum(u[:m]) / scale) / m
+        b0 = ((sum(u[m:2 * m]) - sum(u[:m])) / scale) / (m * m)
+        seas = [x[i] - l0 for i in range(m)]
+        levels: list = [None] * m
+        trends: list = [None] * m
+        seasonal: list = list(seas)
+        fitted: list = [None] * m
+        lvl, trd = l0, b0
+        ring = list(seas)
+        for t in range(m, n):
+            su = ring[0]
+            f = lvl + trd + su
+            new_l = a * (x[t] - su) + one_a * (lvl + trd)
+            new_b = bt * (new_l - lvl) + one_b * trd
+            new_s = g * (x[t] - new_l) + one_g * su
+            ring = ring[1:] + [new_s]
+            lvl, trd = new_l, new_b
+            levels.append(new_l)
+            trends.append(new_b)
+            seasonal.append(new_s)
+            fitted.append(f)
+        pdf["i"] = range(1, n + 1)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["seasonal"] = seasonal
+        pdf["fitted"] = fitted
         return pdf
 
     return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(

@@ -772,6 +772,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and _py_node_count(p) == 0, p)
         )
 
+    # 38g. holt_winters: the three-state sequential scan — same shape
+    # as ewma/holt: one key Exchange into one grouped-Pandas stage,
+    # never a global sort / single partition
+    hwq = entrymod.queries()["holt_winters"](spark, sf_dir)
+    p = plan_of(hwq)
+    checks.append(
+        ("holt_winters: one key Exchange, one grouped-Pandas boundary, "
+         "no single-partition stage",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and "FlatMapGroupsInPandas" in p
+         and _py_node_count(p) == 1, p)
+    )
+
     # 39. kn_bigram: the corpus-join class — equi-joins only (never a
     # cartesian; the one-row type total rides a broadcast nested-loop
     # like pmi's totals), zero Python
