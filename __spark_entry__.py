@@ -102,6 +102,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   transfer_entropy  timeseries   Schreiber TE(X->Y), binary symbols
   holt_winters      timeseries   additive triple smoothing (list-state
                                  recursive-CTE replay)
+  dcca              timeseries   detrended cross-correlation rho_DCCA
 """
 
 from __future__ import annotations
@@ -6702,6 +6703,125 @@ WHERE r.t > 7
 
 
 
+
+def _q_dcca(spark, sf_dir):
+    """Detrended cross-correlation rho_DCCA per source pair and scale
+    (operators/dcca.dcca_pairs, Podobnik & Stanley 2008 / Zebende
+    2011): exact int64 profiles on the aligned 10-min grid, per-box
+    OLS detrending with granger's quantize-then-derive moment
+    protocol, rho one final float ratio — keyed windows + equi-joins
+    only, zero Python."""
+    from eristropy_spark.operators.dcca import dcca_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = dcca_pairs(
+        ev, source_col="event_type", ts_col="ts", value_col="value",
+        bucket_sec=600, scales=(4, 8), min_overlap=32,
+    )
+    return r.select(
+        "source_x", "source_y", "scale", "n", "n_boxes",
+        _r6("rho").alias("rho"),
+    )
+
+
+_ORACLE_DCCA = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         CAST(floor(avg(value) * 100.0 + 0.5) AS BIGINT) AS u
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), pairs AS (
+  SELECT x.source AS source_x, y.source AS source_y, x.bucket,
+         x.u AS ux, y.u AS uy
+  FROM grid x JOIN grid y ON x.bucket = y.bucket AND x.source < y.source
+), staged AS (
+  SELECT source_x, source_y, bucket, ux, uy,
+         row_number() OVER wp AS t,
+         count(*) OVER wfull AS n,
+         sum(ux) OVER wpu AS cx, sum(uy) OVER wpu AS cy,
+         sum(ux) OVER wfull AS sx, sum(uy) OVER wfull AS sy
+  FROM pairs
+  WINDOW wp AS (PARTITION BY source_x, source_y ORDER BY bucket),
+         wpu AS (PARTITION BY source_x, source_y ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wfull AS (PARTITION BY source_x, source_y)
+), prof AS (
+  SELECT source_x, source_y, t, n,
+         CAST(n * cx - t * sx AS DOUBLE) / CAST(n AS DOUBLE) AS yvx,
+         CAST(n * cy - t * sy AS DOUBLE) / CAST(n AS DOUBLE) AS yvy
+  FROM staged WHERE n >= 32
+), scaled AS (
+  SELECT p.*, s.scale, (p.t - 1) // s.scale AS g
+  FROM prof p CROSS JOIN (
+    SELECT CAST(unnest([4, 8]) AS INT) AS scale
+  ) s
+), boxed AS (
+  SELECT source_x, source_y, scale, g, n,
+         t - first_value(t) OVER wb + 1 AS tp,
+         yvx - first_value(yvx) OVER wb AS zx,
+         yvy - first_value(yvy) OVER wb AS zy
+  FROM scaled
+  WINDOW wb AS (PARTITION BY source_x, source_y, scale, g ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT source_x, source_y, scale, g, max(n) AS n, count(*) AS cnt,
+         sum(CAST(floor(zx * 1000000.0 + 0.5) AS BIGINT)) AS qzx,
+         sum(CAST(floor(zy * 1000000.0 + 0.5) AS BIGINT)) AS qzy,
+         sum(CAST(floor(zx * zx * 1000000.0 + 0.5) AS BIGINT)) AS qxx,
+         sum(CAST(floor(zy * zy * 1000000.0 + 0.5) AS BIGINT)) AS qyy,
+         sum(CAST(floor(zx * zy * 1000000.0 + 0.5) AS BIGINT)) AS qxy,
+         sum(CAST(floor(CAST(tp AS DOUBLE) * zx * 1000000.0 + 0.5)
+                  AS BIGINT)) AS qtx,
+         sum(CAST(floor(CAST(tp AS DOUBLE) * zy * 1000000.0 + 0.5)
+                  AS BIGINT)) AS qty
+  FROM boxed
+  GROUP BY source_x, source_y, scale, g
+  HAVING count(*) = scale
+), boxm AS (
+  SELECT source_x, source_y, scale, n,
+         CAST(scale AS DOUBLE) AS m,
+         CAST(scale * (scale + 1) AS DOUBLE) / 2 AS st,
+         CAST(scale * (scale + 1) * (2 * scale + 1) AS DOUBLE) / 6 AS stt,
+         CAST(qzx AS DOUBLE) / 1000000.0 AS szx,
+         CAST(qzy AS DOUBLE) / 1000000.0 AS szy,
+         CAST(qxx AS DOUBLE) / 1000000.0 AS sxx,
+         CAST(qyy AS DOUBLE) / 1000000.0 AS syy,
+         CAST(qxy AS DOUBLE) / 1000000.0 AS sxy,
+         CAST(qtx AS DOUBLE) / 1000000.0 AS stx,
+         CAST(qty AS DOUBLE) / 1000000.0 AS sty
+  FROM agg
+), box AS (
+  SELECT source_x, source_y, scale, n,
+         CAST(floor(((sxy - szx * szy / m)
+                     - (stx - st * szx / m) * (sty - st * szy / m)
+                       / (stt - st * st / m))
+                    * 1000000.0 + 0.5) AS BIGINT) AS bxy,
+         CAST(floor(((sxx - szx * szx / m)
+                     - (stx - st * szx / m) * (stx - st * szx / m)
+                       / (stt - st * st / m))
+                    * 1000000.0 + 0.5) AS BIGINT) AS bxx,
+         CAST(floor(((syy - szy * szy / m)
+                     - (sty - st * szy / m) * (sty - st * szy / m)
+                       / (stt - st * st / m))
+                    * 1000000.0 + 0.5) AS BIGINT) AS byy
+  FROM boxm
+), fin AS (
+  SELECT source_x, source_y, scale,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_boxes,
+         sum(bxy) AS ssrxy, sum(bxx) AS ssrxx, sum(byy) AS ssryy
+  FROM box GROUP BY source_x, source_y, scale
+)
+SELECT source_x, source_y, scale, n, n_boxes,
+       CASE WHEN ssrxx > 0 AND ssryy > 0
+            THEN floor(CAST(ssrxy AS DOUBLE)
+                       / sqrt(CAST(ssrxx AS DOUBLE)
+                              * CAST(ssryy AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000 END AS rho
+FROM fin
+"""
+
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -8270,6 +8390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": _q_mutual_info,
         "transfer_entropy": _q_transfer_entropy,
         "holt_winters": _q_holt_winters,
+        "dcca": _q_dcca,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -8423,6 +8544,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _oracle_mutual_info(),
         "transfer_entropy": _oracle_transfer_entropy(),
         "holt_winters": _ORACLE_HW,
+        "dcca": _ORACLE_DCCA,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

@@ -787,6 +787,20 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
+    # 38h. dcca: pair-alignment + keyed windows — bucket equi-join
+    # (quadratic in sources only), every window keyed (never a single
+    # partition), zero Python
+    dq = entrymod.queries()["dcca"](spark, sf_dir)
+    p = plan_of(dq)
+    checks.append(
+        ("dcca: equi-joins only, keyed windows (no SinglePartition), "
+         "zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 39. kn_bigram: the corpus-join class — equi-joins only (never a
     # cartesian; the one-row type total rides a broadcast nested-loop
     # like pmi's totals), zero Python
