@@ -103,6 +103,9 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   holt_winters      timeseries   additive triple smoothing (list-state
                                  recursive-CTE replay)
   dcca              timeseries   detrended cross-correlation rho_DCCA
+  count_dispersion  timeseries   Fano factor + Allan variance (zero-run
+                                 algebra, no dense explode)
+  tail_dependence   timeseries   upper-tail co-exceedance lift/jaccard
 """
 
 from __future__ import annotations
@@ -6822,6 +6825,139 @@ FROM fin
 
 
 
+
+def _q_count_dispersion(spark, sf_dir):
+    """Fano factor + Allan variance of the bucketed event-count series
+    per source (operators/dispersion.count_dispersion, Fano 1947 /
+    Allan 1966): exact integer counts, zero-run algebra instead of a
+    dense explode (a gap of g empty buckets charges a²+b² in closed
+    form), one keyed window + two aggregates, zero Python."""
+    from eristropy_spark.operators.dispersion import count_dispersion
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = count_dispersion(
+        ev, source_col="event_type", ts_col="ts",
+        bucket_sec=600, min_buckets=8,
+    )
+    return r.select(
+        "source", "n_events", "n_buckets",
+        _r6("mean_count").alias("mean_count"),
+        _r6("fano").alias("fano"),
+        _r6("avar").alias("avar"),
+        _r6("avar_ratio").alias("avar_ratio"),
+    )
+
+
+_ORACLE_DISPERSION = """
+WITH cts AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), lagged AS (
+  SELECT source, bucket, c,
+         lag(bucket) OVER w AS pb, lag(c) OVER w AS pc
+  FROM cts WINDOW w AS (PARTITION BY source ORDER BY bucket)
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(max(bucket) - min(bucket) + 1 AS BIGINT) AS n_buckets,
+         CAST(sum(c * c) AS BIGINT) AS sq,
+         CAST(sum(CASE WHEN pb IS NULL THEN 0
+                       WHEN bucket = pb + 1 THEN (c - pc) * (c - pc)
+                       ELSE pc * pc + c * c END) AS BIGINT) AS dsq
+  FROM lagged GROUP BY source
+  HAVING max(bucket) - min(bucket) + 1 >= 8
+)
+SELECT source, n_events, n_buckets,
+       floor(CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS mean_count,
+       CASE WHEN n_events > 0 THEN
+         floor(((CAST(sq AS DOUBLE)
+                 - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)
+                   / CAST(n_buckets AS DOUBLE))
+                / CAST(n_buckets AS DOUBLE))
+               / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS fano,
+       floor(CAST(dsq AS DOUBLE) / (CAST(n_buckets AS DOUBLE) - 1.0) / 2.0
+             * 1000000 + 0.5) / 1000000 AS avar,
+       CASE WHEN n_events > 0 THEN
+         floor((CAST(dsq AS DOUBLE) / (CAST(n_buckets AS DOUBLE) - 1.0)
+                / 2.0)
+               / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS avar_ratio
+FROM agg
+"""
+
+
+def _q_tail_dependence(spark, sf_dir):
+    """Upper-tail co-exceedance between source pairs (operators/
+    taildep.tail_dependence, Coles-Heffernan-Tawn 1999 chi): strict
+    integer order-statistic thresholds (rank, never an interpolated
+    quantile), exact exceedance counts, lift/jaccard one fixed float
+    expression each — keyed window + broadcast thresholds + bucket
+    equi-joins, zero Python."""
+    from eristropy_spark.operators.taildep import tail_dependence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = tail_dependence(
+        ev, source_col="event_type", ts_col="ts", value_col="value",
+        bucket_sec=600, q_pct=75, min_overlap=8,
+    )
+    return r.select(
+        "source_x", "source_y", "n", "c_x", "c_y", "c_both",
+        _r6("lift").alias("lift"),
+        _r6("jaccard").alias("jaccard"),
+    )
+
+
+_ORACLE_TAILDEP = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         CAST(floor(avg(value) * 100.0 + 0.5) AS BIGINT) AS u
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), ranked AS (
+  SELECT source, bucket, u,
+         row_number() OVER (PARTITION BY source ORDER BY u, bucket)
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM grid
+), thr AS (
+  SELECT source,
+         max(CASE WHEN rk <= CAST(floor((75 * ns + 99) / 100.0)
+                               AS BIGINT)
+                  THEN u END) AS thr
+  FROM ranked GROUP BY source
+), sg AS (
+  SELECT g.source, g.bucket,
+         CASE WHEN g.u > t.thr THEN 1 ELSE 0 END AS e
+  FROM grid g JOIN thr t USING (source)
+), pairs AS (
+  SELECT x.source AS source_x, y.source AS source_y,
+         x.e AS ex, y.e AS ey
+  FROM sg x JOIN sg y ON x.bucket = y.bucket AND x.source < y.source
+), agg AS (
+  SELECT source_x, source_y,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ex) AS BIGINT) AS c_x,
+         CAST(sum(ey) AS BIGINT) AS c_y,
+         CAST(sum(ex * ey) AS BIGINT) AS c_both
+  FROM pairs GROUP BY source_x, source_y
+  HAVING count(*) >= 8
+)
+SELECT source_x, source_y, n, c_x, c_y, c_both,
+       CASE WHEN c_x > 0 AND c_y > 0
+            THEN floor(CAST(n * c_both AS DOUBLE)
+                       / CAST(c_x * c_y AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS lift,
+       CASE WHEN c_x + c_y - c_both > 0
+            THEN floor(CAST(c_both AS DOUBLE)
+                       / CAST(c_x + c_y - c_both AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS jaccard
+FROM agg
+"""
+
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -8391,6 +8527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transfer_entropy": _q_transfer_entropy,
         "holt_winters": _q_holt_winters,
         "dcca": _q_dcca,
+        "count_dispersion": _q_count_dispersion,
+        "tail_dependence": _q_tail_dependence,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -8545,6 +8683,8 @@ def oracle_sql() -> dict[str, str]:
         "transfer_entropy": _oracle_transfer_entropy(),
         "holt_winters": _ORACLE_HW,
         "dcca": _ORACLE_DCCA,
+        "count_dispersion": _ORACLE_DISPERSION,
+        "tail_dependence": _ORACLE_TAILDEP,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

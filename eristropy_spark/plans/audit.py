@@ -801,6 +801,35 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 38i. count_dispersion: one count aggregate + ONE keyed window +
+    # final aggregate — no Join, no dense explode (zero-run algebra),
+    # zero Python
+    cdq = entrymod.queries()["count_dispersion"](spark, sf_dir)
+    p = plan_of(cdq)
+    checks.append(
+        ("count_dispersion: no Join, no Explode/Generate, keyed window "
+         "only, zero Python",
+         "Join" not in p
+         and "Generate" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 38j. tail_dependence: rank window keyed per source, thresholds
+    # ride a broadcast, pair alignment by bucket equi-join — never a
+    # cartesian over rows, zero Python
+    tdq = entrymod.queries()["tail_dependence"](spark, sf_dir)
+    p = plan_of(tdq)
+    checks.append(
+        ("tail_dependence: equi-joins + broadcast thresholds, keyed "
+         "windows, zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "SinglePartition" not in p
+         and "BroadcastHashJoin" in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 39. kn_bigram: the corpus-join class — equi-joins only (never a
     # cartesian; the one-row type total rides a broadcast nested-loop
     # like pmi's totals), zero Python

@@ -1,0 +1,190 @@
+"""count_dispersion / tail_dependence — dense-recomputation parity
+(the zero-run algebra vs an explicit zero-filled series), Poisson /
+regular / clustered discrimination, planted tail co-spiking, guards."""
+
+import datetime
+import math
+
+import numpy as np
+import pytest
+
+from eristropy_spark.operators.dispersion import count_dispersion
+from eristropy_spark.operators.taildep import tail_dependence
+
+BUCKET = 600
+
+
+def _events_from_buckets(spark, per_source: dict[str, list[int]]):
+    """per_source[name] = list of bucket indices (one event each)."""
+    rows = []
+    eid = 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for src, buckets in per_source.items():
+        for b in buckets:
+            rows.append(
+                (eid, t0 + datetime.timedelta(seconds=b * BUCKET + 5),
+                 src, 1.0)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, source string, value double"
+    )
+
+
+def _disp_local(buckets: list[int]):
+    lo, hi = min(buckets), max(buckets)
+    dense = [0] * (hi - lo + 1)
+    for b in buckets:
+        dense[b - lo] += 1
+    nb = len(dense)
+    ne = sum(dense)
+    mean = ne / nb
+    var = (sum(c * c for c in dense) - ne * ne / nb) / nb
+    dsq = sum((b - a) ** 2 for a, b in zip(dense, dense[1:]))
+    avar = dsq / (nb - 1) / 2.0
+    return nb, ne, mean, var / mean, avar, avar / mean
+
+
+def test_dispersion_zero_run_algebra_matches_dense(spark):
+    rng = np.random.default_rng(7)
+    per_source = {}
+    for i in range(6):
+        # sparse bucket sets with gaps — the zero-run algebra's case
+        n = int(rng.integers(10, 80))
+        per_source[f"s{i}"] = sorted(
+            int(v) for v in rng.integers(0, 200, size=n)
+        )
+    out = {
+        r["source"]: r
+        for r in count_dispersion(
+            _events_from_buckets(spark, per_source), bucket_sec=BUCKET
+        ).collect()
+    }
+    for k, buckets in per_source.items():
+        nb, ne, mean, fano, avar, ratio = _disp_local(buckets)
+        r = out[k]
+        assert (r["n_buckets"], r["n_events"]) == (nb, ne)
+        assert r["mean_count"] == pytest.approx(mean, rel=1e-12)
+        assert r["fano"] == pytest.approx(fano, rel=1e-12)
+        assert r["avar"] == pytest.approx(avar, rel=1e-12)
+        assert r["avar_ratio"] == pytest.approx(ratio, rel=1e-12)
+
+
+def test_dispersion_discriminates_processes(spark):
+    rng = np.random.default_rng(11)
+    nb = 400
+    # regular: exactly one event per bucket -> Fano = 0
+    regular = list(range(nb))
+    # Poisson-ish: events thrown uniformly -> Fano ~ 1
+    poisson = [int(v) for v in rng.integers(0, nb, size=nb)]
+    poisson += [0, nb - 1]  # pin the span
+    # clustered: bursts of 20 in a few buckets -> Fano >> 1
+    clustered = []
+    for center in rng.integers(0, nb, size=nb // 20):
+        clustered += [int(center)] * 20
+    clustered += [0, nb - 1]
+    out = {
+        r["source"]: r
+        for r in count_dispersion(
+            _events_from_buckets(
+                spark,
+                {"reg": regular, "poi": poisson, "clu": clustered},
+            ),
+            bucket_sec=BUCKET,
+        ).collect()
+    }
+    assert out["reg"]["fano"] == 0.0
+    assert 0.5 < out["poi"]["fano"] < 2.0
+    assert out["clu"]["fano"] > 5.0
+    assert out["clu"]["avar_ratio"] > 5.0
+
+
+def _events_values(spark, series: dict[str, list[float]]):
+    rows = []
+    eid = 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for src, vals in series.items():
+        for j, v in enumerate(vals):
+            rows.append(
+                (eid, t0 + datetime.timedelta(seconds=j * BUCKET + 5),
+                 src, float(v))
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, source string, value double"
+    )
+
+
+def _taildep_local(xs, ys, q_pct=75):
+    def exceed(vals):
+        u = [math.floor(v * 100.0 + 0.5) for v in vals]
+        srt = sorted(u)
+        k = (q_pct * len(u) + 99) // 100
+        thr = srt[k - 1]
+        return [1 if v > thr else 0 for v in u]
+
+    ex, ey = exceed(xs), exceed(ys)
+    n = len(ex)
+    cx, cy = sum(ex), sum(ey)
+    cb = sum(a * b for a, b in zip(ex, ey))
+    lift = n * cb / (cx * cy) if cx > 0 and cy > 0 else None
+    jac = cb / (cx + cy - cb) if cx + cy - cb > 0 else None
+    return n, cx, cy, cb, lift, jac
+
+
+def test_taildep_matches_local_and_detects_cospiking(spark):
+    rng = np.random.default_rng(19)
+    n = 200
+    base = rng.normal(100, 5, size=n)
+    spikes = rng.random(n) < 0.2
+    a = base + 50 * spikes                      # spikes together with b
+    b = rng.normal(100, 5, size=n) + 50 * spikes
+    c = rng.normal(100, 5, size=n) + 50 * (rng.random(n) < 0.2)  # own spikes
+    series = {
+        "a": [float(v) for v in a],
+        "b": [float(v) for v in b],
+        "c": [float(v) for v in c],
+    }
+    out = {
+        (r["source_x"], r["source_y"]): r
+        for r in tail_dependence(
+            _events_values(spark, series), bucket_sec=BUCKET, q_pct=75
+        ).collect()
+    }
+    for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+        nn, cx, cy, cb, lift, jac = _taildep_local(series[x], series[y])
+        r = out[(x, y)]
+        assert (r["n"], r["c_x"], r["c_y"], r["c_both"]) == (nn, cx, cy, cb)
+        if lift is None:
+            assert r["lift"] is None
+        else:
+            assert r["lift"] == pytest.approx(lift, abs=2e-6)
+        if jac is None:
+            assert r["jaccard"] is None
+        else:
+            assert r["jaccard"] == pytest.approx(jac, abs=2e-6)
+    # the co-spiking pair has strong tail dependence; the independent
+    # pairs hover near lift = 1
+    assert out[("a", "b")]["lift"] > 2.0
+    assert out[("a", "c")]["lift"] < 2.0
+
+
+def test_taildep_constant_series_null(spark):
+    series = {"const": [5.0] * 40, "noise": [float(i % 7) for i in range(40)]}
+    out = tail_dependence(
+        _events_values(spark, series), bucket_sec=BUCKET
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["c_x"] == 0 and out[0]["lift"] is None
+
+
+def test_dispersion_taildep_guards(spark):
+    df = _events_values(spark, {"a": [1.0] * 20, "b": [2.0] * 20})
+    with pytest.raises(ValueError):
+        count_dispersion(df, bucket_sec=0)
+    with pytest.raises(ValueError):
+        count_dispersion(df, min_buckets=1)
+    with pytest.raises(ValueError):
+        tail_dependence(df, q_pct=0)
+    with pytest.raises(ValueError):
+        tail_dependence(df, q_pct=100)
