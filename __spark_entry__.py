@@ -106,6 +106,11 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   count_dispersion  timeseries   Fano factor + Allan variance (zero-run
                                  algebra, no dense explode)
   tail_dependence   timeseries   upper-tail co-exceedance lift/jaccard
+  poincare          timeseries   Poincaré SD1/SD2 ellipse geometry
+  ordinal_census    timeseries   order-3 ordinal patterns + forbidden
+                                 count + m=3 permutation entropy
+  rqa               timeseries   recurrence rate + determinism (exact
+                                 integer pair counts, range//5 radius)
 """
 
 from __future__ import annotations
@@ -6957,6 +6962,226 @@ FROM agg
 """
 
 
+def _q_poincare(spark, sf_dir):
+    """Poincaré-plot SD1/SD2 geometry per signal (operators/nonlinear
+    .poincare, Brennan et al. 2001): exact int64 signal and increment
+    moments in-row, sample variances and the two correctly-rounded
+    sqrts as fixed float expressions — zero Python, zero joins, only
+    tokenize's Exchange, O(n) per signal."""
+    from eristropy_spark.operators.nonlinear import poincare
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = poincare(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n",
+        _r6("sd1").alias("sd1"),
+        _r6("sd2").alias("sd2"),
+        _r6("ratio").alias("ratio"),
+        _r6("area").alias("area"),
+    )
+
+
+_ORACLE_POINCARE = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), dif AS (
+  SELECT doc_id,
+         CAST(tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+              AS BIGINT) AS d
+  FROM pts
+), agg AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS INT) AS n,
+         CAST(sum(CAST(p.tok AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(p.tok AS BIGINT) * p.tok) AS BIGINT) AS sxx
+  FROM pts p GROUP BY p.doc_id
+  HAVING count(*) >= 3
+), dagg AS (
+  SELECT doc_id,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(d * d) AS BIGINT) AS sdd
+  FROM dif WHERE d IS NOT NULL GROUP BY doc_id
+), v AS (
+  SELECT a.doc_id, a.n,
+         (CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+          - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+         / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)) AS var_x,
+         ((CAST(a.n AS DOUBLE) - 1.0) * CAST(g.sdd AS DOUBLE)
+          - CAST(g.sd AS DOUBLE) * CAST(g.sd AS DOUBLE))
+         / ((CAST(a.n AS DOUBLE) - 1.0)
+            * ((CAST(a.n AS DOUBLE) - 1.0) - 1.0)) AS var_d
+  FROM agg a JOIN dagg g USING (doc_id)
+), s AS (
+  SELECT doc_id, n,
+         sqrt(var_d / 2.0) AS sd1,
+         sqrt(greatest(2.0 * var_x - var_d / 2.0, 0.0)) AS sd2
+  FROM v
+)
+SELECT doc_id, n,
+       floor(sd1 * 1000000 + 0.5) / 1000000 AS sd1,
+       floor(sd2 * 1000000 + 0.5) / 1000000 AS sd2,
+       CASE WHEN sd2 > 0.0
+            THEN floor(sd1 / sd2 * 1000000 + 0.5) / 1000000 END AS ratio,
+       floor(3.141592653589793 * sd1 * sd2 * 1000000 + 0.5) / 1000000
+         AS area
+FROM s
+"""
+
+
+def _q_ordinal_census(spark, sf_dir):
+    """Order-3 ordinal-pattern census per signal (operators/nonlinear
+    .ordinal_census, Bandt-Pompe 2002 / Amigó forbidden patterns 2007):
+    exact integer pattern counts via in-row code transform (stable tie
+    rule matching kernels/permen.py), missing-pattern count, normalized
+    m=3 permutation entropy as ONE fixed-order float expression —
+    zero Python, zero joins, only tokenize's Exchange."""
+    from eristropy_spark.operators.nonlinear import ordinal_census
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = ordinal_census(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "n_windows",
+        "n012", "n021", "n102", "n120", "n201", "n210",
+        "n_missing",
+        _r6("pe3").alias("pe3"),
+    )
+
+
+_ORACLE_ORDINAL = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), tri AS (
+  SELECT doc_id, tok AS a,
+         lead(tok, 1) OVER w AS b,
+         lead(tok, 2) OVER w AS c
+  FROM pts WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), codes AS (
+  SELECT doc_id,
+         4 * (CASE WHEN b < a THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN c < a THEN 1 ELSE 0 END)
+         + (CASE WHEN c < b THEN 1 ELSE 0 END) AS code
+  FROM tri WHERE c IS NOT NULL
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n012,
+         CAST(sum(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n021,
+         CAST(sum(CASE WHEN code = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n102,
+         CAST(sum(CASE WHEN code = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n120,
+         CAST(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n201,
+         CAST(sum(CASE WHEN code = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n210
+  FROM codes GROUP BY doc_id
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+  HAVING count(*) >= 3
+)
+SELECT nn.doc_id, nn.n, a.n_windows,
+       a.n012, a.n021, a.n102, a.n120, a.n201, a.n210,
+       CAST((CASE WHEN a.n012 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.n021 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.n102 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.n120 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.n201 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.n210 = 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_missing,
+       floor(-(
+           (CASE WHEN a.n012 > 0 THEN (CAST(a.n012 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) * ln(CAST(a.n012 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN a.n021 > 0 THEN (CAST(a.n021 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) * ln(CAST(a.n021 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN a.n102 > 0 THEN (CAST(a.n102 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) * ln(CAST(a.n102 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN a.n120 > 0 THEN (CAST(a.n120 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) * ln(CAST(a.n120 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN a.n201 > 0 THEN (CAST(a.n201 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) * ln(CAST(a.n201 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN a.n210 > 0 THEN (CAST(a.n210 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) * ln(CAST(a.n210 AS DOUBLE)
+             / CAST(a.n_windows AS DOUBLE)) ELSE 0.0 END)
+         ) / ln(6.0) * 1000000 + 0.5) / 1000000 AS pe3
+FROM nn JOIN agg a USING (doc_id)
+"""
+
+
+def _q_rqa(spark, sf_dir):
+    """Recurrence quantification per signal (operators/nonlinear.rqa,
+    Zbilut-Webber 1992 / Marwan 2007): exact integer recurrence and
+    diagonal-line pair counts over the upper triangle with a per-signal
+    integer radius (range // 5) — in-row O(n²) like SampEn, zero
+    Python, zero joins, only tokenize's Exchange."""
+    from eristropy_spark.operators.nonlinear import rqa
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = rqa(tokens, array_col="tokens", keep_cols=("doc_id",), radius_div=5)
+    return r.select(
+        "doc_id", "n", "r", "n_pairs", "n_rec", "n_line",
+        _r6("rr").alias("rr"),
+        _r6("det").alias("det"),
+    )
+
+
+_ORACLE_RQA = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS p
+  FROM events
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n,
+         CAST(floor((CAST(max(tok) AS DOUBLE) - min(tok)) / 5)
+              AS BIGINT) AS r
+  FROM pts GROUP BY doc_id
+  HAVING count(*) >= 2
+), rec AS (
+  SELECT a.doc_id, a.p AS i, b.p AS j,
+         CASE WHEN abs(CAST(a.tok AS BIGINT) - b.tok) <= nn.r
+              THEN 1 ELSE 0 END AS e
+  FROM pts a
+  JOIN pts b ON b.doc_id = a.doc_id AND b.p > a.p
+  JOIN nn ON nn.doc_id = a.doc_id
+), lined AS (
+  SELECT x.doc_id, x.e,
+         CASE WHEN x.e = 1
+                   AND (coalesce(pv.e, 0) = 1 OR coalesce(nx.e, 0) = 1)
+              THEN 1 ELSE 0 END AS l
+  FROM rec x
+  LEFT JOIN rec pv ON pv.doc_id = x.doc_id
+                  AND pv.i = x.i - 1 AND pv.j = x.j - 1
+  LEFT JOIN rec nx ON nx.doc_id = x.doc_id
+                  AND nx.i = x.i + 1 AND nx.j = x.j + 1
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(e) AS BIGINT) AS n_rec,
+         CAST(sum(l) AS BIGINT) AS n_line
+  FROM lined GROUP BY doc_id
+)
+SELECT nn.doc_id, nn.n, nn.r,
+       CAST(CAST(nn.n AS BIGINT) * (CAST(nn.n AS BIGINT) - 1) / 2
+            AS BIGINT) AS n_pairs,
+       a.n_rec, a.n_line,
+       floor(CAST(a.n_rec AS DOUBLE)
+             / (CAST(nn.n AS BIGINT) * (CAST(nn.n AS BIGINT) - 1) / 2)
+             * 1000000 + 0.5) / 1000000 AS rr,
+       CASE WHEN a.n_rec > 0
+            THEN floor(CAST(a.n_line AS DOUBLE) / CAST(a.n_rec AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS det
+FROM nn JOIN agg a USING (doc_id)
+"""
+
 
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
@@ -8529,6 +8754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dcca": _q_dcca,
         "count_dispersion": _q_count_dispersion,
         "tail_dependence": _q_tail_dependence,
+        "poincare": _q_poincare,
+        "ordinal_census": _q_ordinal_census,
+        "rqa": _q_rqa,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -8685,6 +8913,9 @@ def oracle_sql() -> dict[str, str]:
         "dcca": _ORACLE_DCCA,
         "count_dispersion": _ORACLE_DISPERSION,
         "tail_dependence": _ORACLE_TAILDEP,
+        "poincare": _ORACLE_POINCARE,
+        "ordinal_census": _ORACLE_ORDINAL,
+        "rqa": _ORACLE_RQA,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

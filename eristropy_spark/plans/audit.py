@@ -830,6 +830,22 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 38k. poincare / ordinal_census / rqa: the nonlinear-dynamics
+    # census — pure in-row codegen over the array layout, only
+    # tokenize's Exchange, no Join, no Window of their own, zero
+    # Python (rqa's O(n²) lives inside the row, never as a pair join)
+    for qname in ("poincare", "ordinal_census", "rqa"):
+        q = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(q)
+        checks.append(
+            (f"{qname}: only tokenize's Exchange, no Join/Window, "
+             "zero Python",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and "Window" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
     # 39. kn_bigram: the corpus-join class — equi-joins only (never a
     # cartesian; the one-row type total rides a broadcast nested-loop
     # like pmi's totals), zero Python
