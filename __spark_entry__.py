@@ -111,6 +111,9 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
                                  count + m=3 permutation entropy
   rqa               timeseries   recurrence rate + determinism (exact
                                  integer pair counts, range//5 radius)
+  arch_lm           timeseries   Engle ARCH LM volatility clustering
+                                 (DECIMAL/HUGEINT exact moments)
+  record_stats      timeseries   upper/lower record counts vs iid H_n
 """
 
 from __future__ import annotations
@@ -7183,6 +7186,125 @@ FROM nn JOIN agg a USING (doc_id)
 """
 
 
+def _q_arch_lm(spark, sf_dir):
+    """Engle's one-lag ARCH LM volatility-clustering test per signal
+    (operators/randomtests.arch_lm, Engle 1982): exact squared-increment
+    lag-pair moments (DECIMAL(38,0) in Spark ≡ HUGEINT in the oracle —
+    s² overflows int64), R² and LM = N·R² as one fixed float expression
+    each — zero Python, zero joins, only tokenize's Exchange."""
+    from eristropy_spark.operators.randomtests import arch_lm
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = arch_lm(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "n_pairs",
+        _r6("r2").alias("r2"),
+        _r6("lm").alias("lm"),
+    )
+
+
+_ORACLE_ARCH_LM = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), dif AS (
+  SELECT doc_id, i,
+         CAST(tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+              AS BIGINT) AS d
+  FROM pts
+), sq AS (
+  SELECT doc_id, i, d * d AS s FROM dif WHERE d IS NOT NULL
+), pr AS (
+  SELECT doc_id,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS u,
+         s AS v
+  FROM sq
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(u) AS BIGINT) AS su,
+         CAST(sum(v) AS BIGINT) AS sv,
+         sum(CAST(u AS HUGEINT) * u) AS suu,
+         sum(CAST(v AS HUGEINT) * v) AS svv,
+         sum(CAST(u AS HUGEINT) * v) AS suv
+  FROM pr WHERE u IS NOT NULL GROUP BY doc_id
+  HAVING count(*) >= 3
+), nn AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id
+), v AS (
+  SELECT nn.doc_id, nn.n, a.np,
+         CAST(a.np AS DOUBLE) * CAST(a.suv AS DOUBLE)
+           - CAST(a.su AS DOUBLE) * CAST(a.sv AS DOUBLE) AS cov,
+         CAST(a.np AS DOUBLE) * CAST(a.suu AS DOUBLE)
+           - CAST(a.su AS DOUBLE) * CAST(a.su AS DOUBLE) AS varu,
+         CAST(a.np AS DOUBLE) * CAST(a.svv AS DOUBLE)
+           - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) AS varv
+  FROM nn JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n, np AS n_pairs,
+       CASE WHEN varu > 0.0 AND varv > 0.0
+            THEN floor(cov * cov / (varu * varv) * 1000000 + 0.5)
+                 / 1000000 END AS r2,
+       CASE WHEN varu > 0.0 AND varv > 0.0
+            THEN floor(CAST(np AS DOUBLE) * (cov * cov / (varu * varv))
+                       * 1000000 + 0.5) / 1000000 END AS lm
+FROM v
+"""
+
+
+def _q_record_stats(spark, sf_dir):
+    """Upper/lower record counts per signal (operators/randomtests
+    .record_stats, Glick 1978 / Krug 2007): exact integer record
+    counts from an in-row running-extrema fold — zero Python, zero
+    joins, only tokenize's Exchange, O(n) per signal."""
+    from eristropy_spark.operators.randomtests import record_stats
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = record_stats(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "n_up", "n_down", "asym",
+        _r6("rec_rate").alias("rec_rate"),
+    )
+
+
+_ORACLE_RECORDS = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), runx AS (
+  SELECT doc_id, tok,
+         max(tok) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pmx,
+         min(tok) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pmn
+  FROM pts
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n,
+         CAST(sum(CASE WHEN pmx IS NULL OR tok > pmx
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN pmn IS NULL OR tok < pmn
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+  FROM runx GROUP BY doc_id
+  HAVING count(*) >= 2
+)
+SELECT doc_id, n, n_up, n_down,
+       CAST(n_up - n_down AS BIGINT) AS asym,
+       floor(CAST(n_up + n_down AS DOUBLE)
+             / (2.0 * CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS rec_rate
+FROM agg
+"""
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -8757,6 +8879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poincare": _q_poincare,
         "ordinal_census": _q_ordinal_census,
         "rqa": _q_rqa,
+        "arch_lm": _q_arch_lm,
+        "record_stats": _q_record_stats,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -8916,6 +9040,8 @@ def oracle_sql() -> dict[str, str]:
         "poincare": _ORACLE_POINCARE,
         "ordinal_census": _ORACLE_ORDINAL,
         "rqa": _ORACLE_RQA,
+        "arch_lm": _ORACLE_ARCH_LM,
+        "record_stats": _ORACLE_RECORDS,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

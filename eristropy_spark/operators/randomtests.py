@@ -15,6 +15,13 @@ not noisy — route it to the dynamics operators, not the i.i.d. ones):
   variance of q-step increments against q× the one-step variance;
   VR < 1 flags mean reversion, VR > 1 momentum, with the published
   homoskedastic asymptotic z.
+* ``arch_lm`` — Engle's one-lag ARCH LM test for volatility
+  clustering (Engle 1982): N·R² of the squared-increment lag
+  regression, the standard pre-test before trusting homoskedastic
+  inference.
+* ``record_stats`` — upper/lower record counts vs the i.i.d.
+  expectation H_n (Glick 1978): the O(n) trend screen dual to the
+  turning-point test.
 
 Exactness protocol (the repo's exact-integer rule): every sum the
 statistics need — run/turning counts, Σd, Σd², Σy, Σy² over integer
@@ -38,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["runs_test", "turning_points", "variance_ratio"]
+__all__ = ["runs_test", "turning_points", "variance_ratio", "arch_lm", "record_stats"]
 
 
 def _isum(arr: Column) -> Column:
@@ -272,3 +279,140 @@ def variance_ratio(
         / (F.lit(3.0) * qd)
     )
     return base.select(*keep_cols, "n", vr.alias("vr"), z.alias("z"))
+
+
+def arch_lm(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*keep_cols, n, n_pairs, r2, lm) — Engle's one-lag ARCH LM test
+    per signal (Engle 1982, Econometrica 50).
+
+    With increments d_t = x_{t+1} − x_t and squared increments
+    s_t = d_t², the test regresses s_t on s_{t−1}: under no ARCH
+    effects the lag carries no information and LM = N·R² ~ χ²(1)
+    (N = number of (s_{t−1}, s_t) pairs).  R² is the squared Pearson
+    correlation of the lag pairs:
+
+        R² = (N·Σuv − Σu·Σv)² / ((N·Σuu − (Σu)²)(N·Σvv − (Σv)²))
+
+    Squared-increment moments overflow int64 (s² can reach ~9e19 for
+    the token range), so Σuu/Σvv/Σuv accumulate in DECIMAL(38,0) —
+    exact — mirrored by HUGEINT sums in the oracle; the cast to double
+    and the one fixed float expression are then bit-deterministic.
+    R²/lm are NULL for constant-variance degenerate pairs (either
+    variance term = 0); rows need n ≥ 5 (≥ 3 pairs).
+    """
+    dec = "decimal(38,0)"
+    arr = F.col("_arr")
+    n = F.size(arr)
+    d = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: b.cast("long") - a.cast("long"),
+    )
+    s = F.transform(d, lambda x: x * x)  # ≤ ~9.6e9 each: exact long
+    m = n - 1
+    u = F.slice(s, 1, m - 1)
+    v = F.slice(s, 2, m - 1)
+
+    def dsum(pairs: Column) -> Column:
+        return F.aggregate(
+            pairs,
+            F.lit(0).cast(dec),
+            lambda a, x: (a + x).cast(dec),
+        )
+
+    prod = lambda a, b: (a.cast(dec) * b.cast(dec)).cast(dec)  # noqa: E731
+    base = (
+        _staged(df, array_col, keep_cols)
+        .filter(n >= 5)
+        .select(
+            *keep_cols,
+            n.alias("n"),
+            (m - 1).cast("long").alias("n_pairs"),
+            _isum(u).alias("_su"),
+            _isum(v).alias("_sv"),
+            dsum(F.zip_with(u, u, prod)).alias("_suu"),
+            dsum(F.zip_with(v, v, prod)).alias("_svv"),
+            dsum(F.zip_with(u, v, prod)).alias("_suv"),
+        )
+    )
+    npd = F.col("n_pairs").cast("double")
+    sud, svd = F.col("_su").cast("double"), F.col("_sv").cast("double")
+    cov = npd * F.col("_suv").cast("double") - sud * svd
+    varu = npd * F.col("_suu").cast("double") - sud * sud
+    varv = npd * F.col("_svv").cast("double") - svd * svd
+    r2 = F.when((varu > 0.0) & (varv > 0.0), cov * cov / (varu * varv))
+    return base.select(
+        *keep_cols, "n", "n_pairs",
+        r2.alias("r2"), (npd * r2).alias("lm"),
+    )
+
+
+def record_stats(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*keep_cols, n, n_up, n_down, asym, rec_rate) — record
+    statistics per signal (Glick 1978, Am. Math. Monthly 85; record
+    theory survey: Krug 2007, J. Stat. Mech.).
+
+    n_up counts upper records (x_i strictly above the running max,
+    the first sample counting as a record), n_down lower records.
+    For an i.i.d. continuous series both have expectation
+    H_n = Σ_{k≤n} 1/k ≈ ln n + γ — a trending series drives one side
+    toward n while stationary noise keeps both logarithmic, making
+    this the O(n) trend screen dual to ``turning_points``.  ``asym``
+    = n_up − n_down (exact int), ``rec_rate`` = (n_up + n_down)/(2n)
+    (one division — bit-deterministic).  Ties are not records (strict
+    inequality).  Rows need n ≥ 2.
+    """
+    arr = F.col("_arr")
+    n = F.size(arr)
+    el = lambda i: F.element_at(arr, (i + 1).cast("int")).cast("long")  # noqa: E731
+    zero = F.struct(
+        F.lit(1).cast("long").alias("up"),
+        F.lit(1).cast("long").alias("dn"),
+        el(F.lit(0)).alias("mx"),
+        el(F.lit(0)).alias("mn"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        x = el(i)
+        return F.struct(
+            (
+                acc.getField("up")
+                + F.when(x > acc.getField("mx"), 1).otherwise(0)
+            ).alias("up"),
+            (
+                acc.getField("dn")
+                + F.when(x < acc.getField("mn"), 1).otherwise(0)
+            ).alias("dn"),
+            F.greatest(acc.getField("mx"), x).alias("mx"),
+            F.least(acc.getField("mn"), x).alias("mn"),
+        )
+
+    base = (
+        _staged(df, array_col, keep_cols)
+        .filter(n >= 2)
+        .withColumn(
+            "_acc", F.aggregate(F.sequence(F.lit(1), n - 1, F.lit(1)), zero, step)
+        )
+        .select(
+            *keep_cols,
+            n.alias("n"),
+            F.col("_acc").getField("up").alias("n_up"),
+            F.col("_acc").getField("dn").alias("n_down"),
+        )
+    )
+    return base.select(
+        *keep_cols, "n", "n_up", "n_down",
+        (F.col("n_up") - F.col("n_down")).cast("long").alias("asym"),
+        (
+            (F.col("n_up") + F.col("n_down")).cast("double")
+            / (F.lit(2.0) * F.col("n").cast("double"))
+        ).alias("rec_rate"),
+    )

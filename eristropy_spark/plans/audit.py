@@ -834,7 +834,8 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # census — pure in-row codegen over the array layout, only
     # tokenize's Exchange, no Join, no Window of their own, zero
     # Python (rqa's O(n²) lives inside the row, never as a pair join)
-    for qname in ("poincare", "ordinal_census", "rqa"):
+    for qname in ("poincare", "ordinal_census", "rqa", "arch_lm",
+                  "record_stats"):
         q = entrymod.queries()[qname](spark, sf_dir)
         p = plan_of(q)
         checks.append(
