@@ -7305,6 +7305,138 @@ FROM agg
 """
 
 
+def _q_kpss(spark, sf_dir):
+    """KPSS level-stationarity test per signal (operators/econotests
+    .kpss, Kwiatkowski–Phillips–Schmidt–Shin 1992): scaled demeaned
+    series n·e_t = n·x_t − S keeps every quadratic form exact
+    (DECIMAL(38,0) ≡ HUGEINT), integer Schwert bandwidth, one float
+    ratio at the end — zero Python, zero joins, only tokenize's
+    Exchange; O(n·l) per signal."""
+    from eristropy_spark.operators.econotests import kpss
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = kpss(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n", "bandwidth",
+        _r6("eta").alias("eta"),
+        "reject_5pct",
+    )
+
+
+_ORACLE_KPSS = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tok) AS BIGINT) AS s
+  FROM pts GROUP BY doc_id HAVING count(*) >= 5
+), bw AS (
+  SELECT doc_id, n, s,
+         CAST(len(list_filter(range(1, 17),
+              j -> 100 * j * j * j * j <= 256 * n)) AS INT) AS l
+  FROM agg
+), u AS (
+  SELECT p.doc_id, p.i,
+         CAST(b.n * p.tok - b.s AS BIGINT) AS u,
+         CAST(b.n * sum(p.tok) OVER (PARTITION BY p.doc_id ORDER BY p.i)
+              - p.i * b.s AS BIGINT) AS ns
+  FROM pts p JOIN bw b USING (doc_id)
+), q AS (
+  SELECT doc_id,
+         sum(CAST(ns AS HUGEINT) * ns) AS qq,
+         sum(CAST(u AS HUGEINT) * u) AS g0
+  FROM u GROUP BY doc_id
+), w AS (
+  SELECT ua.doc_id,
+         sum(CAST(b.l + 1 - (ub.i - ua.i) AS HUGEINT) * ua.u * ub.u) AS wl
+  FROM u ua
+  JOIN u ub ON ub.doc_id = ua.doc_id AND ub.i > ua.i
+  JOIN bw b ON b.doc_id = ua.doc_id AND ub.i - ua.i <= b.l
+  GROUP BY ua.doc_id
+), fin AS (
+  SELECT b.doc_id, CAST(b.n AS INT) AS n, b.l,
+         q.qq, CAST(b.l + 1 AS HUGEINT) * q.g0
+               + 2 * coalesce(w.wl, CAST(0 AS HUGEINT)) AS m
+  FROM bw b
+  JOIN q USING (doc_id)
+  LEFT JOIN w USING (doc_id)
+), eta AS (
+  SELECT doc_id, n, l,
+         CASE WHEN m > 0 THEN
+           CAST(qq AS DOUBLE) * CAST(l + 1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) END AS e
+  FROM fin
+)
+SELECT doc_id, n, l AS bandwidth,
+       CASE WHEN e IS NOT NULL
+            THEN floor(e * 1000000 + 0.5) / 1000000 END AS eta,
+       CASE WHEN e IS NOT NULL THEN e > 0.463 END AS reject_5pct
+FROM eta
+"""
+
+
+def _q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson lag-1 autocorrelation statistic per signal
+    (operators/econotests.durbin_watson, Durbin & Watson 1950):
+    demeaning cancels in first differences, so DW = n²Σ(Δx)²/Σ(nx−S)²
+    over exact integers — zero Python, zero joins, O(n) per signal,
+    only tokenize's Exchange."""
+    from eristropy_spark.operators.econotests import durbin_watson
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = durbin_watson(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id", "n",
+        _r6("dw").alias("dw"),
+        _r6("rho1").alias("rho1"),
+    )
+
+
+_ORACLE_DW = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS INT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tok) AS BIGINT) AS s
+  FROM pts GROUP BY doc_id HAVING count(*) >= 2
+), dif AS (
+  SELECT doc_id,
+         CAST(tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+              AS BIGINT) AS d
+  FROM pts
+), sd AS (
+  SELECT doc_id, sum(CAST(d AS HUGEINT) * d) AS sd2
+  FROM dif WHERE d IS NOT NULL GROUP BY doc_id
+), g AS (
+  SELECT p.doc_id,
+         sum(CAST(a.n * p.tok - a.s AS HUGEINT)
+             * (a.n * p.tok - a.s)) AS g0
+  FROM pts p JOIN agg a USING (doc_id) GROUP BY p.doc_id
+), v AS (
+  SELECT a.doc_id, CAST(a.n AS INT) AS n,
+         CASE WHEN g.g0 > 0 THEN
+           CAST(CAST(a.n AS HUGEINT) * a.n * sd.sd2 AS DOUBLE)
+           / CAST(g.g0 AS DOUBLE) END AS dw
+  FROM agg a JOIN sd USING (doc_id) JOIN g USING (doc_id)
+)
+SELECT doc_id, n,
+       CASE WHEN dw IS NOT NULL
+            THEN floor(dw * 1000000 + 0.5) / 1000000 END AS dw,
+       CASE WHEN dw IS NOT NULL
+            THEN floor((1.0 - dw / 2.0) * 1000000 + 0.5) / 1000000
+            END AS rho1
+FROM v
+"""
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -8881,6 +9013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rqa": _q_rqa,
         "arch_lm": _q_arch_lm,
         "record_stats": _q_record_stats,
+        "kpss": _q_kpss,
+        "durbin_watson": _q_durbin_watson,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -9042,6 +9176,8 @@ def oracle_sql() -> dict[str, str]:
         "rqa": _ORACLE_RQA,
         "arch_lm": _ORACLE_ARCH_LM,
         "record_stats": _ORACLE_RECORDS,
+        "kpss": _ORACLE_KPSS,
+        "durbin_watson": _ORACLE_DW,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,
