@@ -7437,6 +7437,230 @@ FROM v
 """
 
 
+def _q_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis k-sample rank test across sources
+    (operators/grouptests.kruskal_wallis, Kruskal & Wallis 1952):
+    exact doubled midranks over the (group, value) census, tie-cube
+    exact in DECIMAL(38,0), per-group R²/n terms 6-dp-quantized —
+    census shuffle shape, the distinct-value window bounded by the
+    value domain, zero Python."""
+    from eristropy_spark.operators.grouptests import kruskal_wallis
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("int").alias("tok")
+    )
+    r = kruskal_wallis(ev, group_col="event_type", value_col="tok")
+    return r.select(
+        F.col("group").alias("grp"),
+        "n",
+        "r2_sum",
+        _r6("mean_rank").alias("mean_rank"),
+        _r6("h").alias("h"),
+        _r6("h_adj").alias("h_adj"),
+        "k",
+        "n_total",
+    )
+
+
+_ORACLE_KRUSKAL = """
+WITH pts AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS INT) AS v
+  FROM events
+), cnt AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY grp, v
+), vals AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY v
+), cum AS (
+  SELECT v, t,
+         CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cumt
+  FROM vals
+), j AS (
+  SELECT c.grp, c.c, 2 * m.cumt - m.t + 1 AS r2
+  FROM cnt c JOIN cum m USING (v)
+), g AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS HUGEINT) * r2) AS r2s
+  FROM j GROUP BY grp
+), ties AS (
+  SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie FROM vals
+), gtot AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(CAST(floor(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE)
+                             / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+                        AS DECIMAL(38, 6))) AS DOUBLE) AS s
+  FROM g
+), st AS (
+  SELECT k, nt, s, tie,
+         CASE WHEN k >= 2 AND nt >= 2 THEN
+           3.0 * s / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
+           - 3.0 * (CAST(nt AS DOUBLE) + 1.0) END AS h,
+         1.0 - CAST(tie AS DOUBLE)
+               / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                  * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)) AS ctie
+  FROM gtot CROSS JOIN ties
+)
+SELECT g.grp, g.n, CAST(g.r2s AS BIGINT) AS r2_sum,
+       floor(CAST(g.r2s AS DOUBLE) / (2.0 * CAST(g.n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS mean_rank,
+       CASE WHEN st.h IS NOT NULL
+            THEN floor(st.h * 1000000 + 0.5) / 1000000 END AS h,
+       CASE WHEN st.h IS NOT NULL AND st.ctie > 0.0
+            THEN floor(st.h / st.ctie * 1000000 + 0.5) / 1000000
+            END AS h_adj,
+       st.k, st.nt AS n_total
+FROM g CROSS JOIN st
+"""
+
+
+def _q_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe robust Levene variance-homogeneity test across
+    sources (operators/grouptests.brown_forsythe, Brown & Forsythe
+    1974): exact doubled medians from the census order statistics,
+    doubled deviations z2 exact, per-group T²/n terms 6-dp-quantized,
+    one fixed float W — census shuffle shape, zero Python."""
+    from eristropy_spark.operators.grouptests import brown_forsythe
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("int").alias("tok")
+    )
+    r = brown_forsythe(ev, group_col="event_type", value_col="tok")
+    return r.select(
+        F.col("group").alias("grp"),
+        "n",
+        "median",
+        _r6("z_mean").alias("z_mean"),
+        _r6("w_stat").alias("w_stat"),
+        "df1",
+        "df2",
+    )
+
+
+_ORACLE_BROWN_FORSYTHE = """
+WITH pts AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS INT) AS v
+  FROM events
+), cnt AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY grp, v
+), cum AS (
+  SELECT grp, v, c,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM cnt
+), med AS (
+  SELECT grp, max(n) AS n,
+         CAST(min(CASE WHEN cm >= (n + 1) // 2 THEN v END) AS BIGINT)
+         + CAST(min(CASE WHEN cm >= n // 2 + 1 THEN v END) AS BIGINT)
+           AS m2
+  FROM cum GROUP BY grp
+), z AS (
+  SELECT c.grp, c.c, m.n, m.m2,
+         CAST(abs(2 * CAST(c.v AS BIGINT) - m.m2) AS BIGINT) AS z2
+  FROM cnt c JOIN med m USING (grp)
+), g AS (
+  SELECT grp, max(n) AS n, max(m2) AS m2,
+         sum(CAST(c AS HUGEINT) * z2) AS tj,
+         sum(CAST(c AS HUGEINT) * z2 * z2) AS uj
+  FROM z GROUP BY grp
+), gtot AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+         sum(tj) AS gt,
+         CAST(sum(CAST(floor(CAST(tj AS DOUBLE) * CAST(tj AS DOUBLE)
+                             / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+                        AS DECIMAL(38, 6))) AS DOUBLE) AS ssb4,
+         CAST(sum(CAST(floor((CAST(uj AS DOUBLE)
+                              - CAST(tj AS DOUBLE) * CAST(tj AS DOUBLE)
+                                / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                       / 1000000 AS DECIMAL(38, 6))) AS DOUBLE) AS ssw4
+  FROM g
+), st AS (
+  SELECT k, nt,
+         CASE WHEN k >= 2 AND nt > k AND ssw4 > 0.0 THEN
+           (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))
+           / (CAST(k AS DOUBLE) - 1.0)
+           * (ssb4 - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE)
+                     / CAST(nt AS DOUBLE))
+           / ssw4 END AS w
+  FROM gtot
+)
+SELECT g.grp, g.n, CAST(g.m2 AS DOUBLE) / 2.0 AS median,
+       floor(CAST(g.tj AS DOUBLE) / (2.0 * CAST(g.n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS z_mean,
+       CASE WHEN st.w IS NOT NULL
+            THEN floor(st.w * 1000000 + 0.5) / 1000000 END AS w_stat,
+       CAST(st.k - 1 AS INT) AS df1,
+       CAST(st.nt - st.k AS BIGINT) AS df2
+FROM g CROSS JOIN st
+"""
+
+
+def _q_chi2_drift(spark, sf_dir):
+    """Two-sample chi-squared homogeneity drift per signal
+    (operators/drift.chi2_drift, Pearson's 2×V contingency form):
+    exact int64 cell differences ca·nb − na·cb, per-value terms
+    6-dp-quantized into DECIMAL(38,6) — the ks_drift census shuffle
+    shape, no joins, no Python."""
+    from eristropy_spark.operators.drift import chi2_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = chi2_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "n_values",
+        _r6("chi2").alias("chi2"),
+        "dfree",
+    )
+
+
+_ORACLE_CHI2_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), tot AS (
+  SELECT user_id, event_type, ca, cb,
+         sum(ca) OVER (PARTITION BY user_id, event_type) AS na,
+         sum(cb) OVER (PARTITION BY user_id, event_type) AS nb
+  FROM cv
+), red AS (
+  SELECT user_id, event_type,
+         max(na) AS n_ref, max(nb) AS n_cur,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(floor(
+           CAST(ca * nb - na * cb AS DOUBLE)
+           * CAST(ca * nb - na * cb AS DOUBLE)
+           / (CAST(ca + cb AS DOUBLE) * CAST(na AS DOUBLE)
+              * CAST(nb AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           AS DECIMAL(38, 6))) AS DOUBLE) AS s
+  FROM tot GROUP BY user_id, event_type
+)
+SELECT user_id, event_type,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(m AS INT) AS n_values,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND m >= 2 THEN
+         floor(s * 1000000 + 0.5) / 1000000 END AS chi2,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND m >= 2 THEN
+         m - 1 END AS dfree
+FROM red
+"""
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -9015,6 +9239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_stats": _q_record_stats,
         "kpss": _q_kpss,
         "durbin_watson": _q_durbin_watson,
+        "kruskal_wallis": _q_kruskal_wallis,
+        "brown_forsythe": _q_brown_forsythe,
+        "chi2_drift": _q_chi2_drift,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -9178,6 +9405,9 @@ def oracle_sql() -> dict[str, str]:
         "record_stats": _ORACLE_RECORDS,
         "kpss": _ORACLE_KPSS,
         "durbin_watson": _ORACLE_DW,
+        "kruskal_wallis": _ORACLE_KRUSKAL,
+        "brown_forsythe": _ORACLE_BROWN_FORSYTHE,
+        "chi2_drift": _ORACLE_CHI2_DRIFT,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

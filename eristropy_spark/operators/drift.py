@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -675,4 +675,84 @@ def categorical_drift(
         F.when(ok, F.col("_js").cast("double"))
         .otherwise(F.lit(None).cast("double"))
         .alias("js_div"),
+    )
+
+
+def chi2_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, n_values, chi2, dfree) — the two-sample
+    chi-squared homogeneity test between the first and second half of
+    each key's history (Pearson 1900 / the 2×V contingency form): the
+    CELL-WISE drift test completing the family — KS/CvM/W1 compare
+    CDFs (ordered values), chi-squared compares the raw category
+    masses, so it reacts to any reshuffling of probability even when
+    the CDF changes cancel out.  Over the pooled distinct values v
+    with half counts (ca, cb), na = Σca, nb = Σcb:
+
+        χ² = (1/(na·nb)) · Σ_v (ca_v·nb − na·cb_v)² / t_v,  t = ca+cb
+
+    (algebraically the standard Σ(O−E)²/E over both rows).  Each
+    per-value term is evaluated as ONE fixed float expression —
+    (ca·nb − na·cb) is an exact int64 difference first — then
+    floor-quantized to the 6-dp grid and accumulated as
+    DECIMAL(38,6), so the sum is partition-invariant and the DuckDB
+    replay bit-identical.  ``dfree`` = V − 1.  NULL when a half is
+    empty or V < 2.
+
+    Same census shuffle shape as ``ks_drift``: one keyed window pass,
+    one (key, value) hash aggregate, a per-key reduce — no joins, no
+    Python; a key with a billion points streams through every stage.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = pts.groupBy(*keys, "_v").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w_tot = Window.partitionBy(*keys)
+    tot = cnt.withColumn("_na", F.sum("_ca").over(w_tot)).withColumn(
+        "_nb", F.sum("_cb").over(w_tot)
+    )
+    num = (F.col("_ca") * F.col("_nb") - F.col("_na") * F.col("_cb")).cast(
+        "double"
+    )
+    t = (F.col("_ca") + F.col("_cb")).cast("double")
+    term = _floor_round(
+        num * num
+        / (t * F.col("_na").cast("double") * F.col("_nb").cast("double")),
+        6,
+    ).cast("decimal(38, 6)")
+    red = tot.groupBy(*keys).agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.count("*").cast("long").alias("_m"),
+        F.sum(term).alias("_s"),
+    )
+    ok = (
+        (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1) & (F.col("_m") >= 2)
+    )
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.col("_m").cast("int").alias("n_values"),
+        F.when(ok, F.col("_s").cast("double")).alias("chi2"),
+        F.when(ok, (F.col("_m") - 1).cast("long")).alias("dfree"),
     )

@@ -1,0 +1,234 @@
+"""K-group distribution tests across sources — Kruskal–Wallis and
+Brown–Forsythe, the corpus-level complements to the two-sample drift
+monitors in ``operators/drift.py``.
+
+* ``kruskal_wallis`` — the Kruskal & Wallis 1952 (JASA 47) rank test:
+  do the k sources share one value distribution?  H with the standard
+  tie correction H/C, C = 1 − Σ(t³−t)/(N³−N); the k-group extension
+  of ``mannwhitney_drift``'s two-sample U (identical midrank
+  machinery).
+* ``brown_forsythe`` — the Brown & Forsythe 1974 (JASA 69) robust
+  Levene test: one-way ANOVA on z = |x − median(group)|, the standard
+  variance-homogeneity screen (median-centered, so heavy tails don't
+  fake a rejection the way mean-centered Levene does).
+
+Neither exists in the reference; both are engine capability for the
+monitoring family (ks/psi/mannwhitney/cvm/wasserstein drift → per-key
+two-sample; these → global k-sample).
+
+Exactness protocol: the (group, value) census carries exact integer
+counts; doubled midranks 2r_v = 2·cum_t − t + 1, doubled rank sums
+R2_j = Σ c·2r_v, the tie cube Σ(t³−t), doubled medians m2 (the k-or-
+k+½ interpolated median of integers, so 2·median is integral) and
+doubled deviations z2 = |2v − m2| are ALL exact integers in
+DECIMAL(38,0); each per-group rational term (R2_j²/n_j, T_j²/n_j) is
+floor-quantized to the 6-dp grid and accumulated as DECIMAL(38,6)
+(associative-exact, so partition- and order-invariant), and each
+statistic is ONE fixed float expression — bit-identical in the DuckDB
+replay.
+
+Scale shape: one (group, value) hash-aggregate census (map-side
+combined — rows after it are bounded by |groups|·|value domain|, NOT
+by N), windows over the census keyed by value or group, and a k-row
+global reduce broadcast back onto the k output rows.  The one
+unkeyed window (cumulative tie counts over distinct values) runs on
+the DISTINCT-VALUE census — cardinality = the quantized value domain
+(e.g. 2³² for int32 tokens, in practice ≪ 10⁶), independent of row
+count, the same bound ``mannwhitney_drift`` carries per key.  Zero
+Python, no join wider than the census.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eristropy_spark.operators.changepoint import _floor_round
+
+__all__ = ["kruskal_wallis", "brown_forsythe"]
+
+_D0 = "decimal(38,0)"
+_D6 = "decimal(38,6)"
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """(group, n, r2_sum, mean_rank, h, h_adj, k, n_total) — one row
+    per group, with the global statistic repeated on each row (the
+    contract-friendly layout: the per-group rank means ARE the
+    effect-size readout, H the test).
+
+    ``h`` is NULL when k < 2 or N < 2; ``h_adj`` = H/C is additionally
+    NULL when every value is tied (C = 0).
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("group"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").cast("long").alias("_c"))
+
+    vals = cnt.groupBy("_v").agg(F.sum("_c").cast("long").alias("_t"))
+    # distinct-value census: cardinality = value domain (see module
+    # docstring) — the unkeyed cumulative window is bounded by it
+    w_cum = (
+        Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = vals.withColumn("_cumt", F.sum("_t").over(w_cum))
+
+    joined = cnt.join(F.broadcast(vals), "_v")
+    r2 = (2 * F.col("_cumt") - F.col("_t") + 1).cast("long")
+    grp = joined.groupBy("group").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.col("_c").cast(_D0) * r2.cast(_D0)).alias("_r2"),
+    )
+
+    ties = vals.select(
+        F.sum(
+            F.col("_t").cast(_D0) * F.col("_t").cast(_D0) * F.col("_t").cast(_D0)
+            - F.col("_t").cast(_D0)
+        ).alias("_tie")
+    )
+    glob = (
+        grp.agg(
+            F.count("*").cast("int").alias("k"),
+            F.sum("n").cast("long").alias("n_total"),
+            F.sum(
+                _floor_round(
+                    F.col("_r2").cast("double")
+                    * F.col("_r2").cast("double")
+                    / F.col("n").cast("double"),
+                    6,
+                ).cast(_D6)
+            ).alias("_s"),
+        )
+        .crossJoin(ties)
+    )
+
+    nd = F.col("n_total").cast("double")
+    h = F.when(
+        (F.col("k") >= 2) & (F.col("n_total") >= 2),
+        F.lit(3.0) * F.col("_s").cast("double") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0)),
+    )
+    c_tie = F.lit(1.0) - F.col("_tie").cast("double") / (nd * nd * nd - nd)
+    glob = glob.select(
+        "k",
+        "n_total",
+        h.alias("h"),
+        F.when(h.isNotNull() & (c_tie > F.lit(0.0)), h / c_tie).alias("h_adj"),
+    )
+
+    out = grp.crossJoin(F.broadcast(glob))
+    return out.select(
+        "group",
+        "n",
+        F.col("_r2").cast("long").alias("r2_sum"),
+        (
+            F.col("_r2").cast("double") / (F.lit(2.0) * F.col("n").cast("double"))
+        ).alias("mean_rank"),
+        "h",
+        "h_adj",
+        "k",
+        "n_total",
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """(group, n, median, z_mean, w_stat, df1, df2) — one row per
+    group with the global Brown–Forsythe W repeated on each row.
+
+    W = ((N−k)/(k−1)) · SSB(z)/SSW(z) with z = |x − group median|;
+    NULL when k < 2, N ≤ k, or SSW = 0 (all groups internally
+    constant around their medians).
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("group"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").cast("long").alias("_c"))
+
+    w_g = (
+        Window.partitionBy("group")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("group")
+    ranked = cnt.withColumn("_cum", F.sum("_c").over(w_g)).withColumn(
+        "_n", F.sum("_c").over(w_tot)
+    )
+    lo_rank = F.floor((F.col("_n") + 1) / 2)
+    hi_rank = F.floor(F.col("_n") / 2) + 1
+    med = ranked.groupBy("group").agg(
+        F.max("_n").alias("n"),
+        # cum is nondecreasing in v, so min(v : cum >= rank) is the
+        # order statistic; m2 = x_(lo) + x_(hi) = 2*median, exact
+        (
+            F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v"))).cast("long")
+            + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v"))).cast("long")
+        ).alias("_m2"),
+    )
+
+    z = cnt.join(F.broadcast(med), "group").withColumn(
+        "_z2",
+        F.abs(2 * F.col("_v").cast("long") - F.col("_m2")).cast("long"),
+    )
+    grp = z.groupBy("group").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("_m2").alias("_m2"),
+        F.sum(F.col("_c").cast(_D0) * F.col("_z2").cast(_D0)).alias("_tj"),
+        F.sum(
+            F.col("_c").cast(_D0) * F.col("_z2").cast(_D0) * F.col("_z2").cast(_D0)
+        ).alias("_uj"),
+    )
+
+    tb = _floor_round(
+        F.col("_tj").cast("double") * F.col("_tj").cast("double")
+        / F.col("n").cast("double"),
+        6,
+    ).cast(_D6)
+    tw = _floor_round(
+        F.col("_uj").cast("double")
+        - F.col("_tj").cast("double") * F.col("_tj").cast("double")
+        / F.col("n").cast("double"),
+        6,
+    ).cast(_D6)
+    glob = grp.agg(
+        F.count("*").cast("int").alias("_k"),
+        F.sum("n").cast("long").alias("_nt"),
+        F.sum("_tj").alias("_g"),
+        F.sum(tb).alias("_ssb4"),
+        F.sum(tw).alias("_ssw4"),
+    )
+    ntd = F.col("_nt").cast("double")
+    kd = F.col("_k").cast("double")
+    ssb = F.col("_ssb4").cast("double") - F.col("_g").cast("double") * F.col(
+        "_g"
+    ).cast("double") / ntd
+    w_stat = F.when(
+        (F.col("_k") >= 2)
+        & (F.col("_nt") > F.col("_k"))
+        & (F.col("_ssw4").cast("double") > F.lit(0.0)),
+        (ntd - kd) / (kd - F.lit(1.0)) * ssb / F.col("_ssw4").cast("double"),
+    )
+    glob = glob.select(
+        w_stat.alias("w_stat"),
+        (F.col("_k") - 1).cast("int").alias("df1"),
+        (F.col("_nt") - F.col("_k")).cast("long").alias("df2"),
+    )
+
+    out = grp.crossJoin(F.broadcast(glob))
+    return out.select(
+        "group",
+        "n",
+        (F.col("_m2").cast("double") / F.lit(2.0)).alias("median"),
+        (
+            F.col("_tj").cast("double")
+            / (F.lit(2.0) * F.col("n").cast("double"))
+        ).alias("z_mean"),
+        "w_stat",
+        "df1",
+        "df2",
+    )

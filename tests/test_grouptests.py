@@ -1,0 +1,165 @@
+"""kruskal_wallis / brown_forsythe / chi2_drift — value parity against
+numpy midrank/median recomputation, discrimination pins, degenerate
+guards."""
+
+import numpy as np
+import pytest
+
+from eristropy_spark.operators.drift import chi2_drift
+from eristropy_spark.operators.grouptests import brown_forsythe, kruskal_wallis
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "source string, value int")
+
+
+def _kw_local(pairs):
+    vals = np.array([v for _, v in pairs], dtype=float)
+    grps = np.array([g for g, _ in pairs])
+    uniq, inv, cnts = np.unique(vals, return_inverse=True, return_counts=True)
+    midrank = np.cumsum(cnts) - (cnts - 1) / 2.0
+    rk = midrank[inv]
+    n = len(vals)
+    s = sum(
+        rk[grps == g].sum() ** 2 / (grps == g).sum() for g in set(grps)
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    ties = (cnts.astype(float) ** 3 - cnts).sum()
+    c = 1 - ties / (n**3 - n)
+    return h, (h / c if c > 0 else None)
+
+
+def _bf_local(pairs):
+    vals = np.array([v for _, v in pairs], dtype=float)
+    grps = np.array([g for g, _ in pairs])
+    groups = sorted(set(grps))
+    zs = [np.abs(vals[grps == g] - np.median(vals[grps == g])) for g in groups]
+    n, k = len(vals), len(groups)
+    zbar = np.concatenate(zs).mean()
+    ssb = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    if ssw == 0:
+        return None
+    return (n - k) / (k - 1) * ssb / ssw
+
+
+def test_kruskal_wallis_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    pairs = [
+        (f"g{j}", int(v))
+        for j, mu in enumerate([0, 8, -4])
+        for v in rng.normal(mu, 12, 150).round()
+    ]
+    h_ref, hadj_ref = _kw_local(pairs)
+    rows = kruskal_wallis(_df(spark, pairs)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["h"] == pytest.approx(h_ref, rel=1e-6)
+        assert r["h_adj"] == pytest.approx(hadj_ref, rel=1e-6)
+        assert r["n_total"] == len(pairs) and r["k"] == 3
+    # shifted group must carry the larger mean rank
+    by = {r["group"]: r for r in rows}
+    assert by["g1"]["mean_rank"] > by["g0"]["mean_rank"] > by["g2"]["mean_rank"]
+
+
+def test_kruskal_wallis_null_under_exchangeability(spark):
+    rng = np.random.default_rng(5)
+    pairs = [
+        (f"g{j}", int(v))
+        for j in range(4)
+        for v in rng.integers(-1000, 1000, 200)
+    ]
+    h = kruskal_wallis(_df(spark, pairs)).collect()[0]["h_adj"]
+    # chi2(3) 99th percentile ~ 11.34
+    assert h < 11.34
+
+
+def test_kruskal_wallis_degenerate(spark):
+    one = kruskal_wallis(_df(spark, [("a", 1), ("a", 2), ("a", 3)])).collect()
+    assert one[0]["h"] is None  # k < 2
+    tied = kruskal_wallis(
+        _df(spark, [("a", 7), ("a", 7), ("b", 7), ("b", 7)])
+    ).collect()
+    assert tied[0]["h"] is not None and tied[0]["h_adj"] is None  # C = 0
+
+
+def test_brown_forsythe_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    pairs = [
+        (f"g{j}", int(v))
+        for j, sd in enumerate([5, 5, 40])
+        for v in rng.normal(0, sd, 180).round()
+    ]
+    ref = _bf_local(pairs)
+    rows = brown_forsythe(_df(spark, pairs)).collect()
+    for r in rows:
+        assert r["w_stat"] == pytest.approx(ref, rel=1e-6)
+        assert r["df1"] == 2 and r["df2"] == len(pairs) - 3
+    # W must be large: group g2 has 8x the scale
+    assert rows[0]["w_stat"] > 10.0
+    by = {r["group"]: r for r in rows}
+    for g, sd in [("g0", 5), ("g1", 5), ("g2", 40)]:
+        vals = np.array([v for gg, v in pairs if gg == g], dtype=float)
+        assert by[g]["median"] == pytest.approx(np.median(vals))
+        assert by[g]["z_mean"] == pytest.approx(
+            np.abs(vals - np.median(vals)).mean(), rel=1e-6
+        )
+
+
+def test_brown_forsythe_degenerate(spark):
+    # all groups constant -> SSW = 0 -> NULL
+    rows = brown_forsythe(
+        _df(spark, [("a", 1)] * 5 + [("b", 9)] * 5)
+    ).collect()
+    assert all(r["w_stat"] is None for r in rows)
+
+
+def _chi2_local(ref, cur):
+    vals = sorted(set(ref) | set(cur))
+    na, nb = len(ref), len(cur)
+    s = 0.0
+    for v in vals:
+        ca, cb = ref.count(v), cur.count(v)
+        s += (ca * nb - na * cb) ** 2 / ((ca + cb) * na * nb)
+    return s, len(vals) - 1
+
+
+def test_chi2_drift_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    ref = [int(v) for v in rng.integers(0, 12, 160)]
+    cur = [int(v) for v in rng.integers(3, 15, 140)]
+    rows = [("k1", i, float(v)) for i, v in enumerate(ref + cur)]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = chi2_drift(df, "key", ts_col="ts").collect()[0]
+    chi2_ref, df_ref = _chi2_local(
+        [float(v) for v in ref[: len(ref)]],
+        [float(v) for v in (ref + cur)[150:]],
+    )
+    # recompute the exact halves the operator uses: first floor(n/2)
+    n = len(ref) + len(cur)
+    all_vals = [float(v) for v in ref + cur]
+    a, b = all_vals[: n // 2], all_vals[n // 2 :]
+    chi2_ref, df_ref = _chi2_local(a, b)
+    assert out["n_ref"] == n // 2 and out["n_cur"] == n - n // 2
+    assert out["chi2"] == pytest.approx(chi2_ref, rel=1e-6)
+    assert out["dfree"] == df_ref
+
+
+def test_chi2_drift_null_and_shift(spark):
+    rng = np.random.default_rng(13)
+    stable = [float(v) for v in rng.integers(0, 10, 400)]
+    shifted = [float(v) for v in rng.integers(0, 10, 200)] + [
+        float(v) for v in rng.integers(20, 30, 200)
+    ]
+    rows = [("stable", i, v) for i, v in enumerate(stable)] + [
+        ("shifted", i, v) for i, v in enumerate(shifted)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    out = {r["key"]: r for r in chi2_drift(df, "key", ts_col="ts").collect()}
+    assert out["shifted"]["chi2"] > 100.0
+    # stable: chi2 ~ df (here 9), give generous headroom
+    assert out["stable"]["chi2"] < 3.0 * out["stable"]["dfree"] + 20
+    one = spark.createDataFrame(
+        [("k", 0, 1.0)], "key string, ts long, value double"
+    )
+    assert chi2_drift(one, "key", ts_col="ts").collect()[0]["chi2"] is None
