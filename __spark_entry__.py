@@ -8070,6 +8070,117 @@ FROM mdl WHERE n >= 8
 """
 
 
+def _q_coint_eg(spark, sf_dir):
+    """Engle–Granger two-step cointegration between every unordered
+    source pair on the 600 s bucket-mean grid (operators/coint
+    .coint_eg_pairs, Engle & Granger 1987): 6-dp grid means, 12-dp
+    DECIMAL step-1 moments, residuals re-quantized to the 6-dp grid,
+    12-dp DECIMAL step-2 lag-pair moments, no-constant Dickey–Fuller
+    tau as one fixed float expression — grid agg + bucket equi-join +
+    keyed window, quadratic in sources only, zero Python."""
+    from eristropy_spark.operators.coint import coint_eg_pairs
+
+    ev = _events(spark, sf_dir)
+    r = coint_eg_pairs(
+        ev, source_col="event_type", bucket_sec=600, min_overlap=8
+    )
+    return r.select(
+        "source_x",
+        "source_y",
+        "n",
+        "n_pairs",
+        _r6("alpha").alias("alpha"),
+        _r6("beta").alias("beta"),
+        _r6("rho").alias("rho"),
+        _r6("tau").alias("tau"),
+        "coint_5pct",
+    )
+
+
+_ORACLE_COINT = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), al AS (
+  SELECT x.source AS source_x, y.source AS source_y, x.bucket,
+         x.v AS vx, y.v AS vy
+  FROM grid x
+  JOIN grid y ON y.bucket = x.bucket AND x.source < y.source
+), mom AS (
+  SELECT source_x, source_y,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(vx * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(floor(vy * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(floor(vx * vx * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(floor(vx * vy * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM al GROUP BY source_x, source_y
+), coef AS (
+  SELECT source_x, source_y, n,
+         CASE WHEN sxx - sx * sx / CAST(n AS DOUBLE) > 0.0 THEN
+           (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) END AS b,
+         sy / CAST(n AS DOUBLE)
+           - (CASE WHEN sxx - sx * sx / CAST(n AS DOUBLE) > 0.0 THEN
+                (sxy - sx * sy / CAST(n AS DOUBLE))
+                / (sxx - sx * sx / CAST(n AS DOUBLE)) END)
+             * sx / CAST(n AS DOUBLE) AS a
+  FROM mom WHERE n >= 8
+), resid AS (
+  SELECT al.source_x, al.source_y, al.bucket, c.n,
+         floor((al.vy - c.a - c.b * al.vx) * 1000000.0 + 0.5)
+           / 1000000.0 AS u
+  FROM al JOIN coef c USING (source_x, source_y)
+  WHERE c.b IS NOT NULL
+), lagged AS (
+  SELECT source_x, source_y, n, u AS uc,
+         lag(u) OVER w AS up,
+         bucket - lag(bucket) OVER w AS gap
+  FROM resid
+  WINDOW w AS (PARTITION BY source_x, source_y ORDER BY bucket)
+), red AS (
+  SELECT source_x, source_y, max(n) AS n,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(floor(up * up * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(sum(CAST(floor(uc * uc * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(sum(CAST(floor(up * uc * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s12
+  FROM lagged WHERE up IS NOT NULL AND gap = 1
+  GROUP BY source_x, source_y
+), st AS (
+  SELECT source_x, source_y, n, n_pairs, s11, s22, s12,
+         CASE WHEN s11 > 0.0 THEN (s12 - s11) / s11 END AS rho
+  FROM red WHERE n_pairs >= 3
+), tt AS (
+  SELECT source_x, source_y, n, n_pairs, rho,
+         ((s22 - 2.0 * s12 + s11) - 2.0 * rho * (s12 - s11)
+          + rho * rho * s11) / (CAST(n_pairs AS DOUBLE) - 1.0) AS s2,
+         s11
+  FROM st
+), fin AS (
+  SELECT source_x, source_y, n, n_pairs, rho,
+         CASE WHEN rho IS NOT NULL AND n_pairs >= 3 AND s2 > 0.0
+              THEN rho / sqrt(s2 / s11) END AS tau
+  FROM tt
+)
+SELECT f.source_x, f.source_y, f.n, f.n_pairs,
+       floor(c.a * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+       floor(c.b * 1000000.0 + 0.5) / 1000000.0 AS beta,
+       CASE WHEN f.rho IS NOT NULL
+            THEN floor(f.rho * 1000000.0 + 0.5) / 1000000.0 END AS rho,
+       CASE WHEN f.tau IS NOT NULL
+            THEN floor(f.tau * 1000000.0 + 0.5) / 1000000.0 END AS tau,
+       f.tau < -3.34 AS coint_5pct
+FROM fin f JOIN coef c USING (source_x, source_y)
+"""
+
+
 def _q_burstiness(spark, sf_dir):
     """Goh–Barabási burstiness B and memory M per event stream
     (operators/interarrival.burstiness_stats): exact integer-µs gaps,
@@ -9242,6 +9353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": _q_kruskal_wallis,
         "brown_forsythe": _q_brown_forsythe,
         "chi2_drift": _q_chi2_drift,
+        "coint_eg": _q_coint_eg,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -9408,6 +9520,7 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": _ORACLE_KRUSKAL,
         "brown_forsythe": _ORACLE_BROWN_FORSYTHE,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
+        "coint_eg": _ORACLE_COINT,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,
