@@ -55,6 +55,7 @@ def coint_eg_pairs(
     value_col: str = "value",
     bucket_sec: int = 60,
     min_overlap: int = 8,
+    checkpoint_grid: bool = True,
 ) -> DataFrame:
     """(source_x, source_y, n, n_pairs, alpha, beta, rho, tau,
     coint_5pct) for every unordered pair x < y with n >=
@@ -73,6 +74,15 @@ def coint_eg_pairs(
     ).agg(
         _floor_round(F.avg(F.col(value_col).cast("double")), 6).alias("v")
     )
+    if checkpoint_grid:
+        # the raw-event scan + grid aggregate is the dominant stage at
+        # scale and this plan consumes the grid FOUR times (x side, y
+        # side, step-1 moments, step-2 residuals) — a lazy
+        # localCheckpoint materializes it once (grid rows = sources ×
+        # buckets, orders of magnitude below the input) instead of
+        # rescanning the input per consumer; blocks are freed by the
+        # ContextCleaner when the result goes out of scope
+        grid = grid.localCheckpoint(eager=False)
 
     xs = grid.select(
         F.col("source").alias("source_x"), "bucket", F.col("v").alias("_x")

@@ -1265,4 +1265,51 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 66. kpss / durbin_watson / chi2_drift: pure in-row or census
+    # reduce — ONE keyed Exchange (tokenize's or the census's), no
+    # Join, no single-partition stage, zero Python
+    for qn in ("kpss", "durbin_watson", "chi2_drift"):
+        q66 = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(q66)
+        checks.append(
+            (f"{qn}: ONE keyed Exchange, no Join, zero Python",
+             p.count("Exchange") == 1
+             and "Join" not in p
+             and "SinglePartition" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
+    # 67. kruskal_wallis / brown_forsythe: census aggregates +
+    # broadcast-only joins (the per-group/global reduces are k-row
+    # frames) — no sort-merge join, no cartesian, zero Python.
+    # SinglePartition stages exist by design but only on bounded
+    # frames: the distinct-VALUE census (cardinality = value domain)
+    # and the k-row global reduce.
+    for qn in ("kruskal_wallis", "brown_forsythe"):
+        q67 = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(q67)
+        checks.append(
+            (f"{qn}: broadcast-only joins over census frames, "
+             "no SMJ/cartesian, zero Python",
+             "SortMergeJoin" not in p
+             and "CartesianProduct" not in p
+             and _py_node_count(p) == 0, p)
+        )
+
+    # 68. coint_eg: ONE raw-input materialization (lazy localCheckpoint
+    # of the grid — the plan must contain NO parquet rescan), bucket
+    # equi-joins + broadcast coef joins only, keyed lag window, zero
+    # Python
+    q68 = entrymod.queries()["coint_eg"](spark, sf_dir)
+    p = plan_of(q68)
+    checks.append(
+        ("coint_eg: checkpointed grid (no raw rescan), equi/broadcast "
+         "joins only, keyed windows, zero Python",
+         "Scan parquet" not in p
+         and "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
