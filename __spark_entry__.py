@@ -7661,6 +7661,180 @@ FROM red
 """
 
 
+def _q_ttest_drift(spark, sf_dir):
+    """Welch two-sample t / Cohen's d / variance F-ratio drift per
+    signal (operators/drift.ttest_drift, Welch 1947): 12-dp DECIMAL
+    moment sums, every statistic one fixed float expression — ONE
+    keyed window pass + ONE hash aggregate, cheaper than the census
+    family, zero Python."""
+    from eristropy_spark.operators.drift import ttest_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = ttest_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _r6("mean_ref").alias("mean_ref"),
+        _r6("mean_cur").alias("mean_cur"),
+        _r6("t_stat").alias("t_stat"),
+        _r6("dof").alias("dof"),
+        _r6("cohen_d").alias("cohen_d"),
+        _r6("f_ratio").alias("f_ratio"),
+    )
+
+
+_ORACLE_TTEST_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), red AS (
+  SELECT user_id, event_type,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur,
+         CAST(sum(CAST(floor((CASE WHEN ref THEN v ELSE 0.0 END)
+                             * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(floor((CASE WHEN ref THEN 0.0 ELSE v END)
+                             * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(floor((CASE WHEN ref THEN v * v ELSE 0.0 END)
+                             * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS qa,
+         CAST(sum(CAST(floor((CASE WHEN ref THEN 0.0 ELSE v * v END)
+                             * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS qb
+  FROM tagged GROUP BY user_id, event_type
+), st AS (
+  SELECT user_id, event_type, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) AS na, CAST(n_cur AS DOUBLE) AS nb,
+         sa / CAST(n_ref AS DOUBLE) AS ma,
+         sb / CAST(n_cur AS DOUBLE) AS mb,
+         (qa - sa * sa / CAST(n_ref AS DOUBLE))
+           / (CAST(n_ref AS DOUBLE) - 1.0) AS va,
+         (qb - sb * sb / CAST(n_cur AS DOUBLE))
+           / (CAST(n_cur AS DOUBLE) - 1.0) AS vb
+  FROM red
+), fin AS (
+  SELECT user_id, event_type, n_ref, n_cur, ma, mb, va, vb, na, nb,
+         va / na + vb / nb AS se2,
+         ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0) AS pooled
+  FROM st
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       CASE WHEN n_ref >= 1
+            THEN floor(ma * 1000000 + 0.5) / 1000000 END AS mean_ref,
+       CASE WHEN n_cur >= 1
+            THEN floor(mb * 1000000 + 0.5) / 1000000 END AS mean_cur,
+       CASE WHEN n_ref >= 2 AND n_cur >= 2 AND se2 > 0.0 THEN
+         floor((ma - mb) / sqrt(se2) * 1000000 + 0.5) / 1000000
+       END AS t_stat,
+       CASE WHEN n_ref >= 2 AND n_cur >= 2 AND se2 > 0.0 THEN
+         floor(se2 * se2 / ((va / na) * (va / na) / (na - 1.0)
+                            + (vb / nb) * (vb / nb) / (nb - 1.0))
+               * 1000000 + 0.5) / 1000000
+       END AS dof,
+       CASE WHEN n_ref >= 2 AND n_cur >= 2 AND pooled > 0.0 THEN
+         floor((ma - mb) / sqrt(pooled) * 1000000 + 0.5) / 1000000
+       END AS cohen_d,
+       CASE WHEN n_ref >= 2 AND n_cur >= 2 AND vb > 0.0 THEN
+         floor(va / vb * 1000000 + 0.5) / 1000000
+       END AS f_ratio
+FROM fin
+"""
+
+
+def _q_energy_drift(spark, sf_dir):
+    """Székely–Rizzo energy-distance drift per signal
+    (operators/drift.energy_drift): every pairwise-|difference| sum
+    collapsed onto the pooled census via the gap identity, terms
+    12-dp-quantized into DECIMAL(38,12) — the ks_drift census shuffle
+    shape, no joins, no Python."""
+    from eristropy_spark.operators.drift import energy_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = energy_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _r6("e_dist").alias("e_dist"),
+        _r6("e_stat").alias("e_stat"),
+    )
+
+
+_ORACLE_ENERGY_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, v, ca, cb,
+         CAST(sum(ca) OVER wc AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER wc AS BIGINT) AS cumb,
+         CAST(sum(ca) OVER wt AS BIGINT) AS na,
+         CAST(sum(cb) OVER wt AS BIGINT) AS nb,
+         lead(v) OVER wl AS nextv
+  FROM cv
+  WINDOW wc AS (PARTITION BY user_id, event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY user_id, event_type),
+         wl AS (PARTITION BY user_id, event_type ORDER BY v)
+), red AS (
+  SELECT user_id, event_type, max(na) AS n_ref, max(nb) AS n_cur,
+         CAST(sum(CAST(floor((CASE WHEN nextv IS NOT NULL THEN
+             (nextv - v) * (CAST(cuma AS DOUBLE) * CAST(nb - cumb AS DOUBLE)
+                            + CAST(cumb AS DOUBLE) * CAST(na - cuma AS DOUBLE))
+             ELSE 0.0 END) * 1e12 + 0.5) / 1e12
+           AS DECIMAL(38,12))) AS DOUBLE) AS sab,
+         CAST(sum(CAST(floor((CASE WHEN nextv IS NOT NULL THEN
+             (nextv - v) * CAST(cuma AS DOUBLE) * CAST(na - cuma AS DOUBLE)
+             ELSE 0.0 END) * 1e12 + 0.5) / 1e12
+           AS DECIMAL(38,12))) AS DOUBLE) AS saa,
+         CAST(sum(CAST(floor((CASE WHEN nextv IS NOT NULL THEN
+             (nextv - v) * CAST(cumb AS DOUBLE) * CAST(nb - cumb AS DOUBLE)
+             ELSE 0.0 END) * 1e12 + 0.5) / 1e12
+           AS DECIMAL(38,12))) AS DOUBLE) AS sbb
+  FROM cum GROUP BY user_id, event_type
+), st AS (
+  SELECT user_id, event_type, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) AS na, CAST(n_cur AS DOUBLE) AS nb,
+         2.0 * sab / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+         - 2.0 * saa / (CAST(n_ref AS DOUBLE) * CAST(n_ref AS DOUBLE))
+         - 2.0 * sbb / (CAST(n_cur AS DOUBLE) * CAST(n_cur AS DOUBLE))
+           AS d2
+  FROM red
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(d2 * 1000000 + 0.5) / 1000000 END AS e_dist,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(na * nb / (na + nb) * d2 * 1000000 + 0.5) / 1000000
+       END AS e_stat
+FROM st
+"""
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -9354,6 +9528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe": _q_brown_forsythe,
         "chi2_drift": _q_chi2_drift,
         "coint_eg": _q_coint_eg,
+        "ttest_drift": _q_ttest_drift,
+        "energy_drift": _q_energy_drift,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -9521,6 +9697,8 @@ def oracle_sql() -> dict[str, str]:
         "brown_forsythe": _ORACLE_BROWN_FORSYTHE,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "coint_eg": _ORACLE_COINT,
+        "ttest_drift": _ORACLE_TTEST_DRIFT,
+        "energy_drift": _ORACLE_ENERGY_DRIFT,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

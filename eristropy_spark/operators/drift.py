@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -755,4 +755,222 @@ def chi2_drift(
         F.col("_m").cast("int").alias("n_values"),
         F.when(ok, F.col("_s").cast("double")).alias("chi2"),
         F.when(ok, (F.col("_m") - 1).cast("long")).alias("dfree"),
+    )
+
+
+def ttest_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, mean_ref, mean_cur, t_stat, dof, cohen_d,
+    f_ratio) — Welch's unequal-variance two-sample t test between the
+    first and second half of each key's history (Welch 1947,
+    Biometrika 34), with the Welch–Satterthwaite effective dof, the
+    pooled-sd Cohen's d effect size, and the two-sided variance
+    F-ratio s²_ref/s²_cur — the PARAMETRIC location/scale twins of
+    ``mannwhitney_drift``/``brown_forsythe`` (means instead of ranks:
+    more power under near-normality, no robustness to heavy tails —
+    run both, trust agreement).
+
+    Exactness: Σv and Σv² accumulate 12-dp floor-quantized terms in
+    DECIMAL(38,12) (associative-exact — partition-invariant and
+    SQL-replayable); every statistic is a fixed float expression over
+    the two exact sums.  t/dof are NULL when a half has < 2 points or
+    both variances vanish; f_ratio is NULL when s²_cur = 0; cohen_d
+    when the pooled variance vanishes.
+
+    Scale shape: ONE keyed window pass + ONE (key) hash aggregate —
+    no census, no joins, no Python (cheaper than the census family:
+    moments need no per-value rows).
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    v = F.col(value_col).cast("double")
+    pts = df.select(
+        *keys,
+        v.alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    def _q12(c):
+        return _floor_round(c, 12).cast("decimal(38,12)")
+
+    zero = F.lit(0.0)
+    red = pts.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
+        F.sum(_q12(F.when(F.col("_ref"), F.col("_v")).otherwise(zero)))
+        .cast("double")
+        .alias("_sa"),
+        F.sum(_q12(F.when(~F.col("_ref"), F.col("_v")).otherwise(zero)))
+        .cast("double")
+        .alias("_sb"),
+        F.sum(
+            _q12(F.when(F.col("_ref"), F.col("_v") * F.col("_v")).otherwise(zero))
+        )
+        .cast("double")
+        .alias("_qa"),
+        F.sum(
+            _q12(F.when(~F.col("_ref"), F.col("_v") * F.col("_v")).otherwise(zero))
+        )
+        .cast("double")
+        .alias("_qb"),
+    )
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = (F.col("_qa") - F.col("_sa") * F.col("_sa") / na) / (na - F.lit(1.0))
+    vb = (F.col("_qb") - F.col("_sb") * F.col("_sb") / nb) / (nb - F.lit(1.0))
+    both = (F.col("n_ref") >= 2) & (F.col("n_cur") >= 2)
+    se2 = va / na + vb / nb
+    t_stat = F.when(both & (se2 > F.lit(0.0)), (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        both & (se2 > F.lit(0.0)),
+        se2
+        * se2
+        / (
+            (va / na) * (va / na) / (na - F.lit(1.0))
+            + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+        ),
+    )
+    pooled = (
+        (na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb
+    ) / (na + nb - F.lit(2.0))
+    cohen_d = F.when(both & (pooled > F.lit(0.0)), (ma - mb) / F.sqrt(pooled))
+    f_ratio = F.when(both & (vb > F.lit(0.0)), va / vb)
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.when(F.col("n_ref") >= 1, ma).alias("mean_ref"),
+        F.when(F.col("n_cur") >= 1, mb).alias("mean_cur"),
+        t_stat.alias("t_stat"),
+        dof.alias("dof"),
+        cohen_d.alias("cohen_d"),
+        f_ratio.alias("f_ratio"),
+    )
+
+
+def energy_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, e_dist, e_stat) — the Székely–Rizzo
+    energy distance between the first and second half of each key's
+    history (Székely & Rizzo 2004; the statistic behind the e-divisive
+    changepoint family):
+
+        D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+        e_stat = (n·m/(n+m)) · D²        (the permutation-test scale)
+
+    A CHARACTERISTIC-FUNCTION metric: zero iff the distributions are
+    equal, strictly positive otherwise — strictly stronger than any
+    single-moment monitor in this family and the natural companion to
+    ``wasserstein_drift`` (W1 integrates |ΔCDF|, energy integrates
+    ΔCDF² against the value measure).
+
+    Every pairwise-|difference| sum collapses onto the pooled census
+    via the gap identity Σ|x−y| = Σ_gaps gap·(below_A·above_B +
+    below_B·above_A): ONE pass over the value-ordered census, each
+    gap term 12-dp floor-quantized into DECIMAL(38,12), statistics
+    one fixed float expression.  NULL when a half is empty.
+
+    Scale shape: the ks_drift census shuffle shape — one keyed window
+    pass, one (key, value) hash aggregate, cumulative + lag windows
+    riding the same keyed Exchange, a per-key reduce.  No joins, no
+    Python.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).cast("double").alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = pts.groupBy(*keys, "_v").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy(*keys).orderBy("_v")
+    w_tot = Window.partitionBy(*keys)
+    cum = (
+        cnt.withColumn("_cuma", F.sum("_ca").over(w_cum))
+        .withColumn("_cumb", F.sum("_cb").over(w_cum))
+        .withColumn("_na", F.sum("_ca").over(w_tot))
+        .withColumn("_nb", F.sum("_cb").over(w_tot))
+        .withColumn("_nextv", F.lead("_v").over(w_lag))
+    )
+    gap = F.col("_nextv") - F.col("_v")
+    below_a = F.col("_cuma").cast("double")
+    below_b = F.col("_cumb").cast("double")
+    above_a = (F.col("_na") - F.col("_cuma")).cast("double")
+    above_b = (F.col("_nb") - F.col("_cumb")).cast("double")
+
+    def _q12(c):
+        return _floor_round(c, 12).cast("decimal(38,12)")
+
+    zero = F.lit(0.0).cast("double")
+    has_gap = F.col("_nextv").isNotNull()
+    red = cum.groupBy(*keys).agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.sum(
+            _q12(
+                F.when(
+                    has_gap, gap * (below_a * above_b + below_b * above_a)
+                ).otherwise(zero)
+            )
+        )
+        .cast("double")
+        .alias("_sab"),
+        F.sum(
+            _q12(F.when(has_gap, gap * below_a * above_a).otherwise(zero))
+        )
+        .cast("double")
+        .alias("_saa"),
+        F.sum(
+            _q12(F.when(has_gap, gap * below_b * above_b).otherwise(zero))
+        )
+        .cast("double")
+        .alias("_sbb"),
+    )
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    ok = (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    d2 = (
+        F.lit(2.0) * F.col("_sab") / (na * nb)
+        - F.lit(2.0) * F.col("_saa") / (na * na)
+        - F.lit(2.0) * F.col("_sbb") / (nb * nb)
+    )
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.when(ok, d2).alias("e_dist"),
+        F.when(ok, na * nb / (na + nb) * d2).alias("e_stat"),
     )

@@ -1312,4 +1312,28 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 69. ttest_drift: moment form — ONE keyed window pass + ONE hash
+    # aggregate sharing the Exchange, no census, no Join, zero Python
+    q69 = entrymod.queries()["ttest_drift"](spark, sf_dir)
+    p = plan_of(q69)
+    checks.append(
+        ("ttest_drift: ONE keyed Exchange, no Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 70. energy_drift: census + cumulative/lead windows riding the
+    # same keyed Exchange — no Join, no single-partition stage
+    q70 = entrymod.queries()["energy_drift"](spark, sf_dir)
+    p = plan_of(q70)
+    checks.append(
+        ("energy_drift: ONE keyed Exchange, no Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
