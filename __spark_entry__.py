@@ -9383,6 +9383,79 @@ FROM documents"""
 )
 
 
+def _q_rsi_macd(spark, sf_dir):
+    """Wilder RSI(14) + MACD(12,26,9) per user (operators/momentum.
+    rsi_macd): the EMA-recursion family next to ewma/holt — one
+    grouped-Pandas sequential scan, one key shuffle.  Values are fed
+    100x-quantized (integer-valued doubles) so every EMA / Wilder
+    state is the same IEEE double op sequence the oracle's recursive
+    CTE evaluates — bit-identical before the 6dp output rounding."""
+    from eristropy_spark.operators.momentum import rsi_macd
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("int").cast("double").alias("value"),
+    )
+    r = rsi_macd(ev, "user_id", tiebreak_col="event_id")
+    return r.select(
+        "event_id",
+        "user_id",
+        _r6("macd").alias("macd"),
+        _r6("macd_signal").alias("macd_signal"),
+        _r6("macd_hist").alias("macd_hist"),
+        _r6("rsi").alias("rsi"),
+    )
+
+
+_ORACLE_RSI_MACD = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id,
+         CAST(CAST(round(value * 100) AS INT) AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, i, v,
+         v AS ef, v AS es, CAST(0.0 AS DOUBLE) AS sg,
+         CAST(0.0 AS DOUBLE) AS seedg, CAST(0.0 AS DOUBLE) AS seedl,
+         CAST(NULL AS DOUBLE) AS ag, CAST(NULL AS DOUBLE) AS al
+  FROM pts WHERE i = 1
+  UNION ALL
+  SELECT user_id, event_id, i, v, ef, es,
+         (1.0 - 2.0/10.0) * psg + (2.0/10.0) * (ef - es) AS sg,
+         CASE WHEN i <= 14 THEN pseedg + g ELSE pseedg END AS seedg,
+         CASE WHEN i <= 14 THEN pseedl + l ELSE pseedl END AS seedl,
+         CASE WHEN i <= 14 THEN CAST(NULL AS DOUBLE)
+              WHEN i = 15 THEN (pseedg + g) / 14.0
+              ELSE (pag * 13.0 + g) / 14.0 END AS ag,
+         CASE WHEN i <= 14 THEN CAST(NULL AS DOUBLE)
+              WHEN i = 15 THEN (pseedl + l) / 14.0
+              ELSE (pal * 13.0 + l) / 14.0 END AS al
+  FROM (
+    SELECT p.user_id, p.event_id, p.i, p.v,
+           (1.0 - 2.0/13.0) * r.ef + (2.0/13.0) * p.v AS ef,
+           (1.0 - 2.0/27.0) * r.es + (2.0/27.0) * p.v AS es,
+           r.sg AS psg, r.seedg AS pseedg, r.seedl AS pseedl,
+           r.ag AS pag, r.al AS pal,
+           CASE WHEN p.v - r.v > 0.0 THEN p.v - r.v ELSE 0.0 END AS g,
+           CASE WHEN p.v - r.v < 0.0 THEN r.v - p.v ELSE 0.0 END AS l
+    FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.i = r.i + 1
+  )
+)
+SELECT user_id, event_id,
+       floor((ef - es) * 1000000.0 + 0.5) / 1000000.0 AS macd,
+       floor(sg * 1000000.0 + 0.5) / 1000000.0 AS macd_signal,
+       floor((ef - es - sg) * 1000000.0 + 0.5) / 1000000.0 AS macd_hist,
+       CASE WHEN ag IS NULL THEN NULL
+            WHEN al = 0.0 THEN (CASE WHEN ag > 0.0 THEN 100.0 ELSE 50.0 END)
+            ELSE floor((100.0 - 100.0 / (1.0 + ag / al)) * 1000000.0 + 0.5)
+                 / 1000000.0 END AS rsi
+FROM rec
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize": _q_tokenize,
@@ -9547,6 +9620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lz_entropy_rate": _q_lz_entropy_rate,
         "ess": _q_ess,
         "profile_columns": _q_profile_columns,
+        "rsi_macd": _q_rsi_macd,
     }
 
 
@@ -9716,6 +9790,7 @@ def oracle_sql() -> dict[str, str]:
         "lz_entropy_rate": _ORACLE_LZ_RATE,
         "ess": _ORACLE_ESS,
         "profile_columns": _ORACLE_PROFILE,
+        "rsi_macd": _ORACLE_RSI_MACD,
         # full DuckDB entropy-kernel replays (round 5): SampEn as an
         # O(n^2) pair count over the z-normed sequence, PermEn as
         # Shannon entropy of stable-ordinal pattern codes in SQL

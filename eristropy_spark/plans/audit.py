@@ -1336,4 +1336,18 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 71. rsi_macd: the ewma/holt/kalman sequential-scan class — one
+    # key Exchange into one grouped-Pandas stage, no single-partition
+    q71 = entrymod.queries()["rsi_macd"](spark, sf_dir)
+    p = plan_of(q71)
+    checks.append(
+        ("rsi_macd: one key Exchange, one grouped-Pandas boundary, "
+         "no single-partition stage",
+         p.count("Exchange") == 1
+         and "hashpartitioning(user_id" in p
+         and "SinglePartition" not in p
+         and "FlatMapGroupsInPandas" in p
+         and _py_node_count(p) == 1, p)
+    )
+
     return checks
