@@ -76,6 +76,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   cvar_tail         timeseries   VaR/CVaR expected shortfall + mean excess
   gini_balance      pipeline     doc-size inequality per source (exact Gini)
   wavelet_entropy   timeseries   Haar octave energies + wavelet entropy
+  spectral_entropy  timeseries   Walsh-Hadamard power-spectrum entropy
   bubble_entropy    E-family     rank-based swap entropy (Manis 2017)
   quantile_drift    timeseries   per-quantile shift vector (QQ monitoring)
   seasonal_mk       timeseries   phase-stratified Mann-Kendall (Hirsch-Slack)
@@ -3402,6 +3403,86 @@ SELECT d.doc_id, CAST(d.n AS INT) AS n,
        END AS p_dominant
 FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
 LEFT JOIN tot t USING (doc_id)
+LEFT JOIN ent en USING (doc_id)
+LEFT JOIN dom dm USING (doc_id)
+"""
+
+
+def _q_spectral_entropy(spark, sf_dir):
+    """Walsh–Hadamard power spectrum + spectral entropy per signal
+    (operators/spectral.spectral_entropy_wht): ±1 basis → exact
+    integer coefficients (no trig), DC-excluded AC power shares,
+    ascending-j ordered folds — zero extra shuffle, one Arrow
+    boundary.  The DuckDB oracle replays the literal transform via
+    bit_count(i & j) parity."""
+    from eristropy_spark.operators.spectral import spectral_entropy_wht
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = spectral_entropy_wht(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        "n_fft",
+        _r6("h_spectral").alias("h_spectral"),
+        "dominant_j",
+        _r6("p_dominant").alias("p_dominant"),
+    )
+
+
+_ORACLE_SPECTRAL = """
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS BIGINT) AS tok,
+         row_number() OVER w - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), np AS (
+  SELECT d.doc_id, d.n, coalesce(max(ks.k), 0) AS lg
+  FROM (SELECT DISTINCT doc_id, n FROM seq) d
+  LEFT JOIN (SELECT unnest(generate_series(1, 12)) AS k) ks
+    ON (CAST(1 AS BIGINT) << ks.k) <= d.n
+  GROUP BY d.doc_id, d.n
+), coef AS (
+  SELECT s.doc_id, js.j,
+         CAST(sum(CASE WHEN bit_count(s.i & js.j) % 2 = 0
+                       THEN s.tok ELSE -s.tok END) AS HUGEINT) AS c
+  FROM seq s
+  JOIN np ON np.doc_id = s.doc_id AND np.lg >= 1,
+  LATERAL (SELECT unnest(generate_series(
+             CAST(1 AS BIGINT),
+             (CAST(1 AS BIGINT) << np.lg) - 1)) AS j) js
+  WHERE s.i < (CAST(1 AS BIGINT) << np.lg)
+  GROUP BY s.doc_id, js.j
+), energy AS (
+  SELECT doc_id, j, c * c AS e FROM coef
+), tot AS (
+  SELECT doc_id, sum(e) AS total FROM energy GROUP BY doc_id
+), ent AS (
+  SELECT e.doc_id,
+         -sum(CASE WHEN CAST(e.e AS DOUBLE) / CAST(t.total AS DOUBLE) > 0.0
+                   THEN (CAST(e.e AS DOUBLE) / CAST(t.total AS DOUBLE))
+                        * ln(CAST(e.e AS DOUBLE) / CAST(t.total AS DOUBLE))
+              END ORDER BY e.j) AS h
+  FROM energy e JOIN tot t USING (doc_id)
+  WHERE t.total > 0
+  GROUP BY e.doc_id
+), dom AS (
+  SELECT doc_id, j AS dominant_j, e, total
+  FROM (SELECT e.doc_id, e.j, e.e, t.total,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY e.e DESC, e.j ASC) AS rn
+        FROM energy e JOIN tot t USING (doc_id)
+        WHERE t.total > 0) WHERE rn = 1
+)
+SELECT n.doc_id, CAST(n.n AS INT) AS n,
+       CAST(CASE WHEN n.n >= 1 THEN (CAST(1 AS BIGINT) << n.lg)
+                 ELSE 0 END AS INT) AS n_fft,
+       floor(en.h * 1000000.0 + 0.5) / 1000000.0 AS h_spectral,
+       CAST(dm.dominant_j AS INT) AS dominant_j,
+       floor(CAST(dm.e AS DOUBLE) / CAST(dm.total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS p_dominant
+FROM np n
 LEFT JOIN ent en USING (doc_id)
 LEFT JOIN dom dm USING (doc_id)
 """
@@ -9501,6 +9582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apen": _q_apen,
         "fuzzyen": _q_fuzzyen,
         "wavelet_entropy": _q_wavelet_entropy,
+        "spectral_entropy": _q_spectral_entropy,
         "bubble_entropy": _q_bubble,
         "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
@@ -9668,6 +9750,7 @@ def oracle_sql() -> dict[str, str]:
         "apen": _ORACLE_APEN,
         "fuzzyen": _ORACLE_FUZZYEN,
         "wavelet_entropy": _ORACLE_WAVELET,
+        "spectral_entropy": _ORACLE_SPECTRAL,
         "bubble_entropy": _ORACLE_BUBBLE,
         "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,
