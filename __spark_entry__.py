@@ -103,6 +103,8 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   transfer_entropy  timeseries   Schreiber TE(X->Y), binary symbols
   holt_winters      timeseries   additive triple smoothing (list-state
                                  recursive-CTE replay)
+  croston           timeseries   Croston/SBA intermittent-demand rate
+                                 (zero-run intervals, recursive CTE)
   dcca              timeseries   detrended cross-correlation rho_DCCA
   count_dispersion  timeseries   Fano factor + Allan variance (zero-run
                                  algebra, no dense explode)
@@ -3785,6 +3787,69 @@ SELECT n.doc_id, n.n,
 FROM (SELECT doc_id, CAST(count(*) AS INT) AS n FROM pts GROUP BY doc_id) n
 LEFT JOIN sl s USING (doc_id)
 LEFT JOIN ic i USING (doc_id)
+"""
+
+
+def _q_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast per signal over per-minute
+    event counts (operators/intermittent.croston; Croston 1972 + the
+    Syntetos–Boylan correction): two SES recursions updated only at
+    demand buckets, zero-run gaps carried as exact integer intervals
+    (never densified); every z/p/forecast double reproduced
+    bit-for-bit by the oracle's recursive CTE."""
+    from eristropy_spark.operators.intermittent import croston
+
+    ev = _events(spark, sf_dir)
+    r = croston(ev, ["user_id", "event_type"], alpha=0.1, bucket="minute")
+    return r.select(
+        F.concat_ws(":", "user_id", "event_type").alias("doc_id"),
+        "bucket_ts",
+        "k",
+        "x",
+        "interval",
+        _r6("z").alias("z"),
+        _r6("p").alias("p"),
+        _r6("croston").alias("croston"),
+        _r6("sba").alias("sba"),
+    )
+
+
+_ORACLE_CROSTON = """
+WITH RECURSIVE b AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         date_trunc('minute', ts) AS bucket_ts,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT doc_id, bucket_ts, x,
+         row_number() OVER w AS k,
+         CAST(coalesce(CAST(epoch(bucket_ts) AS BIGINT) // 60
+                       - CAST(epoch(lag(bucket_ts) OVER w) AS BIGINT) // 60,
+                       1) AS BIGINT) AS g
+  FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY bucket_ts)
+), rec AS (
+  SELECT doc_id, bucket_ts, k, x, g,
+         CAST(x AS DOUBLE) AS z,
+         CAST(g AS DOUBLE) AS p
+  FROM pts WHERE k = 1
+  UNION ALL
+  SELECT q.doc_id, q.bucket_ts, q.k, q.x, q.g,
+         -- literals CAST to DOUBLE: a bare 0.1 is DECIMAL in DuckDB,
+         -- and DECIMAL*BIGINT is exact — one ulp off the engine's
+         -- double recursion
+         CAST(0.1 AS DOUBLE) * CAST(q.x AS DOUBLE)
+           + (1.0 - CAST(0.1 AS DOUBLE)) * r.z AS z,
+         CAST(0.1 AS DOUBLE) * CAST(q.g AS DOUBLE)
+           + (1.0 - CAST(0.1 AS DOUBLE)) * r.p AS p
+  FROM rec r JOIN pts q ON q.doc_id = r.doc_id AND q.k = r.k + 1
+)
+SELECT doc_id, bucket_ts, k, x, g AS interval,
+       floor(z * 1000000.0 + 0.5) / 1000000.0 AS z,
+       floor(p * 1000000.0 + 0.5) / 1000000.0 AS p,
+       floor((z / p) * 1000000.0 + 0.5) / 1000000.0 AS croston,
+       floor(((1.0 - 0.5 * CAST(0.1 AS DOUBLE)) * (z / p))
+             * 1000000.0 + 0.5) / 1000000.0 AS sba
+FROM rec
 """
 
 
@@ -9588,6 +9653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_quantile": _q_rolling_quantile,
         "theilsen_trend": _q_theilsen,
         "holt": _q_holt,
+        "croston": _q_croston,
         "ar2_forecast": _q_ar2,
         "pacf": _q_pacf,
         "pmi_collocations": _q_pmi,
@@ -9756,6 +9822,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "theilsen_trend": _ORACLE_THEILSEN,
         "holt": _ORACLE_HOLT,
+        "croston": _ORACLE_CROSTON,
         "ar2_forecast": _ORACLE_AR2,
         "pacf": _ORACLE_PACF,
         "pmi_collocations": _ORACLE_PMI,

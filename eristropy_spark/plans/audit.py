@@ -520,6 +520,22 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
+    # 26b. croston: pre-aggregated (key,bucket) counts (map-side
+    # combine shrinks the shuffle to demand buckets) then the key
+    # Exchange into the sequential scan — exactly two Exchanges, one
+    # grouped-Pandas stage, never a single partition
+    cq = entrymod.queries()["croston"](spark, sf_dir)
+    p = plan_of(cq)
+    checks.append(
+        ("croston: count Exchange + key Exchange, one grouped-Pandas "
+         "boundary, no single-partition stage",
+         p.count("Exchange") == 2
+         and "SinglePartition" not in p
+         and "FlatMapGroupsInPandas" in p
+         and _py_node_count(p) == 1
+         and "partial_count" in p.lower(), p)
+    )
+
     # 27. pmi_collocations: token-keyed equi-joins (vocab-sized sides
     # may broadcast at test scale — but never a cartesian/nested-loop),
     # one-row totals broadcast, top-k as TakeOrdered (bounded heap,
