@@ -77,6 +77,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   gini_balance      pipeline     doc-size inequality per source (exact Gini)
   wavelet_entropy   timeseries   Haar octave energies + wavelet entropy
   spectral_entropy  timeseries   Walsh-Hadamard power-spectrum entropy
+  hampel            timeseries   rolling median/MAD despike filter
   bubble_entropy    E-family     rank-based swap entropy (Manis 2017)
   quantile_drift    timeseries   per-quantile shift vector (QQ monitoring)
   seasonal_mk       timeseries   phase-stratified Mann-Kendall (Hirsch-Slack)
@@ -3407,6 +3408,52 @@ FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN ent en USING (doc_id)
 LEFT JOIN dom dm USING (doc_id)
+"""
+
+
+def _q_hampel(spark, sf_dir):
+    """Hampel rolling outlier filter per point (operators/robust.
+    hampel_filter; Hampel 1974, Pearson 2005): centered truncated
+    window w=5, exact interpolated window median + MAD (integer
+    tokens → the 0.5/0.25 grids), k=3 consistency-scaled threshold,
+    spike-replace cleaning.  Zero extra shuffle, one Arrow boundary;
+    the oracle replays both medians via quantile_cont self-joins."""
+    from eristropy_spark.operators.robust import hampel_filter
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = hampel_filter(tokens, array_col="tokens", keep_cols=("doc_id",),
+                      half_width=5, k=3.0)
+    return r.select("doc_id", "i", "x", "med", "mad", "is_outlier", "cleaned")
+
+
+_ORACLE_HAMPEL = """
+WITH seq AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS BIGINT) AS tok,
+         row_number() OVER w - 1 AS i
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), med AS (
+  SELECT s.doc_id, s.i, s.tok,
+         quantile_cont(CAST(t.tok AS DOUBLE), 0.5) AS med
+  FROM seq s JOIN seq t
+    ON t.doc_id = s.doc_id AND t.i BETWEEN s.i - 5 AND s.i + 5
+  GROUP BY s.doc_id, s.i, s.tok
+), mad AS (
+  SELECT m.doc_id, m.i, m.tok, m.med,
+         quantile_cont(abs(CAST(t.tok AS DOUBLE) - m.med), 0.5) AS mad
+  FROM med m JOIN seq t
+    ON t.doc_id = m.doc_id AND t.i BETWEEN m.i - 5 AND m.i + 5
+  GROUP BY m.doc_id, m.i, m.tok, m.med
+)
+SELECT doc_id, CAST(i AS INT) AS i, tok AS x, med, mad,
+       abs(CAST(tok AS DOUBLE) - med)
+         > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * mad
+         AS is_outlier,
+       CASE WHEN abs(CAST(tok AS DOUBLE) - med)
+                 > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * mad
+            THEN med ELSE CAST(tok AS DOUBLE) END AS cleaned
+FROM mad
 """
 
 
@@ -9648,6 +9695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzyen": _q_fuzzyen,
         "wavelet_entropy": _q_wavelet_entropy,
         "spectral_entropy": _q_spectral_entropy,
+        "hampel": _q_hampel,
         "bubble_entropy": _q_bubble,
         "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
@@ -9817,6 +9865,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzyen": _ORACLE_FUZZYEN,
         "wavelet_entropy": _ORACLE_WAVELET,
         "spectral_entropy": _ORACLE_SPECTRAL,
+        "hampel": _ORACLE_HAMPEL,
         "bubble_entropy": _ORACLE_BUBBLE,
         "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,

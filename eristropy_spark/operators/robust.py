@@ -31,6 +31,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -38,7 +39,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["theilsen_trend", "mann_kendall", "robust_scale", "seasonal_mann_kendall"]
+__all__ = [
+    "theilsen_trend",
+    "mann_kendall",
+    "robust_scale",
+    "seasonal_mann_kendall",
+    "hampel_filter",
+]
 
 
 def _qcont(sorted_vals, p: float):
@@ -405,6 +412,109 @@ def seasonal_mann_kendall(
             arrays.append(pa.array(zs, type=pa.float64()))
             yield pa.RecordBatch.from_arrays(
                 arrays, [*keep_cols, "n", "period", "s", "var_s", "z"]
+            )
+
+    return src.mapInArrow(_compute, schema)
+
+
+def hampel_filter(
+    df: DataFrame,
+    array_col: str = "tokens",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    half_width: int = 5,
+    k: float = 3.0,
+) -> DataFrame:
+    """(``*keep_cols``, i, x, med, mad, is_outlier, cleaned) — the
+    Hampel rolling outlier filter per point (Hampel 1974; Pearson 2005
+    "Mining Imperfect Data" §4 — the de-facto standard despiking step
+    before any recursion-sensitive statistic): over the CENTERED
+    truncated window x[i−w .. i+w],
+
+        med_i = median(window),  mad_i = median(|window − med_i|),
+        outlier ⇔ |x_i − med_i| > k·1.4826·mad_i,
+        cleaned = med_i if outlier else x_i
+
+    — the rolling companion of the global ``robust_scale`` census (a
+    level shift moves the rolling median WITH the signal, so genuine
+    regime changes survive while isolated spikes are replaced).
+
+    Exactness: integer tokens make every window median exact on the
+    0.5 grid and every MAD exact on the 0.25 grid (both via the
+    interpolated ``_qcont`` form, bit-identical to DuckDB's
+    ``quantile_cont``); |x − med| is exact, and the threshold is ONE
+    fixed float expression (k·1.4826 pre-folded, then ·mad) written in
+    the same shape in the SQL replay.  mad = 0 (constant window)
+    flags any point off the median — the documented classical
+    degeneracy.
+
+    Scale shape: zero extra shuffle — one ``mapInArrow`` boundary over
+    the array row layout, O(n·w log w) per signal; output is long-form
+    (one row per point), the shape downstream cleaners consume.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from eristropy_spark.functions.entropy_arrow import _token_views
+
+    if not 1 <= half_width <= 10_000:
+        raise ValueError(f"half_width must be in 1..10000, got {half_width}")
+    if not k > 0.0:
+        raise ValueError(f"k must be > 0, got {k}")
+    w = int(half_width)
+    k148 = float(k) * 1.4826
+    in_cols = list(keep_cols) + [array_col]
+    src = df.select(*in_cols)
+    schema = StructType(
+        [src.schema[c] for c in keep_cols]
+        + [
+            StructField("i", IntegerType()),
+            StructField("x", LongType()),
+            StructField("med", DoubleType()),
+            StructField("mad", DoubleType()),
+            StructField("is_outlier", BooleanType()),
+            StructField("cleaned", DoubleType()),
+        ]
+    )
+
+    def _compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            views = _token_views(batch.column(array_col))
+            keep_idx, idxs, xs_o, meds, mads, flags, cleaned = (
+                [], [], [], [], [], [], [],
+            )
+            for row_no, v in enumerate(views):
+                if v is None or v.size == 0:
+                    continue
+                xs = np.asarray(v, dtype=np.float64)
+                n = xs.size
+                for i in range(n):
+                    lo, hi = max(0, i - w), min(n, i + w + 1)
+                    win = np.sort(xs[lo:hi])
+                    med = _qcont(win, 0.5)
+                    devs = np.sort(np.abs(xs[lo:hi] - med))
+                    mad = _qcont(devs, 0.5)
+                    dev_i = abs(float(xs[i]) - med)
+                    out = dev_i > k148 * mad
+                    keep_idx.append(row_no)
+                    idxs.append(i)
+                    xs_o.append(int(v[i]))
+                    meds.append(med)
+                    mads.append(mad)
+                    flags.append(bool(out))
+                    cleaned.append(med if out else float(xs[i]))
+            arrays = [
+                batch.column(c).take(pa.array(keep_idx, type=pa.int32()))
+                for c in keep_cols
+            ]
+            arrays.append(pa.array(idxs, type=pa.int32()))
+            arrays.append(pa.array(xs_o, type=pa.int64()))
+            arrays.append(pa.array(meds, type=pa.float64()))
+            arrays.append(pa.array(mads, type=pa.float64()))
+            arrays.append(pa.array(flags, type=pa.bool_()))
+            arrays.append(pa.array(cleaned, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                [*keep_cols, "i", "x", "med", "mad", "is_outlier", "cleaned"],
             )
 
     return src.mapInArrow(_compute, schema)

@@ -1153,7 +1153,7 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # 57. fuzzyen / pacf / wavelet_entropy: array-kernel projections —
     # ONE Arrow boundary, only tokenize's Exchange
     for qn in ("fuzzyen", "pacf", "wavelet_entropy", "bubble_entropy",
-               "seasonal_mk", "spectral_entropy"):
+               "seasonal_mk", "spectral_entropy", "hampel"):
         fq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(fq)
         checks.append(
