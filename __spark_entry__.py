@@ -78,6 +78,7 @@ Coverage map (SURVEY.md §2 + training-data-pipeline ops):
   wavelet_entropy   timeseries   Haar octave energies + wavelet entropy
   spectral_entropy  timeseries   Walsh-Hadamard power-spectrum entropy
   hampel            timeseries   rolling median/MAD despike filter
+  gpd_tail          timeseries   GPD peaks-over-threshold PWM tail fit
   bubble_entropy    E-family     rank-based swap entropy (Manis 2017)
   quantile_drift    timeseries   per-quantile shift vector (QQ monitoring)
   seasonal_mk       timeseries   phase-stratified Mann-Kendall (Hirsch-Slack)
@@ -3408,6 +3409,77 @@ FROM (SELECT doc_id, max(n) AS n FROM seq GROUP BY doc_id) d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN ent en USING (doc_id)
 LEFT JOIN dom dm USING (doc_id)
+"""
+
+
+def _q_gpd_tail(spark, sf_dir):
+    """GPD peaks-over-threshold tail fit per source (operators/tails.
+    gpd_pot; Hosking & Wallis 1987 PWM estimators): exact interpolated
+    q=0.9 threshold, weighted exceedance terms quantized to exact
+    integers before order-free summation, xi/sigma closed forms — ONE
+    keyed Exchange, no Python."""
+    from eristropy_spark.operators.tails import gpd_pot
+
+    ev = _events(spark, sf_dir)
+    r = gpd_pot(ev.select(F.col("event_type").alias("source"), "value",
+                          "event_id"),
+                "source", q=0.9, min_k=10, tiebreak_cols=("event_id",))
+    return r.select(
+        "source",
+        "n",
+        _r6("u").alias("u"),
+        "k",
+        _r6("b0").alias("b0"),
+        _r6("b1").alias("b1"),
+        _r6("xi").alias("xi"),
+        _r6("sigma").alias("sigma"),
+    )
+
+
+_ORACLE_GPD_TAIL = """
+WITH pts AS (
+  SELECT event_type AS source, CAST(value AS DOUBLE) AS v, event_id
+  FROM events
+), th AS (
+  SELECT source, quantile_cont(v, 0.9) AS u, count(*) AS n
+  FROM pts GROUP BY source
+), ex AS (
+  SELECT p.source, t.n, t.u, p.v - t.u AS y,
+         row_number() OVER (PARTITION BY p.source
+                            ORDER BY p.v, p.event_id) AS j,
+         count(*) OVER (PARTITION BY p.source) AS k
+  FROM pts p JOIN th t USING (source) WHERE p.v > t.u
+), terms AS (
+  SELECT source, n, u, k,
+         CAST(floor(y * 1000000.0 + 0.5) AS HUGEINT) AS t0,
+         CAST(floor((CASE WHEN k > 1
+                          THEN CAST(k - j AS DOUBLE)
+                               / CAST(k - 1 AS DOUBLE)
+                          ELSE 0.0 END * y)
+                    * 1000000.0 + 0.5) AS HUGEINT) AS t1
+  FROM ex
+), agg AS (
+  SELECT source, max(n) AS n, max(u) AS u, max(k) AS k,
+         (CAST(sum(t0) AS DOUBLE) / 1000000.0)
+           / CAST(max(k) AS DOUBLE) AS b0,
+         (CAST(sum(t1) AS DOUBLE) / 1000000.0)
+           / CAST(max(k) AS DOUBLE) AS b1
+  FROM terms GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       floor(u * 1000000.0 + 0.5) / 1000000.0 AS u,
+       CAST(k AS BIGINT) AS k,
+       CASE WHEN k >= 10 THEN
+         floor(b0 * 1000000.0 + 0.5) / 1000000.0 END AS b0,
+       CASE WHEN k >= 10 THEN
+         floor(b1 * 1000000.0 + 0.5) / 1000000.0 END AS b1,
+       CASE WHEN k >= 10 AND b0 - 2.0 * b1 <> 0.0 THEN
+         floor((2.0 - b0 / (b0 - 2.0 * b1)) * 1000000.0 + 0.5)
+           / 1000000.0 END AS xi,
+       CASE WHEN k >= 10 AND b0 - 2.0 * b1 <> 0.0 THEN
+         floor((2.0 * b0 * b1 / (b0 - 2.0 * b1)) * 1000000.0 + 0.5)
+           / 1000000.0 END AS sigma
+FROM agg
 """
 
 
@@ -9696,6 +9768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavelet_entropy": _q_wavelet_entropy,
         "spectral_entropy": _q_spectral_entropy,
         "hampel": _q_hampel,
+        "gpd_tail": _q_gpd_tail,
         "bubble_entropy": _q_bubble,
         "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
@@ -9866,6 +9939,7 @@ def oracle_sql() -> dict[str, str]:
         "wavelet_entropy": _ORACLE_WAVELET,
         "spectral_entropy": _ORACLE_SPECTRAL,
         "hampel": _ORACLE_HAMPEL,
+        "gpd_tail": _ORACLE_GPD_TAIL,
         "bubble_entropy": _ORACLE_BUBBLE,
         "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,

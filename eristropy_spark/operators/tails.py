@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["hill_tail", "benford", "BENFORD_P", "cvar_tail"]
+__all__ = ["hill_tail", "benford", "BENFORD_P", "cvar_tail", "gpd_pot"]
 
 # p_d = log10(1 + 1/d), d = 1..9 — full round-trip repr; the oracle SQL
 # embeds exactly these literal texts
@@ -234,4 +234,100 @@ def cvar_tail(
         "n_exceed",
         cvar.alias("cvar"),
         (cvar - F.col("var_alpha")).alias("mean_excess"),
+    )
+
+
+def gpd_pot(
+    df: DataFrame,
+    key,
+    value_col: str = "value",
+    q: float = 0.9,
+    min_k: int = 10,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*key, n, u, k, b0, b1, xi, sigma) — peaks-over-threshold
+    Generalized Pareto tail fit per key via probability-weighted
+    moments (Hosking & Wallis 1987, Technometrics 29; PWMs: Landwehr
+    et al. 1979): the parametric tail model the Pickands–Balkema–
+    de Haan theorem guarantees above a high threshold, completing the
+    EVT family (``hill_tail`` assumes a pure Pareto xi > 0; GPD also
+    covers exponential xi = 0 and bounded xi < 0 tails).
+
+    Over the exceedances y_(1) <= ... <= y_(k) of the exact
+    interpolated ``q``-quantile threshold u:
+
+        b0 = (1/k) Σ y_(j)                       (sample a0 = E[Y])
+        b1 = (1/k) Σ ((k-j)/(k-1))·y_(j)         (sample a1 = E[Y·S(Y)])
+        xi = 2 − b0/(b0 − 2·b1),   sigma = 2·b0·b1/(b0 − 2·b1)
+
+    (from a_s = sigma/((s+1)(s+1−xi)); xi < 1 assumed, the PWM
+    validity region).  Keys with k < ``min_k`` exceedances emit NULL
+    statistics; a degenerate b0 = 2·b1 (all-equal exceedances) NULLs
+    xi/sigma.
+
+    Exactness: u is Spark's exact ``percentile`` (≡ quantile_cont
+    bit-for-bit); each weighted term is quantized to the 1e-6 grid as
+    an exact integer BEFORE summation (the cvar_tail protocol — sums
+    are order-free), and b0/b1/xi/sigma are fixed float expressions
+    over those integers, written in the same shape in the SQL replay.
+
+    Scale shape: ONE keyed Exchange — the quantile window, the
+    rank/count windows over the filtered exceedances (same
+    partitioning, no re-shuffle), and a same-key groupBy.  No joins,
+    no Python; only exceedances (a (1-q) fraction) reach the rank
+    stage.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    if min_k < 2:
+        raise ValueError(f"min_k must be >= 2, got {min_k}")
+    keys = _keys(key)
+    w_key = Window.partitionBy(*keys)
+    w_ord = Window.partitionBy(*keys).orderBy(
+        F.col("_v").asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+
+    v = F.col(value_col).cast("double")
+    pts = (
+        df.select(*keys, v.alias("_v"), *tiebreak_cols)
+        .withColumn("_u", F.percentile(F.col("_v"), F.lit(float(q))).over(w_key))
+        .withColumn("_n", F.count("*").over(w_key))
+    )
+    ex = (
+        pts.filter(F.col("_v") > F.col("_u"))
+        .withColumn("_j", F.row_number().over(w_ord))
+        .withColumn("_k", F.count("*").over(w_key))
+    )
+    y = F.col("_v") - F.col("_u")
+    w = F.when(
+        F.col("_k") > 1,
+        (F.col("_k") - F.col("_j")).cast("double")
+        / (F.col("_k") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    t0 = F.floor(y * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    t1 = F.floor((w * y) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    agg = ex.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_u").alias("u"),
+        F.max("_k").cast("long").alias("k"),
+        F.sum(t0).alias("_s0"),
+        F.sum(t1).alias("_s1"),
+    )
+    kd = F.col("k").cast("double")
+    b0 = (F.col("_s0").cast("double") / F.lit(1000000.0)) / kd
+    b1 = (F.col("_s1").cast("double") / F.lit(1000000.0)) / kd
+    denom = b0 - F.lit(2.0) * b1
+    ok = F.col("k") >= F.lit(int(min_k))
+    nz = denom != F.lit(0.0)
+    return agg.select(
+        *keys,
+        "n",
+        "u",
+        "k",
+        F.when(ok, b0).alias("b0"),
+        F.when(ok, b1).alias("b1"),
+        F.when(ok & nz, F.lit(2.0) - b0 / denom).alias("xi"),
+        F.when(ok & nz, F.lit(2.0) * b0 * b1 / denom).alias("sigma"),
     )

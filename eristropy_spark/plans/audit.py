@@ -1085,7 +1085,7 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
 
     # 52. robust_scale / cvar_tail: two unbounded windows + a groupBy
     # all on ONE key Exchange, zero Python
-    for qn in ("robust_scale", "cvar_tail", "normality"):
+    for qn in ("robust_scale", "cvar_tail", "normality", "gpd_tail"):
         rq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(rq)
         checks.append(
