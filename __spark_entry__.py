@@ -8352,6 +8352,117 @@ FROM agg WHERE n >= 3
 """
 
 
+def _q_kendall(spark, sf_dir):
+    """Kendall τ-b between source pairs on the 60 s bucket-mean grid
+    (operators/rankcorr.kendall_pairs, Kendall 1938/1945): exact
+    6-dp-grid int64 bucket means, every concordant/discordant/tie
+    classification an integer comparison over the keyed O(n²) pair
+    join (fail-loud overlap guard), τ ONE fixed float expression —
+    the probability-scale complement of spearman's rank moment."""
+    from eristropy_spark.operators.rankcorr import kendall_pairs
+
+    ev = _events(spark, sf_dir)
+    r = kendall_pairs(ev, source_col="event_type", bucket_sec=60, min_overlap=3)
+    return r.select(
+        "source_a", "source_b", "n", "n_c", "n_d", _r6("tau").alias("tau")
+    )
+
+
+_ORACLE_KENDALL = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 60000000 AS bucket,
+         CAST(floor(avg(value) * 1000000.0 + 0.5) AS BIGINT) AS vi
+  FROM events GROUP BY event_type, epoch_us(ts) // 60000000
+), m AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.bucket AS bucket,
+         a.vi AS via, b.vi AS vib
+  FROM grid a JOIN grid b ON b.bucket = a.bucket AND a.source < b.source
+), cls AS (
+  SELECT m1.source_a, m1.source_b,
+         sign(m2.via - m1.via) * sign(m2.vib - m1.vib) AS ss,
+         sign(m2.via - m1.via) AS sa, sign(m2.vib - m1.vib) AS sb
+  FROM m m1 JOIN m m2
+    ON m2.source_a = m1.source_a AND m2.source_b = m1.source_b
+   AND m1.bucket < m2.bucket
+), agg AS (
+  SELECT source_a, source_b,
+         CAST(sum(CASE WHEN ss > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN ss < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+         CAST(sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+         CAST(count(*) AS BIGINT) AS n0
+  FROM cls GROUP BY source_a, source_b
+), nm AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n
+  FROM m GROUP BY source_a, source_b
+)
+SELECT a.source_a, a.source_b, nm.n, a.n_c, a.n_d,
+       CASE WHEN (a.n0 - a.t1) > 0 AND (a.n0 - a.t2) > 0 THEN
+         floor(CAST(a.n_c - a.n_d AS DOUBLE)
+               / sqrt(CAST(a.n0 - a.t1 AS DOUBLE)
+                      * CAST(a.n0 - a.t2 AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 END AS tau
+FROM agg a
+JOIN nm ON nm.source_a = a.source_a AND nm.source_b = a.source_b
+WHERE nm.n >= 3
+"""
+
+
+def _q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank z between source pairs paired by shared
+    60 s bucket (operators/rankcorr.wilcoxon_signed_rank_pairs,
+    Wilcoxon 1945): exact int64 grid differences, zero-diffs drop,
+    doubled midranks of |d| exact, tie-corrected z ONE fixed float
+    expression from exact integers — the paired complement of
+    mannwhitney's independent-samples U."""
+    from eristropy_spark.operators.rankcorr import wilcoxon_signed_rank_pairs
+
+    ev = _events(spark, sf_dir)
+    r = wilcoxon_signed_rank_pairs(
+        ev, source_col="event_type", bucket_sec=60, min_overlap=3
+    )
+    return r.select("source_a", "source_b", "n", "w2_plus", _r6("z").alias("z"))
+
+
+_ORACLE_WILCOXON = """
+WITH grid AS (
+  SELECT event_type AS source, epoch_us(ts) // 60000000 AS bucket,
+         CAST(floor(avg(value) * 1000000.0 + 0.5) AS BIGINT) AS vi
+  FROM events GROUP BY event_type, epoch_us(ts) // 60000000
+), m AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.vi AS via, b.vi AS vib
+  FROM grid a JOIN grid b ON b.bucket = a.bucket AND a.source < b.source
+), d AS (
+  SELECT source_a, source_b, via - vib AS d, abs(via - vib) AS ad
+  FROM m WHERE via <> vib
+), ranked AS (
+  SELECT source_a, source_b, d,
+         2 * rank() OVER (PARTITION BY source_a, source_b ORDER BY ad)
+           + count(*) OVER (PARTITION BY source_a, source_b, ad) - 1 AS r2,
+         count(*) OVER (PARTITION BY source_a, source_b, ad) AS t
+  FROM d
+), agg AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus,
+         CAST(sum(t * t - 1) AS BIGINT) AS tie
+  FROM ranked GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n, w2_plus,
+       CASE WHEN 2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                 * (2.0 * CAST(n AS DOUBLE) + 1.0)
+                 - CAST(tie AS DOUBLE) > 0.0 THEN
+         floor((2.0 * CAST(w2_plus AS DOUBLE)
+                - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               * sqrt(3.0)
+               / sqrt(2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 1.0)
+                      - CAST(tie AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 END AS z
+FROM agg WHERE n >= 3
+"""
+
+
 def _q_kaplan_meier(spark, sf_dir):
     """Kaplan–Meier churn survival over user lifetimes (operators/
     survival.kaplan_meier_churn, Kaplan & Meier 1958): whole-day
@@ -9885,6 +9996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "granger": _q_granger,
         "spearman": _q_spearman,
+        "kendall": _q_kendall,
+        "wilcoxon": _q_wilcoxon,
         "kaplan_meier": _q_kaplan_meier,
         "lz_entropy_rate": _q_lz_entropy_rate,
         "ess": _q_ess,
@@ -10059,6 +10172,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED,
         "granger": _ORACLE_GRANGER,
         "spearman": _ORACLE_SPEARMAN,
+        "kendall": _ORACLE_KENDALL,
+        "wilcoxon": _ORACLE_WILCOXON,
         "kaplan_meier": _ORACLE_KM,
         "lz_entropy_rate": _ORACLE_LZ_RATE,
         "ess": _ORACLE_ESS,

@@ -1,4 +1,5 @@
-"""Spearman rank correlation between signal pairs on the bucket grid.
+"""Rank-association and paired rank tests between signals on the
+bucket grid: Spearman ρ_s, Kendall τ-b, Wilcoxon signed-rank.
 
 ``spearman_pairs`` — the rank-based (monotone-association) complement
 of ``crosscorr_pairs``' Pearson CCF (Spearman 1904): for every
@@ -29,7 +30,7 @@ from pyspark.sql import functions as F
 from eristropy_spark.operators.changepoint import _floor_round
 from eristropy_spark.operators.rolling import _micros
 
-__all__ = ["spearman_pairs"]
+__all__ = ["spearman_pairs", "kendall_pairs", "wilcoxon_signed_rank_pairs"]
 
 
 def spearman_pairs(
@@ -109,5 +110,218 @@ def spearman_pairs(
     vb = F.col("_sbb").cast("double") - sb * sb / nd
     rho = F.when((va > F.lit(0.0)) & (vb > F.lit(0.0)), cov / F.sqrt(va * vb))
     return agg.select(*pair, "n", rho.alias("rho")).where(
+        F.col("n") >= int(min_overlap)
+    )
+
+
+def _matched_grid_int(
+    df: DataFrame,
+    source_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_sec: int,
+) -> DataFrame:
+    """(source_a, source_b, bucket, via, vib) for every unordered
+    source pair over their shared buckets, with bucket means carried
+    as the exact 6-dp-grid INTEGER floor(avg·10⁶ + 0.5) — so every
+    downstream difference / sign / equality is exact int64 arithmetic
+    (no float subtraction anywhere)."""
+    span_us = F.lit(int(bucket_sec) * 1_000_000)
+    bucket = F.floor(_micros(df, ts_col) / span_us).cast("long")
+    grid = df.groupBy(
+        F.col(source_col).alias("source"), bucket.alias("bucket")
+    ).agg(
+        F.floor(
+            F.avg(F.col(value_col).cast("double")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("vi")
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "bucket", F.col("vi").alias("via")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "bucket", F.col("vi").alias("vib")
+    )
+    return a.join(b, "bucket").where(F.col("source_a") < F.col("source_b"))
+
+
+def kendall_pairs(
+    df: DataFrame,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_sec: int = 60,
+    min_overlap: int = 3,
+    max_overlap: int = 50_000,
+) -> DataFrame:
+    """Kendall τ-b between signal pairs on the bucket grid (Kendall
+    1938 Biometrika 30; τ-b tie treatment per Kendall 1945).
+
+    For every unordered source pair, classify each of the C(n,2)
+    shared-bucket pairs as concordant / discordant / tied-in-a /
+    tied-in-b / tied-in-both and report
+
+        τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+
+    n0 = n(n−1)/2, n1 = pairs tied in a, n2 = pairs tied in b.  The
+    pair-count complement of ``spearman_pairs``: τ is a probability
+    statement (P[concordant] − P[discordant]) where ρ_s is a rank
+    moment, and τ's influence function is bounded even under rank
+    perturbation.
+
+    Exactness: bucket means are the exact 6-dp-grid int64 (see
+    ``_matched_grid_int``), so every sign classification is integer
+    comparison; C, D and the tie counts are exact integers and τ is
+    ONE fixed float expression — bit-identical in the DuckDB replay.
+
+    Scale shape: the classification is inherently O(n²) in the SHARED
+    BUCKET count per pair (not raw rows — the grid bounds n by
+    timespan / bucket_sec).  The self-join is keyed by (source_a,
+    source_b) so each pair's quadratic work distributes; the
+    ``max_overlap`` guard FAILS LOUD (one tiny aggregate pre-check)
+    rather than letting a degenerate grid turn into 10¹⁰ join rows —
+    widen ``bucket_sec`` deliberately if a pair really overlaps that
+    long.  An O(n log n) inversion-count exists but needs a
+    sequential merge; at grid cardinalities the keyed quadratic join
+    is the plan that distributes.
+    """
+    if bucket_sec <= 0:
+        raise ValueError("bucket_sec must be > 0")
+    if min_overlap < 2:
+        raise ValueError("min_overlap must be >= 2")
+    if max_overlap < min_overlap:
+        raise ValueError("max_overlap must be >= min_overlap")
+
+    matched = _matched_grid_int(df, source_col, ts_col, value_col, bucket_sec)
+    # materialize once: the guard aggregate, both join sides and the
+    # per-pair n all reuse it instead of re-scanning raw events
+    # (matched rows = shared grid cells, bounded by sources² × span)
+    matched = matched.localCheckpoint(eager=False)
+    pair = ["source_a", "source_b"]
+
+    # fail-loud explode guard: one tiny keyed aggregate, rows = pairs
+    worst = (
+        matched.groupBy(*pair).count().agg(F.max("count")).collect()[0][0]
+    )
+    if worst is not None and worst > max_overlap:
+        raise ValueError(
+            f"a source pair shares {worst} buckets > max_overlap="
+            f"{max_overlap}; the O(n^2) Kendall classification would "
+            f"explode — widen bucket_sec or raise max_overlap deliberately"
+        )
+
+    m1 = matched.select(
+        *pair,
+        F.col("bucket").alias("_k1"),
+        F.col("via").alias("_a1"),
+        F.col("vib").alias("_b1"),
+    )
+    m2 = matched.select(
+        *pair,
+        F.col("bucket").alias("_k2"),
+        F.col("via").alias("_a2"),
+        F.col("vib").alias("_b2"),
+    )
+    pairs = m1.join(m2, pair).where(F.col("_k1") < F.col("_k2"))
+    sa = F.signum((F.col("_a2") - F.col("_a1")).cast("double")).cast("int")
+    sb = F.signum((F.col("_b2") - F.col("_b1")).cast("double")).cast("int")
+    cls = pairs.select(
+        *pair,
+        (sa * sb).alias("_ss"),
+        sa.alias("_sa"),
+        sb.alias("_sb"),
+    )
+    agg = cls.groupBy(*pair).agg(
+        F.sum(F.when(F.col("_ss") > 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("_ss") < 0, 1).otherwise(0)).cast("long").alias("n_d"),
+        F.sum(F.when(F.col("_sa") == 0, 1).otherwise(0)).cast("long").alias("_t1"),
+        F.sum(F.when(F.col("_sb") == 0, 1).otherwise(0)).cast("long").alias("_t2"),
+        F.count("*").cast("long").alias("_n0"),
+    )
+    nmatch = matched.groupBy(*pair).agg(F.count("*").cast("long").alias("n"))
+    agg = agg.join(nmatch, pair)
+    d1 = (F.col("_n0") - F.col("_t1")).cast("double")
+    d2 = (F.col("_n0") - F.col("_t2")).cast("double")
+    tau = F.when(
+        (d1 > F.lit(0.0)) & (d2 > F.lit(0.0)),
+        (F.col("n_c") - F.col("n_d")).cast("double") / F.sqrt(d1 * d2),
+    )
+    return agg.select(*pair, "n", "n_c", "n_d", tau.alias("tau")).where(
+        F.col("n") >= int(min_overlap)
+    )
+
+
+def wilcoxon_signed_rank_pairs(
+    df: DataFrame,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_sec: int = 60,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Wilcoxon signed-rank test between signal pairs on the bucket
+    grid (Wilcoxon 1945 Biometrics 1): are the two sources' bucket
+    means symmetric around zero difference?  The PAIRED complement of
+    ``mannwhitney_drift``'s independent-samples U — here the shared
+    bucket is the pairing, so between-bucket variance cancels and the
+    test sees only the within-bucket a−b contrast.
+
+    Protocol: d = via − vib per shared bucket on the exact 6-dp
+    integer grid (exact int64 differences); zero differences drop
+    (the standard Wilcoxon reduction); |d| gets doubled midranks
+    2r = 2·minrank + t − 1 (exact int64); W⁺ is kept DOUBLED
+    (w2_plus = Σ 2r over d > 0, exact), and the tie-corrected normal
+    approximation is ONE fixed float expression from exact integers:
+
+        z = (2·w2p − n(n+1)) · sqrt(3) / sqrt(2n(n+1)(2n+1) − Σ(t³−t))
+
+    (algebra: z = (W⁺ − n(n+1)/4)/sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    with W⁺ = w2p/2, multiplied through by 4).
+
+    Scale shape: one grid aggregate, a bucket equi-join keyed by
+    pair, two window passes over the SAME pair partitioning (rank +
+    tie count), one keyed reduce.  O(n log n) per pair, no quadratic
+    step, zero Python.
+    """
+    if bucket_sec <= 0:
+        raise ValueError("bucket_sec must be > 0")
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+
+    matched = _matched_grid_int(df, source_col, ts_col, value_col, bucket_sec)
+    pair = ["source_a", "source_b"]
+    dz = matched.select(
+        *pair, (F.col("via") - F.col("vib")).cast("long").alias("_d")
+    ).where(F.col("_d") != 0)
+
+    ad = dz.withColumn("_ad", F.abs(F.col("_d")))
+    w_rank = Window.partitionBy(*pair).orderBy("_ad")
+    w_tie = Window.partitionBy(*pair, "_ad")
+    ranked = ad.select(
+        *pair,
+        F.col("_d"),
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1)
+        .cast("long")
+        .alias("_r2"),
+        F.count("*").over(w_tie).cast("long").alias("_t"),
+    )
+    agg = ranked.groupBy(*pair).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_r2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("w2_plus"),
+        # each |d|-tie group of size t contributes t·(t²−1) summed
+        # row-wise: Σ_rows (t²−1) = Σ_groups t·(t²−1) = Σ(t³−t)
+        F.sum(F.col("_t") * F.col("_t") - 1).cast("long").alias("_tie"),
+    )
+    nd = F.col("n").cast("double")
+    num = (
+        F.lit(2.0) * F.col("w2_plus").cast("double") - nd * (nd + F.lit(1.0))
+    ) * F.sqrt(F.lit(3.0))
+    den2 = (
+        F.lit(2.0) * nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0))
+        - F.col("_tie").cast("double")
+    )
+    z = F.when(den2 > F.lit(0.0), num / F.sqrt(den2))
+    return agg.select(*pair, "n", "w2_plus", z.alias("z")).where(
         F.col("n") >= int(min_overlap)
     )

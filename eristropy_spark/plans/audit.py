@@ -1366,4 +1366,29 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
+    # 72. kendall: grid equi-join + PAIR-KEYED quadratic self-join
+    # (equi on the pair key, range residual on bucket — never a
+    # cartesian/nested-loop over rows) — zero Python
+    q72 = entrymod.queries()["kendall"](spark, sf_dir)
+    p = plan_of(q72)
+    checks.append(
+        ("kendall: keyed equi-joins only (no cartesian/nested-loop), "
+         "zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
+    # 73. wilcoxon: bucket equi-join + pair-keyed rank windows +
+    # keyed reduce — no quadratic step, zero Python
+    q73 = entrymod.queries()["wilcoxon"](spark, sf_dir)
+    p = plan_of(q73)
+    checks.append(
+        ("wilcoxon: bucket equi-join + pair rank windows, no cartesian, "
+         "zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     return checks
