@@ -7861,6 +7861,109 @@ FROM g CROSS JOIN st
 """
 
 
+def _q_friedman_page(spark, sf_dir):
+    """Friedman blocked rank test + Page's L ordered trend across
+    sources, blocks = hour buckets (operators/grouptests.friedman_page,
+    Friedman 1937 / Page 1963): within-block doubled midranks, tie
+    cubes, rank sums, SR² and S j·R all exact DECIMAL(38,0); chi2 /
+    tie-corrected chi2 / Page z each ONE fixed float expression.  The
+    blocked complement of kruskal_wallis: between-hour level drift
+    cancels by construction.  Cells = exact S round(value*100) per
+    (hour, event_type); incomplete hours drop (complete-block rule)."""
+    from eristropy_spark.operators.grouptests import friedman_page
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("block"),
+        F.col("event_type").alias("treatment"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cell")
+    )
+    r = friedman_page(cells, "block", "treatment", "cell")
+    return r.select(
+        F.col("treatment").alias("trt"),
+        "j",
+        "n_blocks",
+        "r2_sum",
+        _r6("mean_rank").alias("mean_rank"),
+        _r6("chi2").alias("chi2"),
+        _r6("chi2_adj").alias("chi2_adj"),
+        _r6("page_l").alias("page_l"),
+        _r6("page_z").alias("page_z"),
+        "k",
+    )
+
+
+_ORACLE_FRIEDMAN_PAGE = """
+WITH cells AS (
+  SELECT date_trunc('hour', ts) AS block, event_type AS trt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), kk AS (
+  SELECT CAST(count(DISTINCT trt) AS INT) AS k FROM cells
+), blk AS (
+  SELECT block, count(*) AS nr, count(DISTINCT trt) AS nt
+  FROM cells GROUP BY block
+), kept AS (
+  SELECT c.block, c.trt, c.v
+  FROM cells c JOIN blk b USING (block) CROSS JOIN kk
+  WHERE b.nr = kk.k AND b.nt = kk.k
+), ranked AS (
+  SELECT block, trt, v,
+         CAST(2 * rank() OVER (PARTITION BY block ORDER BY v)
+              + count(*) OVER (PARTITION BY block, v) - 1 AS BIGINT) AS r2,
+         CAST(count(*) OVER (PARTITION BY block, v) AS BIGINT) AS t
+  FROM kept
+), ties AS (
+  SELECT sum(CAST(t AS HUGEINT) * t - 1) AS tie FROM ranked
+), g AS (
+  SELECT trt, CAST(count(*) AS BIGINT) AS n_blocks,
+         sum(CAST(r2 AS HUGEINT)) AS r2s
+  FROM ranked GROUP BY trt
+), gj AS (
+  SELECT g.*, CAST(dense_rank() OVER (ORDER BY trt) AS INT) AS j FROM g
+), gl AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(max(n_blocks) AS BIGINT) AS n,
+         sum(r2s * r2s) AS s2, sum(CAST(j AS HUGEINT) * r2s) AS l2
+  FROM gj
+), st AS (
+  SELECT k, n,
+         CASE WHEN k >= 2 AND n >= 1 THEN
+           3.0 * CAST(s2 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+              * (CAST(k AS DOUBLE) + 1.0))
+           - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+         END AS chi2,
+         1.0 - CAST(tie AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                  * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) AS ctie,
+         CAST(l2 AS DOUBLE) / 2.0 AS page_l,
+         CASE WHEN k >= 3 AND n >= 1 THEN
+           (6.0 * CAST(l2 AS DOUBLE)
+            - 3.0 * CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+              * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0))
+           / sqrt(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                  * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                  * (CAST(k AS DOUBLE) + 1.0))
+         END AS page_z
+  FROM gl CROSS JOIN ties
+)
+SELECT gj.trt, gj.j, gj.n_blocks, CAST(gj.r2s AS BIGINT) AS r2_sum,
+       floor(CAST(gj.r2s AS DOUBLE) / (2.0 * CAST(gj.n_blocks AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS mean_rank,
+       CASE WHEN st.chi2 IS NOT NULL
+            THEN floor(st.chi2 * 1000000 + 0.5) / 1000000 END AS chi2,
+       CASE WHEN st.chi2 IS NOT NULL AND st.ctie > 0.0
+            THEN floor(st.chi2 / st.ctie * 1000000 + 0.5) / 1000000
+            END AS chi2_adj,
+       floor(st.page_l * 1000000 + 0.5) / 1000000 AS page_l,
+       CASE WHEN st.page_z IS NOT NULL
+            THEN floor(st.page_z * 1000000 + 0.5) / 1000000 END AS page_z,
+       st.k
+FROM gj CROSS JOIN st
+"""
+
+
 def _q_chi2_drift(spark, sf_dir):
     """Two-sample chi-squared homogeneity drift per signal
     (operators/drift.chi2_drift, Pearson's 2×V contingency form):
@@ -9979,6 +10082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durbin_watson": _q_durbin_watson,
         "kruskal_wallis": _q_kruskal_wallis,
         "brown_forsythe": _q_brown_forsythe,
+        "friedman_page": _q_friedman_page,
         "chi2_drift": _q_chi2_drift,
         "coint_eg": _q_coint_eg,
         "ttest_drift": _q_ttest_drift,
@@ -10155,6 +10259,7 @@ def oracle_sql() -> dict[str, str]:
         "durbin_watson": _ORACLE_DW,
         "kruskal_wallis": _ORACLE_KRUSKAL,
         "brown_forsythe": _ORACLE_BROWN_FORSYTHE,
+        "friedman_page": _ORACLE_FRIEDMAN_PAGE,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "coint_eg": _ORACLE_COINT,
         "ttest_drift": _ORACLE_TTEST_DRIFT,

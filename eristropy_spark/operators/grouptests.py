@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["kruskal_wallis", "brown_forsythe"]
+__all__ = ["kruskal_wallis", "brown_forsythe", "friedman_page"]
 
 _D0 = "decimal(38,0)"
 _D6 = "decimal(38,6)"
@@ -232,3 +232,159 @@ def brown_forsythe(
         "df1",
         "df2",
     )
+
+
+def friedman_page(
+    df: DataFrame,
+    block_col: str = "block",
+    treat_col: str = "treatment",
+    value_col: str = "value",
+) -> DataFrame:
+    """Friedman blocked rank test + Page's L ordered-alternative trend
+    test over a complete block design — one row per treatment.
+
+    * Friedman 1937 (JASA 32): do the k treatments share one
+      distribution when each block (e.g. a time bucket) is compared
+      only WITHIN itself?  The blocked complement of
+      ``kruskal_wallis`` — between-block level shifts (daily cycles,
+      volume drift) cancel by construction, so a treatment effect is
+      detected even when block-to-block variation dwarfs it.
+      chi2 = 12/(n·k·(k+1))·ΣR_j² − 3·n·(k+1) with within-block
+      midranks; the tie correction divides by
+      C = 1 − Σ_blocks Σ_t (t³−t) / (n·k·(k²−1)) (the scipy form).
+    * Page 1963 (JASA 58): against the ORDERED alternative
+      τ_1 ≤ τ_2 ≤ … ≤ τ_k (treatments taken in ascending key order),
+      L = Σ_j j·R_j and z = (12L − 3nk(k+1)²) / √(nk²(k²−1)(k+1)) —
+      the trend-aware refinement that beats Friedman's omnibus χ²
+      when the effect is monotone in j (no tie correction exists in
+      the published test; ties only lower |z|, documented).
+
+    Input is CELL data: one row per (block, treatment) — e.g. the
+    per-bucket-per-source aggregate of a metric.  Blocks are retained
+    iff they contain EXACTLY one row per global treatment (incomplete
+    or duplicated blocks are dropped — the standard complete-block
+    requirement), so every retained block ranks the same k cells.
+
+    Exactness protocol: within-block DOUBLED midranks
+    r2 = 2·rank + t − 1 (``rank()`` + equal-value partition count),
+    tie cubes Σ(t³−t), doubled rank sums R2_j, ΣR2_j² and the Page
+    sum Σ j·R2_j are ALL exact integers in DECIMAL(38,0)
+    (associative-exact, partition-order-free); chi2, C and z are each
+    ONE fixed float expression — bit-identical in the DuckDB replay.
+
+    Scale shape: one cell hash-aggregate (caller side), two scalar
+    aggregates (k, block census), within-block windows partitioned by
+    block (frame bounded by k rows), a k-row treatment reduce and a
+    broadcast of the 1-row global stats.  Zero Python, no join wider
+    than the cell table.
+
+    NULLs: chi2 NULL when k < 2 or no complete block; chi2_adj
+    additionally NULL when every block is fully tied (C = 0); page_z
+    NULL when k < 3 (the ordered alternative needs 3 levels) or no
+    complete block.
+    """
+    cells = df.select(
+        F.col(block_col).alias("block"),
+        F.col(treat_col).alias("treatment"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+
+    kdf = cells.agg(
+        F.count_distinct("treatment").cast("int").alias("_k")
+    )
+
+    per_block = cells.groupBy("block").agg(
+        F.count("*").cast("int").alias("_nr"),
+        F.count_distinct("treatment").cast("int").alias("_nt"),
+    )
+    complete = per_block.crossJoin(F.broadcast(kdf)).where(
+        (F.col("_nr") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
+    )
+    kept = cells.join(complete.select("block"), "block")
+
+    w_rank = Window.partitionBy("block").orderBy("_v")
+    w_eq = Window.partitionBy("block", "_v")
+    ranked = kept.select(
+        "block",
+        "treatment",
+        "_v",
+        (
+            2 * F.rank().over(w_rank) + F.count("*").over(w_eq) - 1
+        ).cast("long").alias("_r2"),
+        F.count("*").over(w_eq).cast("long").alias("_t"),
+    )
+
+    # tie cube per block: each (block, v) group of size t contributes
+    # t³ − t, counted once — divide the per-row contribution by t
+    ties = ranked.agg(
+        F.sum(
+            (
+                F.col("_t").cast(_D0) * F.col("_t").cast(_D0)
+                - F.lit(1).cast(_D0)
+            )
+        ).alias("_tie")
+    )
+
+    grp = ranked.groupBy("treatment").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("_r2").cast(_D0)).alias("_r2s"),
+    )
+    w_j = Window.orderBy("treatment")  # k-row result, bounded by k
+    grp = grp.withColumn("_j", F.dense_rank().over(w_j).cast("int"))
+
+    glob = (
+        grp.agg(
+            F.count("*").cast("int").alias("k"),
+            F.max("n_blocks").cast("long").alias("n"),
+            F.sum(F.col("_r2s") * F.col("_r2s")).alias("_s2"),
+            F.sum(F.col("_j").cast(_D0) * F.col("_r2s")).alias("_l2"),
+        )
+        .crossJoin(ties)
+    )
+
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    chi2 = F.when(
+        (F.col("k") >= 2) & (F.col("n") >= 1),
+        F.lit(3.0) * F.col("_s2").cast("double")
+        / (nd * kd * (kd + F.lit(1.0)))
+        - F.lit(3.0) * nd * (kd + F.lit(1.0)),
+    )
+    c_tie = F.lit(1.0) - F.col("_tie").cast("double") / (
+        nd * kd * (kd * kd - F.lit(1.0))
+    )
+    page_z = F.when(
+        (F.col("k") >= 3) & (F.col("n") >= 1),
+        (
+            F.lit(6.0) * F.col("_l2").cast("double")
+            - F.lit(3.0) * nd * kd * (kd + F.lit(1.0)) * (kd + F.lit(1.0))
+        )
+        / F.sqrt(nd * kd * kd * (kd * kd - F.lit(1.0)) * (kd + F.lit(1.0))),
+    )
+    glob = glob.select(
+        "k",
+        "n",
+        chi2.alias("chi2"),
+        F.when(chi2.isNotNull() & (c_tie > F.lit(0.0)), chi2 / c_tie).alias(
+            "chi2_adj"
+        ),
+        (F.col("_l2").cast("double") / F.lit(2.0)).alias("page_l"),
+        page_z.alias("page_z"),
+    )
+
+    out = grp.crossJoin(F.broadcast(glob))
+    return out.select(
+        "treatment",
+        "_j",
+        F.col("n_blocks"),
+        F.col("_r2s").cast("long").alias("r2_sum"),
+        (
+            F.col("_r2s").cast("double")
+            / (F.lit(2.0) * F.col("n_blocks").cast("double"))
+        ).alias("mean_rank"),
+        "chi2",
+        "chi2_adj",
+        "page_l",
+        "page_z",
+        "k",
+    ).withColumnRenamed("_j", "j")

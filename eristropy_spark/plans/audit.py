@@ -1301,7 +1301,9 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # SinglePartition stages exist by design but only on bounded
     # frames: the distinct-VALUE census (cardinality = value domain)
     # and the k-row global reduce.
-    for qn in ("kruskal_wallis", "brown_forsythe"):
+    # friedman_page shares the shape: cell aggregate + within-block
+    # windows (keyed by block) + k-row reduces broadcast back.
+    for qn in ("kruskal_wallis", "brown_forsythe", "friedman_page"):
         q67 = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(q67)
         checks.append(

@@ -163,3 +163,121 @@ def test_chi2_drift_null_and_shift(spark):
         [("k", 0, 1.0)], "key string, ts long, value double"
     )
     assert chi2_drift(one, "key", ts_col="ts").collect()[0]["chi2"] is None
+
+
+# ---------------------------------------------------------- friedman/page
+
+
+def _fp_df(spark, rows):
+    from eristropy_spark.operators.grouptests import friedman_page
+
+    df = spark.createDataFrame(rows, "block int, treatment string, value long")
+    return friedman_page(df, "block", "treatment", "value")
+
+
+def _fp_local(rows):
+    """Scipy-free Friedman chi2 (+ tie correction) and Page L/z."""
+    cells = {}
+    for b, t, v in rows:
+        cells.setdefault(b, {})[t] = v
+    treats = sorted({t for _, t, _ in rows})
+    k = len(treats)
+    complete = {b: d for b, d in cells.items() if len(d) == k}
+    n = len(complete)
+    R = np.zeros(k)
+    tie = 0.0
+    for d in complete.values():
+        v = np.array([d[t] for t in treats], dtype=float)
+        uniq, inv, cnts = np.unique(v, return_inverse=True, return_counts=True)
+        mid = np.cumsum(cnts) - (cnts - 1) / 2.0
+        R += mid[inv]
+        tie += float((cnts.astype(float) ** 3 - cnts).sum())
+    chi2 = 12.0 / (n * k * (k + 1)) * float((R**2).sum()) - 3 * n * (k + 1)
+    c = 1 - tie / (n * k * (k * k - 1))
+    L = float((np.arange(1, k + 1) * R).sum())
+    z = (12 * L - 3 * n * k * (k + 1) ** 2) / np.sqrt(
+        n * k * k * (k * k - 1) * (k + 1)
+    )
+    return chi2, (chi2 / c if c > 0 else None), L, z, n, k
+
+
+def test_friedman_page_matches_local(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for b in range(35):
+        base = int(rng.integers(-100, 100))
+        for j, t in enumerate(["t0", "t1", "t2", "t3", "t4"]):
+            # small integer range forces within-block ties
+            rows.append((b, t, base + 2 * j + int(rng.integers(-3, 4))))
+    chi2, chi2_adj, L, z, n, k = _fp_local(rows)
+    got = _fp_df(spark, rows).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["chi2"] == pytest.approx(chi2, rel=1e-12)
+        assert r["chi2_adj"] == pytest.approx(chi2_adj, rel=1e-12)
+        assert r["page_l"] == pytest.approx(L, rel=1e-12)
+        assert r["page_z"] == pytest.approx(z, rel=1e-12)
+        assert r["n_blocks"] == n and r["k"] == k
+    by = {r["treatment"]: r for r in got}
+    assert by["t4"]["mean_rank"] > by["t0"]["mean_rank"]
+    assert z > 3.0  # planted monotone trend
+
+
+def test_friedman_blocks_cancel_level_shifts(spark):
+    """Huge between-block shifts with NO treatment effect: Friedman
+    stays null-calibrated (kruskal on the same data would blow up)."""
+    rng = np.random.default_rng(13)
+    rows = []
+    for b in range(60):
+        base = int(rng.integers(-10_000, 10_000)) * 100
+        for t in ["a", "b", "c"]:
+            rows.append((b, t, base + int(rng.integers(0, 50))))
+    r = _fp_df(spark, rows).collect()[0]
+    # chi2(2) 99th percentile ~ 9.21
+    assert r["chi2_adj"] < 9.21
+    assert abs(r["page_z"]) < 2.58
+
+
+def test_friedman_incomplete_blocks_drop(spark):
+    rng = np.random.default_rng(17)
+    full = []
+    for b in range(20):
+        for j, t in enumerate(["a", "b", "c"]):
+            full.append((b, t, int(rng.integers(0, 100)) + 5 * j))
+    extra = [(99, "a", 1), (99, "b", 2)]  # missing c
+    dup = [(98, "a", 1), (98, "a", 2), (98, "b", 3), (98, "c", 4)]  # dup cell
+    want = _fp_df(spark, full).orderBy("treatment").collect()
+    got = _fp_df(spark, full + extra + dup).orderBy("treatment").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_friedman_degenerate(spark):
+    # k = 1: chi2 NULL
+    one = _fp_df(spark, [(0, "a", 1), (1, "a", 2)]).collect()
+    assert one[0]["chi2"] is None and one[0]["page_z"] is None
+    # all blocks fully tied: C = 0 -> chi2_adj NULL
+    tied = _fp_df(
+        spark, [(b, t, 7) for b in range(4) for t in ["a", "b", "c"]]
+    ).collect()
+    assert tied[0]["chi2"] is not None and tied[0]["chi2_adj"] is None
+    # k = 2: Friedman defined, Page needs k >= 3
+    two = _fp_df(
+        spark, [(b, t, b * 2 + (1 if t == "b" else 0)) for b in range(5)
+                for t in ["a", "b"]]
+    ).collect()
+    assert two[0]["chi2"] is not None and two[0]["page_z"] is None
+
+
+def test_friedman_partition_invariance(spark):
+    from eristropy_spark.operators.grouptests import friedman_page
+
+    rng = np.random.default_rng(19)
+    rows = [
+        (b, f"t{j}", int(rng.integers(-50, 50)))
+        for b in range(30)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "block int, treatment string, value long")
+    a = friedman_page(df.repartition(1)).orderBy("treatment").collect()
+    b = friedman_page(df.repartition(13)).orderBy("treatment").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
