@@ -8203,6 +8203,91 @@ FROM st
 """
 
 
+def _q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann pairwise-difference shift + Cliff's delta per
+    (user_id, event_type) key, first half vs second half
+    (operators/drift.hodges_lehmann_drift, Hodges & Lehmann 1963 /
+    Cliff 1993): value censuses exact, the difference census joins
+    them per key (quantized-domain^2 bound, never n^2 rows), weighted
+    interpolated median as exact order statistics m2 = d_lo + d_hi,
+    delta = (gt - lt)/N one fixed float expression.  The effect-size
+    readout next to mannwhitney's p-value."""
+    from eristropy_spark.operators.drift import hodges_lehmann_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("tok"),
+    )
+    r = hodges_lehmann_drift(
+        ev, ("user_id", "event_type"), value_col="tok", tiebreak_col="event_id"
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "n_pairs",
+        (F.col("hl_shift") / F.lit(100.0)).alias("hl_shift"),
+        _r6("cliffs_delta").alias("cliffs_delta"),
+    )
+
+
+_ORACLE_HODGES_LEHMANN = """
+WITH pts AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), refc AS (
+  SELECT user_id, event_type, v AS va, CAST(count(*) AS BIGINT) AS ca
+  FROM tagged WHERE ref GROUP BY 1, 2, 3
+), curc AS (
+  SELECT user_id, event_type, v AS vb, CAST(count(*) AS BIGINT) AS cb
+  FROM tagged WHERE NOT ref GROUP BY 1, 2, 3
+), diffs AS (
+  SELECT r.user_id, r.event_type, c.vb - r.va AS d,
+         CAST(sum(r.ca * c.cb) AS BIGINT) AS w
+  FROM refc r JOIN curc c USING (user_id, event_type)
+  GROUP BY 1, 2, 3
+), cum AS (
+  SELECT user_id, event_type, d, w,
+         CAST(sum(w) OVER wn AS BIGINT) AS cm,
+         CAST(sum(w) OVER (PARTITION BY user_id, event_type)
+              AS BIGINT) AS np
+  FROM diffs
+  WINDOW wn AS (PARTITION BY user_id, event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), red AS (
+  SELECT user_id, event_type, max(np) AS n_pairs,
+         CAST(min(CASE WHEN cm >= (np + 1) // 2 THEN d END) AS BIGINT)
+         + CAST(min(CASE WHEN cm >= np // 2 + 1 THEN d END) AS BIGINT)
+           AS m2,
+         CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS BIGINT) AS gt,
+         CAST(sum(CASE WHEN d < 0 THEN w ELSE 0 END) AS BIGINT) AS lt
+  FROM cum GROUP BY 1, 2
+), halves AS (
+  SELECT user_id, event_type,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM tagged GROUP BY 1, 2
+)
+SELECT h.user_id, h.event_type, h.n_ref, h.n_cur,
+       COALESCE(r.n_pairs, 0) AS n_pairs,
+       CAST(r.m2 AS DOUBLE) / 2.0 / 100.0 AS hl_shift,
+       floor(CAST(r.gt - r.lt AS DOUBLE) / CAST(r.n_pairs AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS cliffs_delta
+FROM halves h LEFT JOIN red r USING (user_id, event_type)
+"""
+
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
     corpus.kn_bigram_score, Kneser & Ney 1995 / Chen & Goodman 1999):
@@ -10087,6 +10172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coint_eg": _q_coint_eg,
         "ttest_drift": _q_ttest_drift,
         "energy_drift": _q_energy_drift,
+        "hodges_lehmann": _q_hodges_lehmann,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -10264,6 +10350,7 @@ def oracle_sql() -> dict[str, str]:
         "coint_eg": _ORACLE_COINT,
         "ttest_drift": _ORACLE_TTEST_DRIFT,
         "energy_drift": _ORACLE_ENERGY_DRIFT,
+        "hodges_lehmann": _ORACLE_HODGES_LEHMANN,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

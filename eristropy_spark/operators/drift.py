@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -973,4 +973,131 @@ def energy_drift(
         "n_cur",
         F.when(ok, d2).alias("e_dist"),
         F.when(ok, na * nb / (na + nb) * d2).alias("e_stat"),
+    )
+
+
+def hodges_lehmann_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, n_pairs, hl_shift, cliffs_delta) — the
+    EFFECT-SIZE pair completing the drift family: ``mannwhitney_drift``
+    answers "did the location move?", this answers "by HOW MUCH" with
+    the two robust classics on the same first-half/second-half split.
+
+    * Hodges & Lehmann 1963: Δ̂ = median of all n_ref·n_cur pairwise
+      differences (cur − ref) — the shift estimator dual to the
+      rank-sum test, ~95% Gaussian efficiency yet a 29% breakdown
+      point (one spike cannot drag it the way the mean-difference
+      would).
+    * Cliff 1993: δ = (#(cur > ref) − #(cur < ref)) / (n_ref·n_cur)
+      ∈ [−1, 1] — the ordinal effect size (= 2·AUC − 1 with ties
+      counted zero), the standard "is the shift practically large?"
+      readout next to the U test's p-value.
+
+    Exactness protocol: per-key value censuses for the two halves
+    (exact integer counts), the pairwise-difference census joins them
+    per key — each distinct difference d carries exact weight
+    Σ ca·cb (int64: counts ≤ 2³¹ per side) — and the interpolated
+    median comes off the weighted census as order statistics
+    (m2 = d_(lo) + d_(hi), lo = ⌊(N+1)/2⌋, hi = ⌊N/2⌋+1 over the
+    cumulative weights, the ``brown_forsythe`` protocol), so
+    ``hl_shift`` = m2/2 and δ = (gt − lt)/N are each ONE fixed float
+    expression over exact integers — bit-identical in the DuckDB
+    replay.
+
+    Scale shape: the same one-window + census aggregates as
+    ``ks_drift``, then a per-key census×census equi-join whose output
+    is bounded by |ref value domain|·|cur value domain| PER KEY — the
+    quantized-domain² bound (NOT n²; e.g. a 6-dp grid over a [0,100]
+    metric caps it at ~10⁸ rows per key worst-case, and real censuses
+    are far smaller).  Quantize ``value_col`` before calling (the
+    contract passes an integer grid).  All reduces ride the key
+    partitioning; zero Python.
+
+    NULL hl_shift/cliffs_delta when either half is empty.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).cast("long").alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    ref = (
+        pts.where(F.col("_ref"))
+        .groupBy(*keys, "_v")
+        .agg(F.count("*").cast("long").alias("_ca"))
+        .withColumnRenamed("_v", "_va")
+    )
+    cur = (
+        pts.where(~F.col("_ref"))
+        .groupBy(*keys, "_v")
+        .agg(F.count("*").cast("long").alias("_cb"))
+        .withColumnRenamed("_v", "_vb")
+    )
+
+    # pairwise-difference census: |ref domain| x |cur domain| per key
+    diffs = (
+        ref.join(cur, keys)
+        .select(
+            *keys,
+            (F.col("_vb") - F.col("_va")).alias("_d"),
+            (F.col("_ca") * F.col("_cb")).alias("_w"),
+        )
+        .groupBy(*keys, "_d")
+        .agg(F.sum("_w").cast("long").alias("_w"))
+    )
+
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    ranked = diffs.withColumn("_cum", F.sum("_w").over(w_cum)).withColumn(
+        "_np", F.sum("_w").over(w_tot)
+    )
+    lo_rank = F.floor((F.col("_np") + 1) / 2)
+    hi_rank = F.floor(F.col("_np") / 2) + 1
+    red = ranked.groupBy(*keys).agg(
+        F.max("_np").cast("long").alias("n_pairs"),
+        (
+            F.min(F.when(F.col("_cum") >= lo_rank, F.col("_d"))).cast("long")
+            + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_d"))).cast("long")
+        ).alias("_m2"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_w")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_gt"),
+        F.sum(F.when(F.col("_d") < 0, F.col("_w")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_lt"),
+    )
+
+    halves = pts.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+
+    out = halves.join(red, keys, "left")
+    return out.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        (F.col("_m2").cast("double") / F.lit(2.0)).alias("hl_shift"),
+        (
+            (F.col("_gt") - F.col("_lt")).cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("cliffs_delta"),
     )

@@ -1354,6 +1354,20 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 70b. hodges_lehmann: census×census difference join rides the key
+    # partitioning — keyed equi-joins only (domain² bound documented),
+    # no cartesian/nested-loop, no single-partition stage, zero Python
+    q70b = entrymod.queries()["hodges_lehmann"](spark, sf_dir)
+    p = plan_of(q70b)
+    checks.append(
+        ("hodges_lehmann: keyed equi-joins only (no cartesian/BNLJ), "
+         "no single-partition stage, zero Python",
+         "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 71. rsi_macd: the ewma/holt/kalman sequential-scan class — one
     # key Exchange into one grouped-Pandas stage, no single-partition
     q71 = entrymod.queries()["rsi_macd"](spark, sf_dir)

@@ -334,3 +334,94 @@ def test_ljung_box_guards(spark):
     assert out["const"]["q_stat"] is None  # zero variance
     with pytest.raises(ValueError, match="even"):
         ljung_box(_tokens_df(spark, seqs), max_lag=7)
+
+
+# ------------------------------------------------------ hodges-lehmann
+
+
+def _hl_local(vals):
+    """Brute-force HL shift + Cliff's delta on the first/second-half
+    split of one key's ordered values."""
+    n = len(vals)
+    ref, cur = vals[: n // 2], vals[n // 2 :]
+    if not ref or not cur:
+        return None, None, 0, len(ref), len(cur)
+    d = np.sort(np.array([c - r for c in cur for r in ref], dtype=np.int64))
+    N = len(d)
+    hl = (d[(N + 1) // 2 - 1] + d[N // 2 + 1 - 1]) / 2.0
+    delta = (int((d > 0).sum()) - int((d < 0).sum())) / N
+    return hl, delta, N, len(ref), len(cur)
+
+
+def _hl_spark(spark, series):
+    from eristropy_spark.operators.drift import hodges_lehmann_drift
+
+    rows = [
+        (key, _ts(i), i, int(v))
+        for key, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "sig string, ts timestamp, event_id long, value long"
+    )
+    return {
+        r["sig"]: r
+        for r in hodges_lehmann_drift(
+            df, "sig", tiebreak_col="event_id"
+        ).collect()
+    }
+
+
+def test_hodges_lehmann_matches_bruteforce(spark):
+    rng = np.random.default_rng(23)
+    series = {
+        "shift": [int(v) for v in rng.integers(0, 40, 120)]
+        + [int(v) + 17 for v in rng.integers(0, 40, 130)],
+        "tied": [int(v) for v in rng.integers(0, 4, 90)],
+        "null": [int(v) for v in rng.integers(-30, 30, 151)],
+    }
+    # planted shift applies to the generated halves, not the split
+    # halves — brute force recomputes on the same full sequence
+    got = _hl_spark(spark, series)
+    for key, vals in series.items():
+        hl, delta, N, nr, nc = _hl_local(vals)
+        r = got[key]
+        assert r["n_ref"] == nr and r["n_cur"] == nc and r["n_pairs"] == N
+        assert r["hl_shift"] == pytest.approx(hl, abs=0)
+        assert r["cliffs_delta"] == pytest.approx(delta, rel=1e-12)
+    assert got["shift"]["hl_shift"] >= 10  # planted +17 shift visible
+    assert got["shift"]["cliffs_delta"] > 0.3
+
+
+def test_hodges_lehmann_outlier_immunity(spark):
+    """One 10^6 spike in the current half moves the mean difference by
+    ~4000 but the HL shift not at all."""
+    base = [10] * 250 + [12] * 250
+    spiked = base[:-1] + [1_000_000]
+    got = _hl_spark(spark, {"base": base, "spiked": spiked})
+    assert got["spiked"]["hl_shift"] == got["base"]["hl_shift"] == 2.0
+    assert abs(got["spiked"]["cliffs_delta"] - got["base"]["cliffs_delta"]) < 0.02
+
+
+def test_hodges_lehmann_degenerate(spark):
+    got = _hl_spark(spark, {"one": [7], "two": [3, 9]})
+    # n=1: ref half empty -> NULL estimates, zero pairs
+    assert got["one"]["n_ref"] == 0 and got["one"]["n_pairs"] == 0
+    assert got["one"]["hl_shift"] is None and got["one"]["cliffs_delta"] is None
+    assert got["two"]["hl_shift"] == 6.0 and got["two"]["cliffs_delta"] == 1.0
+
+
+def test_hodges_lehmann_partition_invariance(spark):
+    from eristropy_spark.operators.drift import hodges_lehmann_drift
+
+    rng = np.random.default_rng(29)
+    rows = [
+        (f"s{i % 5}", _ts(i), i, int(rng.integers(-100, 100)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "sig string, ts timestamp, event_id long, value long"
+    )
+    a = hodges_lehmann_drift(df.repartition(1), "sig", tiebreak_col="event_id")
+    b = hodges_lehmann_drift(df.repartition(11), "sig", tiebreak_col="event_id")
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
