@@ -8287,6 +8287,107 @@ FROM halves h LEFT JOIN red r USING (user_id, event_type)
 """
 
 
+def _q_ad_drift(spark, sf_dir):
+    """Two-sample Anderson-Darling drift per (user_id, event_type)
+    key, first half vs second half (operators/drift.ad_drift, Scholz
+    & Stephens 1987 midrank k=2): the TAIL-WEIGHTED member of the
+    drift family (KS = worst gap, CvM = integrated gap, AD = gap
+    weighted 1/(F(1-F)) so tail regimes count fully).  Doubled
+    midrank cumulatives exact; each term l*X^2/den4 a ratio of exact
+    DECIMAL(38,0) integers, 12dp-quantized and DECIMAL-summed; A2 one
+    fixed float expression.  ks_drift's census shuffle shape."""
+    from eristropy_spark.operators.drift import ad_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("tok"),
+    )
+    r = ad_drift(
+        ev, ("user_id", "event_type"), value_col="tok", tiebreak_col="event_id"
+    )
+    return r.select(
+        "user_id", "event_type", "n_ref", "n_cur", _r6("a2").alias("a2")
+    )
+
+
+_ORACLE_AD_DRIFT = """
+WITH pts AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb, ca + cb AS t,
+         CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+         CAST(sum(ca + cb) OVER w AS BIGINT) AS cumt,
+         CAST(sum(ca) OVER wt AS BIGINT) AS na,
+         CAST(sum(cb) OVER wt AS BIGINT) AS nb
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY user_id, event_type)
+), ints AS (
+  SELECT user_id, event_type, ca, cb, t, na, nb,
+         CAST(na + nb AS HUGEINT) * (2 * cuma - ca)
+           - CAST(na AS HUGEINT) * (2 * cumt - t) AS xa,
+         CAST(na + nb AS HUGEINT) * (2 * cumb - cb)
+           - CAST(nb AS HUGEINT) * (2 * cumt - t) AS xb,
+         CAST(2 * cumt - t AS HUGEINT)
+           * (CAST(2 * (na + nb) AS HUGEINT) - (2 * cumt - t))
+           - CAST(na + nb AS HUGEINT) * t AS den4
+  FROM cum
+), terms AS (
+  SELECT user_id, event_type, ca, cb,
+         CASE WHEN den4 > 0 THEN
+           CAST(floor(CAST(t AS DOUBLE) * CAST(xa AS DOUBLE)
+                      * CAST(xa AS DOUBLE) / CAST(den4 AS DOUBLE)
+                      * 1000000000000.0 + 0.5) / 1000000000000.0
+                AS DECIMAL(38, 12))
+         ELSE CAST(0.0 AS DECIMAL(38, 12)) END AS ta,
+         CASE WHEN den4 > 0 THEN
+           CAST(floor(CAST(t AS DOUBLE) * CAST(xb AS DOUBLE)
+                      * CAST(xb AS DOUBLE) / CAST(den4 AS DOUBLE)
+                      * 1000000000000.0 + 0.5) / 1000000000000.0
+                AS DECIMAL(38, 12))
+         ELSE CAST(0.0 AS DECIMAL(38, 12)) END AS tb
+  FROM ints
+), red AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) AS BIGINT) AS n_ref,
+         CAST(sum(cb) AS BIGINT) AS n_cur,
+         sum(ta) AS sa, sum(tb) AS sb
+  FROM terms GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         floor(
+           (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) - 1.0)
+           / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+           * (CAST(sa AS DOUBLE)
+              / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                 * CAST(n_ref AS DOUBLE))
+              + CAST(sb AS DOUBLE)
+              / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                 * CAST(n_cur AS DOUBLE)))
+           * 1000000 + 0.5) / 1000000
+       END AS a2
+FROM red
+"""
+
+
 
 def _q_kn_bigram(spark, sf_dir):
     """Interpolated Kneser–Ney bigram document scoring (operators/
@@ -10173,6 +10274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_drift": _q_ttest_drift,
         "energy_drift": _q_energy_drift,
         "hodges_lehmann": _q_hodges_lehmann,
+        "ad_drift": _q_ad_drift,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -10351,6 +10453,7 @@ def oracle_sql() -> dict[str, str]:
         "ttest_drift": _ORACLE_TTEST_DRIFT,
         "energy_drift": _ORACLE_ENERGY_DRIFT,
         "hodges_lehmann": _ORACLE_HODGES_LEHMANN,
+        "ad_drift": _ORACLE_AD_DRIFT,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

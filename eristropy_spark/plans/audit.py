@@ -1354,6 +1354,19 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 70a. ad_drift: the ks/mwu/cvm census shape — split window +
+    # census aggregate + cumulative windows + reduce all riding ONE
+    # keyed Exchange, no Join, zero Python
+    q70a = entrymod.queries()["ad_drift"](spark, sf_dir)
+    p = plan_of(q70a)
+    checks.append(
+        ("ad_drift: ONE keyed Exchange, no Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 70b. hodges_lehmann: census×census difference join rides the key
     # partitioning — keyed equi-joins only (domain² bound documented),
     # no cartesian/nested-loop, no single-partition stage, zero Python

@@ -425,3 +425,97 @@ def test_hodges_lehmann_partition_invariance(spark):
     a = hodges_lehmann_drift(df.repartition(1), "sig", tiebreak_col="event_id")
     b = hodges_lehmann_drift(df.repartition(11), "sig", tiebreak_col="event_id")
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+# ------------------------------------------------------ anderson-darling
+
+
+def _ad_local(vals):
+    """scipy-free midrank two-sample AD (Scholz-Stephens eq. 7, k=2)."""
+    n = len(vals)
+    samples = [
+        np.array(vals[: n // 2], float),
+        np.array(vals[n // 2 :], float),
+    ]
+    Z = np.sort(np.concatenate(samples))
+    N = len(Z)
+    Zstar = np.unique(Z)
+    lj = np.searchsorted(Z, Zstar, "right") - np.searchsorted(Z, Zstar, "left")
+    Bj = np.searchsorted(Z, Zstar, "left") + lj / 2
+    A = 0.0
+    for s in samples:
+        s = np.sort(s)
+        Mij = np.searchsorted(s, Zstar, "left") + (
+            np.searchsorted(s, Zstar, "right")
+            - np.searchsorted(s, Zstar, "left")
+        ) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inner = lj / N * (N * Mij - Bj * len(s)) ** 2 / (
+                Bj * (N - Bj) - N * lj / 4
+            )
+        A += np.where(np.isfinite(inner), inner, 0.0).sum() / len(s)
+    return (N - 1) / N * A
+
+
+def _ad_spark(spark, series):
+    from eristropy_spark.operators.drift import ad_drift
+
+    rows = [
+        (key, _ts(i), i, int(v))
+        for key, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "sig string, ts timestamp, event_id long, value long"
+    )
+    return {
+        r["sig"]: r
+        for r in ad_drift(df, "sig", tiebreak_col="event_id").collect()
+    }
+
+
+def test_ad_drift_matches_local(spark):
+    rng = np.random.default_rng(31)
+    series = {
+        "null": rng.integers(0, 50, 301).tolist(),
+        "shift": rng.integers(0, 50, 150).tolist()
+        + (rng.integers(0, 50, 150) + 12).tolist(),
+        "const": [7] * 40,
+    }
+    got = _ad_spark(spark, series)
+    for key, vals in series.items():
+        assert got[key]["a2"] == pytest.approx(_ad_local(vals), rel=1e-9)
+    assert got["const"]["a2"] == 0.0
+    assert got["shift"]["a2"] > 10 > 2.5 > got["null"]["a2"]
+
+
+def test_ad_drift_tail_sensitivity(spark):
+    """A pure tail blow-up (same median, 10% of the second half pushed
+    into new extreme territory): AD flags it clearly."""
+    rng = np.random.default_rng(37)
+    body = rng.integers(20, 30, 150).tolist()
+    tail_half = (
+        rng.integers(20, 30, 125).tolist() + rng.integers(0, 200, 25).tolist()
+    )
+    got = _ad_spark(spark, {"tail": body + tail_half})
+    assert got["tail"]["a2"] == pytest.approx(_ad_local(body + tail_half), rel=1e-9)
+    assert got["tail"]["a2"] > 2.5  # ~alpha=0.05 critical region for k=2
+
+
+def test_ad_drift_degenerate_and_invariance(spark):
+    from eristropy_spark.operators.drift import ad_drift
+
+    got = _ad_spark(spark, {"one": [5]})
+    assert got["one"]["a2"] is None  # empty ref half
+
+    rng = np.random.default_rng(41)
+    rows = [
+        (f"s{i % 4}", _ts(i), i, int(rng.integers(-40, 40)))
+        for i in range(360)
+    ]
+    df = spark.createDataFrame(
+        rows, "sig string, ts timestamp, event_id long, value long"
+    )
+    a = ad_drift(df.repartition(1), "sig", tiebreak_col="event_id")
+    b = ad_drift(df.repartition(9), "sig", tiebreak_col="event_id")
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
