@@ -5236,6 +5236,69 @@ FROM agg
 """
 
 
+def _q_theil(spark, sf_dir):
+    """Theil T / Theil L (MLD) / Atkinson(1) inequality of per-doc
+    token counts per source (operators/sampling.theil_inequality,
+    Theil 1967): the DECOMPOSABLE complements of gini_balance for the
+    corpus-mixing planner — T top-sensitive, L bottom-sensitive,
+    A1 = 1 - exp(-L).  x and S exact integers; the two log sums carry
+    12dp-quantized DECIMAL(38,12) terms (order-free); each index ONE
+    fixed float expression.  In-row token count, ONE source-keyed
+    map-side-combined aggregate, no window, no joins, zero Python."""
+    from eristropy_spark.operators.sampling import theil_inequality
+
+    r = theil_inequality(_docs(spark, sf_dir))
+    return r.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        "total_tok",
+        _r6("theil_t").alias("theil_t"),
+        _r6("theil_l").alias("theil_l"),
+        _r6("atkinson_1").alias("atkinson_1"),
+    )
+
+
+_ORACLE_THEIL = """
+WITH per_doc AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(x) AS BIGINT) AS total_tok,
+         sum(CASE WHEN x > 0 THEN
+               CAST(floor(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))
+                          * 1000000000000.0 + 0.5) / 1000000000000.0
+                    AS DECIMAL(38, 12))
+             ELSE CAST(0.0 AS DECIMAL(38, 12)) END) AS xlx,
+         sum(CASE WHEN x > 0 THEN
+               CAST(floor(ln(CAST(x AS DOUBLE))
+                          * 1000000000000.0 + 0.5) / 1000000000000.0
+                    AS DECIMAL(38, 12))
+             ELSE CAST(0.0 AS DECIMAL(38, 12)) END) AS lx
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_pos, total_tok,
+       CASE WHEN n_pos > 0 AND total_tok > 0 THEN
+         floor((CAST(xlx AS DOUBLE) / CAST(total_tok AS DOUBLE)
+                - ln(CAST(total_tok AS DOUBLE) / CAST(n_pos AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 END AS theil_t,
+       CASE WHEN n_pos > 0 AND total_tok > 0 THEN
+         floor((ln(CAST(total_tok AS DOUBLE) / CAST(n_pos AS DOUBLE))
+                - CAST(lx AS DOUBLE) / CAST(n_pos AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS theil_l,
+       CASE WHEN n_pos > 0 AND total_tok > 0 THEN
+         floor((1.0 - exp(-(ln(CAST(total_tok AS DOUBLE)
+                               / CAST(n_pos AS DOUBLE))
+                            - CAST(lx AS DOUBLE)
+                              / CAST(n_pos AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 END AS atkinson_1
+FROM agg
+"""
+
+
 def _q_quantile_drift(spark, sf_dir):
     """Quantile-shift vector per signal (operators/drift.quantile_drift):
     first-half vs second-half exact interpolated quintiles + shifts —
@@ -10235,6 +10298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": _q_hill_tail,
         "cvar_tail": _q_cvar_tail,
         "gini_balance": _q_gini_balance,
+        "theil": _q_theil,
         "normality": _q_normality,
         "benford": _q_benford,
         "ljung_box": _q_ljung_box,
@@ -10414,6 +10478,7 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail": _ORACLE_HILL,
         "cvar_tail": _ORACLE_CVAR_TAIL,
         "gini_balance": _ORACLE_GINI_BALANCE,
+        "theil": _ORACLE_THEIL,
         "normality": _ORACLE_NORMALITY,
         "benford": _benford_oracle(),
         "ljung_box": _ORACLE_LJUNG_BOX,

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus", "shuffle_corpus", "stratified_sample", "gini_balance"]
+__all__ = ["md5_sample", "md5_bucket", "md5_split", "mix_corpus", "shuffle_corpus", "stratified_sample", "gini_balance", "theil_inequality"]
 
 
 def md5_bucket(key: Column) -> Column:
@@ -274,4 +274,91 @@ def gini_balance(
         "n_docs",
         "total_tok",
         F.when(tot > 0, gini).otherwise(nulld).alias("gini"),
+    )
+
+
+def theil_inequality(
+    docs,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(source, n_docs, n_pos, total_tok, theil_t, theil_l,
+    atkinson_1) — the entropy-based inequality indices of the
+    per-document token-count distribution within each source, the
+    DECOMPOSABLE complements of ``gini_balance`` (Gini compares all
+    pairs; Theil's indices are the only inequality measures that
+    split exactly into within-source + between-source components —
+    Theil 1967, Shorrocks 1980 — which is what a corpus-mixing
+    planner actually wants):
+
+        T  = Σ x·ln(x)/S − ln(S/n)          (Theil T, top-sensitive)
+        L  = ln(S/n) − Σ ln(x)/n            (Theil L / MLD,
+                                             bottom-sensitive)
+        A1 = 1 − exp(−L)                    (Atkinson ε=1: the share
+                                             of total tokens you
+                                             could discard under
+                                             equal doc sizes)
+
+    over the n_pos documents with x > 0 tokens (ln needs x > 0;
+    zero-token docs are counted in n_docs but excluded from the
+    indices, the standard convention).  T ≈ 0 ⇒ uniform doc sizes;
+    T grows when giants dominate (top-heavy), L when near-empty docs
+    dominate (bottom-heavy) — the two tails gini folds into one
+    number.
+
+    Exactness protocol: x and S are exact integers; the only
+    order-dependent pieces are the two log sums, so each per-doc term
+    (x·ln x and ln x) is floor-quantized to the 12-dp grid and
+    accumulated as DECIMAL(38,12) (order- and partition-free); each
+    index is then ONE fixed float expression — bit-identical in the
+    DuckDB replay (both engines' ln agree at the 6-dp output grid,
+    the corpus_divergence precedent).
+
+    Scale shape: in-row token count (no explode), ONE source-keyed
+    hash aggregate (map-side combined — no window, unlike gini's
+    rank form).  No joins, no Python.
+    """
+    per_doc = docs.select(
+        F.col(group_col).alias("source"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("_x"),
+    )
+    d12 = "decimal(38,12)"
+    xd = F.col("_x").cast("double")
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)  # noqa: E731
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_x") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum("_x").cast("long").alias("total_tok"),
+        F.sum(
+            F.when(F.col("_x") > 0, q12(xd * F.log(xd)).cast(d12)).otherwise(
+                F.lit(0).cast(d12)
+            )
+        ).alias("_xlx"),
+        F.sum(
+            F.when(F.col("_x") > 0, q12(F.log(xd)).cast(d12)).otherwise(
+                F.lit(0).cast(d12)
+            )
+        ).alias("_lx"),
+    )
+
+    s = F.col("total_tok").cast("double")
+    n = F.col("n_pos").cast("double")
+    mu_log = F.log(s / n)
+    theil_t = F.col("_xlx").cast("double") / s - mu_log
+    theil_l = mu_log - F.col("_lx").cast("double") / n
+    ok = (F.col("n_pos") > 0) & (F.col("total_tok") > 0)
+    nulld = F.lit(None).cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        "total_tok",
+        F.when(ok, theil_t).otherwise(nulld).alias("theil_t"),
+        F.when(ok, theil_l).otherwise(nulld).alias("theil_l"),
+        F.when(ok, F.lit(1.0) - F.exp(-theil_l)).otherwise(nulld).alias(
+            "atkinson_1"
+        ),
     )

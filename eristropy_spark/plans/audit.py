@@ -1188,6 +1188,20 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     )
 
 
+    # 59b. theil: in-row token count + ONE source-keyed hash aggregate
+    # — no window at all (unlike gini's rank form), no Join, zero
+    # Python
+    gq2b = entrymod.queries()["theil"](spark, sf_dir)
+    p = plan_of(gq2b)
+    checks.append(
+        ("theil: ONE keyed Exchange, no window/Join, zero Python",
+         p.count("Exchange") == 1
+         and "Join" not in p
+         and "Window" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 60. quantile_drift: half-split window + per-(key, half) exact
     # percentiles + in-row explode — ONE keyed Exchange, no Join, no
     # Python

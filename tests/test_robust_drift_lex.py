@@ -929,3 +929,56 @@ def test_categorical_drift_degenerate_and_invariance(spark):
     b = {r["user_id"]: r["js_div"] for r in categorical_drift(
         df.repartition(5), "user_id", cat_col="event_type").collect()}
     assert a == b
+
+
+# ------------------------------------------------------------ theil
+
+
+def test_theil_matches_textbook(spark):
+    from eristropy_spark.operators.sampling import theil_inequality
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for i in range(30):
+        rows.append((i, "uniform", " ".join(["w"] * 10)))
+    for i in range(30, 60):
+        n = 5000 if i == 30 else 2
+        rows.append((i, "giant", " ".join(["w"] * n)))
+    sizes = [int(x) for x in rng.zipf(1.8, 50) % 300 + 1]
+    for j, n in enumerate(sizes):
+        rows.append((100 + j, "zipf", " ".join(["w"] * n)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in theil_inequality(df).collect()}
+
+    # uniform: all indices ~0
+    assert abs(got["uniform"]["theil_t"]) < 1e-9
+    assert abs(got["uniform"]["atkinson_1"]) < 1e-9
+    # one giant among near-empty docs: extreme by both tails (the
+    # giant drives T, the 29 docs far below the mean drive L)
+    assert got["giant"]["theil_t"] > 2.0
+    assert got["giant"]["theil_l"] > 2.0
+    assert got["giant"]["atkinson_1"] > 0.9
+
+    x = np.asarray(sizes, dtype=float)
+    S, n = x.sum(), len(x)
+    t_want = float((x * np.log(x)).sum() / S - np.log(S / n))
+    l_want = float(np.log(S / n) - np.log(x).mean())
+    r = got["zipf"]
+    assert r["theil_t"] == pytest.approx(t_want, abs=1e-6)
+    assert r["theil_l"] == pytest.approx(l_want, abs=1e-6)
+    assert r["atkinson_1"] == pytest.approx(1 - np.exp(-l_want), abs=1e-6)
+    assert r["n_docs"] == r["n_pos"] == n and r["total_tok"] == int(S)
+
+
+def test_theil_partition_invariance(spark):
+    from eristropy_spark.operators.sampling import theil_inequality
+
+    rng = np.random.default_rng(44)
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * int(rng.integers(1, 80))))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = theil_inequality(df.repartition(1)).orderBy("source").collect()
+    b = theil_inequality(df.repartition(17)).orderBy("source").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
