@@ -3483,6 +3483,147 @@ FROM agg
 """
 
 
+def _q_gumbel(spark, sf_dir):
+    """Block-maxima Gumbel PWM fit per source (operators/tails.
+    gumbel_blockmax; Greenwood et al. 1979 / Hosking et al. 1985):
+    hour-bucket maxima exact, each quantized to the 1e-6 grid before
+    order-free DECIMAL sums, rank weights (j-1)*t0 exact integers,
+    sigma/mu/100-block return level fixed float expressions — the
+    annual-maxima EVT view next to gpd_tail's POT view.  One
+    (key, block) aggregate + ONE keyed Exchange, zero Python."""
+    from eristropy_spark.operators.tails import gumbel_blockmax
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    r = gumbel_blockmax(
+        ev, "source", block_sec=3600, t_return=100.0, min_blocks=5
+    )
+    return r.select(
+        "source",
+        "m",
+        _r6("b0").alias("b0"),
+        _r6("b1").alias("b1"),
+        _r6("mu").alias("mu"),
+        _r6("sigma").alias("sigma"),
+        _r6("return_level").alias("return_level"),
+    )
+
+
+_ORACLE_GUMBEL = """
+WITH pts AS (
+  SELECT event_type AS source, epoch_us(ts) // 3600000000 AS b,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), bm AS (
+  SELECT source, b, max(v) AS x FROM pts GROUP BY source, b
+), ranked AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x, b) AS j,
+         CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT) AS t0
+  FROM bm
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS m,
+         sum(t0) AS s0, sum(CAST(j - 1 AS HUGEINT) * t0) AS s1
+  FROM ranked GROUP BY source
+), st AS (
+  SELECT source, m,
+         (CAST(s0 AS DOUBLE) / 1000000.0) / CAST(m AS DOUBLE) AS b0,
+         (CAST(s1 AS DOUBLE) / 1000000.0)
+           / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) AS b1
+  FROM agg
+), fit AS (
+  SELECT source, m, b0, b1,
+         (2.0 * b1 - b0) / 0.6931471805599453 AS sigma
+  FROM st
+), fit2 AS (
+  SELECT source, m, b0, b1, sigma,
+         b0 - 0.5772156649015329 * sigma AS mu
+  FROM fit
+)
+SELECT source, m,
+       CASE WHEN m >= 5 THEN floor(b0 * 1000000.0 + 0.5) / 1000000.0 END
+         AS b0,
+       CASE WHEN m >= 5 THEN floor(b1 * 1000000.0 + 0.5) / 1000000.0 END
+         AS b1,
+       CASE WHEN m >= 5 THEN floor(mu * 1000000.0 + 0.5) / 1000000.0 END
+         AS mu,
+       CASE WHEN m >= 5 THEN
+         floor(sigma * 1000000.0 + 0.5) / 1000000.0 END AS sigma,
+       CASE WHEN m >= 5 THEN
+         floor((mu + sigma * 4.600149226776579) * 1000000.0 + 0.5) / 1000000.0 END
+         AS return_level
+FROM fit2
+"""
+
+
+def _q_extremal_index(spark, sf_dir):
+    """Ferro-Segers intervals estimator of the extremal index per
+    source (operators/tails.extremal_index; Ferro & Segers 2003): do
+    exceedances of the exact q=0.95 quantile cluster?  Gaps and all
+    four moment sums exact DECIMAL(38,0)/HUGEINT integers, theta ONE
+    fixed float expression, capped at 1 — the persistence complement
+    of the marginal tail fits.  ONE keyed Exchange, zero Python."""
+    from eristropy_spark.operators.tails import extremal_index
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "event_id", "value"
+    )
+    r = extremal_index(
+        ev, "source", q=0.95, tiebreak_cols=("event_id",)
+    )
+    return r.select(
+        "source",
+        "n",
+        _r6("u").alias("u"),
+        "n_exc",
+        "max_gap",
+        _r6("theta").alias("theta"),
+    )
+
+
+_ORACLE_EXTREMAL = """
+WITH pts AS (
+  SELECT event_type AS source, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS idx
+  FROM events
+), th AS (
+  SELECT source, quantile_cont(v, 0.95) AS u, count(*) AS n
+  FROM pts GROUP BY source
+), ex AS (
+  SELECT p.source, t.n, t.u, p.idx,
+         p.idx - lag(p.idx) OVER (PARTITION BY p.source
+                                  ORDER BY p.idx) AS gap
+  FROM pts p JOIN th t USING (source) WHERE p.v > t.u
+), agg AS (
+  SELECT source, max(n) AS n, max(u) AS u,
+         CAST(count(*) AS BIGINT) AS n_exc,
+         CAST(max(gap) AS BIGINT) AS max_gap,
+         sum(CAST(gap AS HUGEINT)) AS st,
+         sum(CAST(gap AS HUGEINT) * gap) AS st2,
+         sum(CAST(gap - 1 AS HUGEINT)) AS sm1,
+         sum(CAST(gap - 1 AS HUGEINT) * (gap - 2)) AS sm12
+  FROM ex GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       floor(u * 1000000.0 + 0.5) / 1000000.0 AS u,
+       n_exc, max_gap,
+       CASE WHEN n_exc >= 2 AND
+                 (CASE WHEN max_gap <= 2 THEN st2 > 0
+                       ELSE sm12 > 0 END) THEN
+         floor(least(1.0,
+           CASE WHEN max_gap <= 2 THEN
+             2.0 * CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             / ((CAST(n_exc AS DOUBLE) - 1.0) * CAST(st2 AS DOUBLE))
+           ELSE
+             2.0 * CAST(sm1 AS DOUBLE) * CAST(sm1 AS DOUBLE)
+             / ((CAST(n_exc AS DOUBLE) - 1.0) * CAST(sm12 AS DOUBLE))
+           END) * 1000000.0 + 0.5) / 1000000.0 END AS theta
+FROM agg
+"""
+
+
 def _q_hampel(spark, sf_dir):
     """Hampel rolling outlier filter per point (operators/robust.
     hampel_filter; Hampel 1974, Pearson 2005): centered truncated
@@ -10232,6 +10373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_entropy": _q_spectral_entropy,
         "hampel": _q_hampel,
         "gpd_tail": _q_gpd_tail,
+        "gumbel": _q_gumbel,
+        "extremal_index": _q_extremal_index,
         "bubble_entropy": _q_bubble,
         "hurst": _q_hurst,
         "rolling_quantile": _q_rolling_quantile,
@@ -10409,6 +10552,8 @@ def oracle_sql() -> dict[str, str]:
         "spectral_entropy": _ORACLE_SPECTRAL,
         "hampel": _ORACLE_HAMPEL,
         "gpd_tail": _ORACLE_GPD_TAIL,
+        "gumbel": _ORACLE_GUMBEL,
+        "extremal_index": _ORACLE_EXTREMAL,
         "bubble_entropy": _ORACLE_BUBBLE,
         "hurst": _ORACLE_HURST,
         "rolling_quantile": _ORACLE_ROLLING_QUANTILE,

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["hill_tail", "benford", "BENFORD_P", "cvar_tail", "gpd_pot"]
+__all__ = ["hill_tail", "benford", "BENFORD_P", "cvar_tail", "gpd_pot", "gumbel_blockmax", "extremal_index"]
 
 # p_d = log10(1 + 1/d), d = 1..9 — full round-trip repr; the oracle SQL
 # embeds exactly these literal texts
@@ -330,4 +330,196 @@ def gpd_pot(
         F.when(ok, b1).alias("b1"),
         F.when(ok & nz, F.lit(2.0) - b0 / denom).alias("xi"),
         F.when(ok & nz, F.lit(2.0) * b0 * b1 / denom).alias("sigma"),
+    )
+
+
+def gumbel_blockmax(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    block_sec: int = 3600,
+    t_return: float = 100.0,
+    min_blocks: int = 5,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*key, m, b0, b1, mu, sigma, return_level) — the block-maxima
+    Gumbel fit per key via probability-weighted moments (Greenwood et
+    al. 1979; Hosking et al. 1985), completing the EVT family:
+    ``hill_tail``/``gpd_pot`` model the peaks-over-threshold view,
+    this the ANNUAL-MAXIMA view (Gumbel 1958) — fit the light-tailed
+    GEV member to per-block maxima and read off the T-block return
+    level, the "what's the worst bucket we should expect per T hours"
+    capacity question.
+
+    Over the m block maxima x_(1) <= ... <= x_(m) (blocks =
+    ``block_sec`` event-time buckets, maxima exact):
+
+        b0 = (1/m) Σ x_(j)
+        b1 = (1/(m(m−1))) Σ (j−1)·x_(j)
+        sigma = (2·b1·m(m−1)/... ) — canonically (2b1 − b0)/ln 2
+        mu = b0 − γ·sigma          (γ = 0.5772156649015329)
+        return_level = mu − sigma·ln(−ln(1 − 1/T))
+
+    Exactness: each block maximum is quantized to the 1e-6 grid as an
+    exact integer t0 BEFORE any sum (the gpd_pot protocol); rank
+    weights (j−1)·t0 stay exact integers (tie order cannot change the
+    sum — tied maxima get consecutive ranks whose total weight is
+    fixed), both sums accumulate in DECIMAL(38,0), and every
+    statistic is ONE fixed float expression — bit-identical in the
+    DuckDB replay.
+
+    Scale shape: one (key, block) hash aggregate (map-side combined),
+    then ONE keyed Exchange for the rank window + same-key reduce —
+    the rank stage sees only m rows per key (m = time range /
+    block_sec, NOT the event count).  No joins, no Python.
+
+    Keys with m < ``min_blocks`` emit NULL statistics.
+    """
+    if block_sec <= 0:
+        raise ValueError(f"block_sec must be > 0, got {block_sec}")
+    if t_return <= 1.0:
+        raise ValueError(f"t_return must be > 1, got {t_return}")
+    if min_blocks < 2:
+        raise ValueError(f"min_blocks must be >= 2, got {min_blocks}")
+    keys = _keys(key)
+
+    from eristropy_spark.operators.rolling import _micros
+
+    span_us = F.lit(int(block_sec) * 1_000_000)
+    bucket = F.floor(_micros(df, ts_col) / span_us).cast("long")
+    bm = df.groupBy(*keys, bucket.alias("_b")).agg(
+        F.max(F.col(value_col).cast("double")).alias("_x")
+    )
+
+    w_ord = Window.partitionBy(*keys).orderBy(
+        F.col("_x").asc(), F.col("_b").asc()
+    )
+    ranked = bm.withColumn("_j", F.row_number().over(w_ord)).withColumn(
+        "_t0", F.floor(F.col("_x") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    d0 = "decimal(38,0)"
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("_t0").cast(d0)).alias("_s0"),
+        F.sum(((F.col("_j") - 1).cast(d0) * F.col("_t0").cast(d0))).alias(
+            "_s1"
+        ),
+    )
+
+    md = F.col("m").cast("double")
+    b0 = (F.col("_s0").cast("double") / F.lit(1000000.0)) / md
+    b1 = (F.col("_s1").cast("double") / F.lit(1000000.0)) / (
+        md * (md - F.lit(1.0))
+    )
+    sigma = (F.lit(2.0) * b1 - b0) / F.lit(math.log(2.0))
+    mu = b0 - F.lit(0.5772156649015329) * sigma
+    yt = -math.log(-math.log(1.0 - 1.0 / float(t_return)))
+    rl = mu + sigma * F.lit(yt)
+    ok = F.col("m") >= F.lit(int(min_blocks))
+    nulld = F.lit(None).cast("double")
+    return agg.select(
+        *keys,
+        "m",
+        F.when(ok, b0).otherwise(nulld).alias("b0"),
+        F.when(ok, b1).otherwise(nulld).alias("b1"),
+        F.when(ok, mu).otherwise(nulld).alias("mu"),
+        F.when(ok, sigma).otherwise(nulld).alias("sigma"),
+        F.when(ok, rl).otherwise(nulld).alias("return_level"),
+    )
+
+
+def extremal_index(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    q: float = 0.95,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*key, n, u, n_exc, max_gap, theta) — the Ferro & Segers 2003
+    (JRSS-B 65) intervals estimator of the extremal index θ ∈ (0, 1]
+    per key: DO extremes cluster?  θ ≈ 1 means exceedances of the
+    ``q``-quantile threshold arrive independently (one-off spikes);
+    θ → 0 means they arrive in runs (mean cluster size ≈ 1/θ) — the
+    missing piece between marginal tail fits (hill/gpd/gumbel say how
+    BAD extremes get, θ says how LONG they persist, which is what
+    capacity planning and alert de-duplication actually need).
+
+    Over interexceedance OBSERVATION gaps T_1..T_{N−1} (differences
+    of exceedance row indexes in (ts, tiebreak) order):
+
+        θ̂ = min(1, 2(Σ T_i)² / ((N−1) Σ T_i²))           if max T ≤ 2
+        θ̂ = min(1, 2(Σ(T_i−1))² / ((N−1) Σ(T_i−1)(T_i−2)))  otherwise
+
+    (the bias-adjusted branch for sparse exceedances).  NULL when
+    N < 2 or the denominator is 0.
+
+    Exactness: u is Spark's exact ``percentile`` (≡ quantile_cont
+    bit-for-bit, the gpd_pot protocol), gaps and all four sums are
+    exact integers in DECIMAL(38,0), θ̂ is ONE fixed float
+    expression — bit-identical in the DuckDB replay.
+
+    Scale shape: ONE keyed Exchange — the row-index + quantile
+    windows, the lag window over the filtered exceedances (same
+    partitioning), and the same-key reduce.  Only exceedances (a
+    (1−q) fraction) reach the lag stage.  No joins, no Python.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    keys = _keys(key)
+    w_key = Window.partitionBy(*keys)
+    w_ord = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+
+    v = F.col(value_col).cast("double")
+    pts = (
+        df.select(*keys, F.col(ts_col), v.alias("_v"), *tiebreak_cols)
+        .withColumn("_idx", F.row_number().over(w_ord))
+        .withColumn("_u", F.percentile(F.col("_v"), F.lit(float(q))).over(w_key))
+        .withColumn("_n", F.count("*").over(w_key))
+    )
+    ex = pts.filter(F.col("_v") > F.col("_u"))
+    w_exc = Window.partitionBy(*keys).orderBy("_idx")
+    gaps = ex.withColumn(
+        "_gap", (F.col("_idx") - F.lag("_idx").over(w_exc)).cast("long")
+    )
+
+    d0 = "decimal(38,0)"
+    g = F.col("_gap")
+    agg = gaps.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_u").alias("u"),
+        F.count("*").cast("long").alias("n_exc"),
+        F.max("_gap").cast("long").alias("max_gap"),
+        F.sum(g.cast(d0)).alias("_st"),
+        F.sum((g.cast(d0) * g.cast(d0))).alias("_st2"),
+        F.sum((g - 1).cast(d0)).alias("_sm1"),
+        F.sum(((g - 1).cast(d0) * (g - 2).cast(d0))).alias("_sm12"),
+    )
+
+    nd = (F.col("n_exc") - 1).cast("double")
+    th_small = (
+        F.lit(2.0)
+        * F.col("_st").cast("double")
+        * F.col("_st").cast("double")
+        / (nd * F.col("_st2").cast("double"))
+    )
+    th_big = (
+        F.lit(2.0)
+        * F.col("_sm1").cast("double")
+        * F.col("_sm1").cast("double")
+        / (nd * F.col("_sm12").cast("double"))
+    )
+    use_small = F.col("max_gap") <= 2
+    den_ok = F.when(
+        use_small, F.col("_st2") > F.lit(0).cast(d0)
+    ).otherwise(F.col("_sm12") > F.lit(0).cast(d0))
+    theta = F.when(
+        (F.col("n_exc") >= 2) & den_ok,
+        F.least(F.lit(1.0), F.when(use_small, th_small).otherwise(th_big)),
+    )
+    return agg.select(
+        *keys, "n", "u", "n_exc", "max_gap", theta.alias("theta")
     )

@@ -1085,7 +1085,8 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
 
     # 52. robust_scale / cvar_tail: two unbounded windows + a groupBy
     # all on ONE key Exchange, zero Python
-    for qn in ("robust_scale", "cvar_tail", "normality", "gpd_tail"):
+    for qn in ("robust_scale", "cvar_tail", "normality", "gpd_tail",
+               "extremal_index"):
         rq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(rq)
         checks.append(
@@ -1096,6 +1097,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and "SinglePartition" not in p
              and _py_node_count(p) == 0, p)
         )
+
+    # gumbel: TWO Exchanges by design — the (key, block) max aggregate
+    # (full data, map-side combined) then the key-window over block
+    # MAXIMA only (m rows per key, m = time-range/block_sec) — no
+    # Join, zero Python
+    gq = entrymod.queries()["gumbel"](spark, sf_dir)
+    p = plan_of(gq)
+    checks.append(
+        ("gumbel: block aggregate + key window (2 Exchanges, second "
+         "carries maxima only), no Join, zero Python",
+         p.count("Exchange") == 2
+         and "Join" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
 
     # 53. lexical_richness / vocab_coverage: explode + two CHAINED
     # two-phase aggregates (word-prefixed key, then id/group key) —

@@ -121,3 +121,154 @@ def test_gpd_guards(spark):
         gpd_pot(df, "source", q=1.0)
     with pytest.raises(ValueError, match="min_k"):
         gpd_pot(df, "source", min_k=1)
+
+
+# --------------------------------------------------- gumbel block maxima
+
+
+def _bm_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (sig, t0 + dt.timedelta(seconds=int(s)), float(v))
+        for sig, s, v in rows
+    ]
+    return spark.createDataFrame(data, "sig string, ts timestamp, value double")
+
+
+def test_gumbel_matches_local(spark):
+    from eristropy_spark.operators.tails import gumbel_blockmax
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for b in range(60):
+        for i in range(5):
+            rows.append(("a", b * 3600 + i * 60, float(rng.normal(10, 3))))
+    got = gumbel_blockmax(_bm_df(spark, rows), "sig").collect()[0]
+
+    # local replay with the same quantize-then-sum protocol
+    import collections
+
+    blocks = collections.defaultdict(list)
+    for _, s, v in rows:
+        blocks[s // 3600].append(v)
+    x = np.sort([max(vs) for vs in blocks.values()])
+    t0q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    m = len(x)
+    b0 = (t0q.sum() / 1e6) / m
+    b1 = ((np.arange(m) * t0q).sum() / 1e6) / (m * (m - 1))
+    sigma = (2 * b1 - b0) / math.log(2.0)
+    mu = b0 - 0.5772156649015329 * sigma
+    rl = mu + sigma * (-math.log(-math.log(1 - 1 / 100.0)))
+    assert got["m"] == m
+    assert got["b0"] == pytest.approx(b0, rel=1e-12)
+    assert got["sigma"] == pytest.approx(sigma, rel=1e-12)
+    assert got["mu"] == pytest.approx(mu, rel=1e-12)
+    assert got["return_level"] == pytest.approx(rl, rel=1e-12)
+
+
+def test_gumbel_recovers_parameters(spark):
+    """Block maxima drawn from Gumbel(mu=50, sigma=8) via the inverse
+    CDF: the PWM fit lands near the truth."""
+    from eristropy_spark.operators.tails import gumbel_blockmax
+
+    rng = np.random.default_rng(53)
+    rows = [
+        ("g", b * 3600, 50.0 - 8.0 * math.log(-math.log(rng.uniform())))
+        for b in range(500)
+    ]
+    got = gumbel_blockmax(_bm_df(spark, rows), "sig").collect()[0]
+    assert got["mu"] == pytest.approx(50.0, abs=1.5)
+    assert got["sigma"] == pytest.approx(8.0, abs=1.0)
+    # 100-block return level beyond the observed median block max
+    assert got["return_level"] > 70.0
+
+
+def test_gumbel_min_blocks_and_guards(spark):
+    from eristropy_spark.operators.tails import gumbel_blockmax
+
+    rows = [("a", b * 3600, float(b)) for b in range(3)]
+    got = gumbel_blockmax(_bm_df(spark, rows), "sig", min_blocks=5).collect()
+    assert got[0]["m"] == 3 and got[0]["mu"] is None
+
+    with pytest.raises(ValueError):
+        gumbel_blockmax(_bm_df(spark, rows), "sig", block_sec=0)
+    with pytest.raises(ValueError):
+        gumbel_blockmax(_bm_df(spark, rows), "sig", t_return=1.0)
+    with pytest.raises(ValueError):
+        gumbel_blockmax(_bm_df(spark, rows), "sig", min_blocks=1)
+
+
+# ------------------------------------------------------- extremal index
+
+
+def test_extremal_index_discriminates_clustering(spark):
+    from eristropy_spark.operators.tails import extremal_index
+
+    rng = np.random.default_rng(59)
+    rows = [("iid", i, float(v)) for i, v in enumerate(rng.normal(0, 1, 2000))]
+    x = 0.0
+    for i in range(2000):
+        x = 0.85 * x + float(rng.normal(0, 1)) * 0.53
+        rows.append(("clust", i, x))
+    got = {
+        r["sig"]: r
+        for r in extremal_index(_bm_df(spark, rows), "sig", q=0.95).collect()
+    }
+    assert got["iid"]["theta"] > 0.8
+    assert got["clust"]["theta"] < 0.6
+    assert got["iid"]["n_exc"] == got["clust"]["n_exc"] == 100
+
+
+def test_extremal_index_matches_local(spark):
+    from eristropy_spark.operators.tails import extremal_index
+
+    rng = np.random.default_rng(61)
+    vals = rng.normal(0, 1, 800)
+    rows = [("a", i, float(v)) for i, v in enumerate(vals)]
+    got = extremal_index(_bm_df(spark, rows), "sig", q=0.9).collect()[0]
+
+    u = _qcont(np.sort(vals), 0.9)
+    idx = np.nonzero(vals > u)[0] + 1
+    T = np.diff(idx).astype(np.int64)
+    N = len(idx)
+    if T.max() <= 2:
+        th = 2.0 * T.sum() ** 2 / ((N - 1) * (T.astype(object) ** 2).sum())
+    else:
+        th = (
+            2.0 * (T - 1).sum() ** 2
+            / ((N - 1) * ((T - 1) * (T - 2)).sum())
+        )
+    assert got["n_exc"] == N
+    assert got["theta"] == pytest.approx(min(1.0, th), rel=1e-12)
+    assert got["u"] == pytest.approx(u, rel=1e-12)
+
+
+def test_extremal_index_degenerate(spark):
+    from eristropy_spark.operators.tails import extremal_index
+
+    # one exceedance -> no gaps -> NULL theta
+    rows = [("a", i, 1.0 if i != 7 else 100.0) for i in range(20)]
+    got = extremal_index(_bm_df(spark, rows), "sig", q=0.9).collect()
+    assert got[0]["n_exc"] == 1 and got[0]["theta"] is None
+    with pytest.raises(ValueError):
+        extremal_index(_bm_df(spark, rows), "sig", q=1.5)
+
+
+def test_evt_partition_invariance(spark):
+    from eristropy_spark.operators.tails import extremal_index, gumbel_blockmax
+
+    rng = np.random.default_rng(67)
+    rows = [
+        (f"s{i % 3}", i * 60, float(rng.normal(0, 5)))
+        for i in range(900)
+    ]
+    df = _bm_df(spark, rows)
+    for op in (
+        lambda d: gumbel_blockmax(d, "sig"),
+        lambda d: extremal_index(d, "sig", q=0.9),
+    ):
+        a = op(df.repartition(1)).orderBy("sig").collect()
+        b = op(df.repartition(13)).orderBy("sig").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
