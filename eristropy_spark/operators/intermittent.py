@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from eristropy_spark.operators._pandas_par import keyed_parallel
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -130,6 +132,8 @@ def croston(
             out["sba"].append(sba_f * (z / p))
         return pd.DataFrame(out)
 
-    return counts.groupBy(*[F.col(c) for c in keys]).applyInPandas(
+    return keyed_parallel(counts, keys).groupBy(
+        *[F.col(c) for c in keys]
+    ).applyInPandas(
         _one_group, schema=schema
     )

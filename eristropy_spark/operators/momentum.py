@@ -47,6 +47,8 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from eristropy_spark.operators._pandas_par import keyed_parallel
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 __all__ = ["rsi_macd"]
@@ -140,6 +142,8 @@ def rsi_macd(
         pdf["rsi"] = rsi
         return pdf
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+    return keyed_parallel(df, keys).groupBy(
+        *[F.col(k) for k in keys]
+    ).applyInPandas(
         _one_group, schema=schema
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from eristropy_spark.operators._pandas_par import keyed_parallel
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 __all__ = ["ewma", "holt", "holt_winters", "kalman_level"]
@@ -60,7 +62,9 @@ def ewma(
         )
         return pdf
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+    return keyed_parallel(df, keys).groupBy(
+        *[F.col(k) for k in keys]
+    ).applyInPandas(
         _one_group, schema=schema
     )
 
@@ -140,7 +144,9 @@ def holt(
         pdf["fitted"] = fitted
         return pdf
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+    return keyed_parallel(df, keys).groupBy(
+        *[F.col(k) for k in keys]
+    ).applyInPandas(
         _one_group, schema=schema
     )
 
@@ -225,7 +231,9 @@ def kalman_level(
         pdf["resid"] = rs
         return pdf
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+    return keyed_parallel(df, keys).groupBy(
+        *[F.col(k) for k in keys]
+    ).applyInPandas(
         _one_group, schema=schema
     )
 
@@ -340,6 +348,8 @@ def holt_winters(
         pdf["fitted"] = fitted
         return pdf
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+    return keyed_parallel(df, keys).groupBy(
+        *[F.col(k) for k in keys]
+    ).applyInPandas(
         _one_group, schema=schema
     )
