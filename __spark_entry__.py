@@ -8168,6 +8168,88 @@ FROM gj CROSS JOIN st
 """
 
 
+def _q_cochran_q(spark, sf_dir):
+    """Cochran's Q across sources, blocks = hour buckets, binary cell
+    = "did this source see a value > 100 this hour"
+    (operators/grouptests.cochran_q, Cochran 1950): the BINARY member
+    of the blocked family next to friedman_page — numerator AND
+    denominator exact DECIMAL(38,0) integers, Q literally one float
+    division; complete-block rule shared with friedman_page; 0/1
+    validation in-plan (raise_error, no second scan)."""
+    from eristropy_spark.operators.grouptests import cochran_q
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("block"),
+        F.col("event_type").alias("treatment"),
+    ).agg(
+        F.max(F.when(F.col("value") > 100.0, 1).otherwise(0))
+        .cast("long")
+        .alias("hit")
+    )
+    r = cochran_q(cells, "block", "treatment", "hit")
+    return r.select(
+        F.col("treatment").alias("trt"),
+        "n_blocks",
+        "successes",
+        _r6("success_rate").alias("success_rate"),
+        _r6("q").alias("q"),
+        "df",
+        "k",
+    )
+
+
+_ORACLE_COCHRAN_Q = """
+WITH cells AS (
+  SELECT date_trunc('hour', ts) AS block, event_type AS trt,
+         CAST(max(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2
+), kk AS (
+  SELECT CAST(count(DISTINCT trt) AS INT) AS k FROM cells
+), blk AS (
+  SELECT block, count(*) AS nr, count(DISTINCT trt) AS nt
+  FROM cells GROUP BY block
+), kept AS (
+  SELECT c.block, c.trt, c.x
+  FROM cells c JOIN blk b USING (block) CROSS JOIN kk
+  WHERE b.nr = kk.k AND b.nt = kk.k
+), rws AS (
+  SELECT block, CAST(sum(x) AS BIGINT) AS r FROM kept GROUP BY block
+), rr AS (
+  SELECT sum(CAST(r AS HUGEINT) * r) AS rr,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM rws
+), cls AS (
+  SELECT trt, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(x) AS BIGINT) AS successes
+  FROM kept GROUP BY trt
+), gl AS (
+  SELECT CAST(count(*) AS INT) AS k,
+         CAST(sum(successes) AS BIGINT) AS n,
+         sum(CAST(successes AS HUGEINT) * successes) AS cc
+  FROM cls
+), st AS (
+  SELECT gl.k,
+         CASE WHEN gl.k >= 2 AND rr.nb >= 1
+                   AND CAST(gl.k AS HUGEINT) * gl.n - rr.rr > 0 THEN
+           CAST(CAST(gl.k - 1 AS HUGEINT)
+                * (CAST(gl.k AS HUGEINT) * gl.cc
+                   - CAST(gl.n AS HUGEINT) * gl.n) AS DOUBLE)
+           / CAST(CAST(gl.k AS HUGEINT) * gl.n - rr.rr AS DOUBLE)
+         END AS q
+  FROM gl CROSS JOIN rr
+)
+SELECT cls.trt, cls.n_blocks, cls.successes,
+       floor(CAST(cls.successes AS DOUBLE) / CAST(cls.n_blocks AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS success_rate,
+       CASE WHEN st.q IS NOT NULL
+            THEN floor(st.q * 1000000 + 0.5) / 1000000 END AS q,
+       CAST(st.k - 1 AS INT) AS df, st.k
+FROM cls CROSS JOIN st
+"""
+
+
 def _q_chi2_drift(spark, sf_dir):
     """Two-sample chi-squared homogeneity drift per signal
     (operators/drift.chi2_drift, Pearson's 2×V contingency form):
@@ -10476,6 +10558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": _q_kruskal_wallis,
         "brown_forsythe": _q_brown_forsythe,
         "friedman_page": _q_friedman_page,
+        "cochran_q": _q_cochran_q,
         "chi2_drift": _q_chi2_drift,
         "coint_eg": _q_coint_eg,
         "ttest_drift": _q_ttest_drift,
@@ -10658,6 +10741,7 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": _ORACLE_KRUSKAL,
         "brown_forsythe": _ORACLE_BROWN_FORSYTHE,
         "friedman_page": _ORACLE_FRIEDMAN_PAGE,
+        "cochran_q": _ORACLE_COCHRAN_Q,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "coint_eg": _ORACLE_COINT,
         "ttest_drift": _ORACLE_TTEST_DRIFT,

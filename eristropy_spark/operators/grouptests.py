@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["kruskal_wallis", "brown_forsythe", "friedman_page"]
+__all__ = ["kruskal_wallis", "brown_forsythe", "friedman_page", "cochran_q"]
 
 _D0 = "decimal(38,0)"
 _D6 = "decimal(38,6)"
@@ -388,3 +388,113 @@ def friedman_page(
         "page_z",
         "k",
     ).withColumnRenamed("_j", "j")
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str = "block",
+    treat_col: str = "treatment",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950, Biometrika 37) — the BINARY
+    member of the blocked family: given one 0/1 outcome per
+    (block, treatment) cell (e.g. "did this source trip the alert in
+    this hour?"), do the k treatments share one success probability
+    once block-to-block variation is held fixed?  The k-treatment
+    generalization of McNemar's paired test, and the binary analogue
+    of ``friedman_page`` (which needs ordinal cells).
+
+    One row per treatment: (treatment, n_blocks, successes,
+    success_rate, q, df, k), with the global statistic repeated.
+
+        Q = (k−1)·(k·Σ_j C_j² − N²) / (k·N − Σ_i R_i²)
+
+    (C_j = per-treatment success totals, R_i = per-block success
+    totals, N = ΣC_j = ΣR_i) — asymptotically chi²(k−1) under H0.
+    Blocks are retained iff they contain EXACTLY one 0/1 row per
+    global treatment (the ``friedman_page`` complete-block rule);
+    non-binary values raise.
+
+    Exactness: EVERY quantity is an exact integer in DECIMAL(38,0) —
+    numerator and denominator included — so Q is literally ONE float
+    division, bit-identical in any engine.  NULL q when k < 2, no
+    complete block, or the denominator is 0 (every retained block
+    all-0 or all-1 — no within-block information).
+
+    Scale shape: the friedman_page plumbing minus the ranking — cell
+    validation, two scalar aggregates, per-treatment and per-block
+    reduces, a 1-row global broadcast back onto k rows.  Zero Python,
+    no window over data-sized frames.
+    """
+    # 0/1 validation is IN-PLAN (raise_error rides the single pass —
+    # no second scan of a 100 TB input just to validate)
+    x_raw = F.col(value_col).cast("long")
+    x_checked = F.when(x_raw.isin(0, 1), x_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cochran_q requires 0/1 cell values; got "),
+                x_raw.cast("string"),
+            )
+        )
+    )
+    cells = df.select(
+        F.col(block_col).alias("block"),
+        F.col(treat_col).alias("treatment"),
+        x_checked.alias("_x"),
+    )
+
+    kdf = cells.agg(F.count_distinct("treatment").cast("int").alias("_k"))
+    per_block = cells.groupBy("block").agg(
+        F.count("*").cast("int").alias("_nr"),
+        F.count_distinct("treatment").cast("int").alias("_nt"),
+    )
+    complete = per_block.crossJoin(F.broadcast(kdf)).where(
+        (F.col("_nr") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
+    )
+    kept = cells.join(complete.select("block"), "block")
+
+    rows = kept.groupBy("block").agg(
+        F.sum("_x").cast("long").alias("_r")
+    )
+    r2sum = rows.agg(
+        F.sum(F.col("_r").cast(_D0) * F.col("_r").cast(_D0)).alias("_rr"),
+        F.count("*").cast("long").alias("_nb"),
+    )
+    cols = kept.groupBy("treatment").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("_x").cast("long").alias("successes"),
+    )
+    glob = (
+        cols.agg(
+            F.count("*").cast("int").alias("k"),
+            F.sum("successes").cast("long").alias("_n"),
+            F.sum(
+                F.col("successes").cast(_D0) * F.col("successes").cast(_D0)
+            ).alias("_cc"),
+        )
+        .crossJoin(r2sum)
+    )
+
+    num = (F.col("k") - 1).cast(_D0) * (
+        F.col("k").cast(_D0) * F.col("_cc")
+        - F.col("_n").cast(_D0) * F.col("_n").cast(_D0)
+    )
+    den = F.col("k").cast(_D0) * F.col("_n").cast(_D0) - F.col("_rr")
+    q = F.when(
+        (F.col("k") >= 2) & (F.col("_nb") >= 1) & (den > F.lit(0).cast(_D0)),
+        num.cast("double") / den.cast("double"),
+    )
+    glob = glob.select("k", q.alias("q"), (F.col("k") - 1).cast("int").alias("df"))
+
+    out = cols.crossJoin(F.broadcast(glob))
+    return out.select(
+        "treatment",
+        "n_blocks",
+        "successes",
+        (
+            F.col("successes").cast("double") / F.col("n_blocks").cast("double")
+        ).alias("success_rate"),
+        "q",
+        "df",
+        "k",
+    )

@@ -1333,7 +1333,8 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # and the k-row global reduce.
     # friedman_page shares the shape: cell aggregate + within-block
     # windows (keyed by block) + k-row reduces broadcast back.
-    for qn in ("kruskal_wallis", "brown_forsythe", "friedman_page"):
+    for qn in ("kruskal_wallis", "brown_forsythe", "friedman_page",
+               "cochran_q"):
         q67 = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(q67)
         checks.append(

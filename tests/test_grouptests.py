@@ -281,3 +281,85 @@ def test_friedman_partition_invariance(spark):
     a = friedman_page(df.repartition(1)).orderBy("treatment").collect()
     b = friedman_page(df.repartition(13)).orderBy("treatment").collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+# ------------------------------------------------------------ cochran q
+
+
+def _cq_df(spark, rows):
+    from eristropy_spark.operators.grouptests import cochran_q
+
+    df = spark.createDataFrame(rows, "block int, treatment string, value long")
+    return cochran_q(df, "block", "treatment", "value")
+
+
+def test_cochran_q_matches_local(spark):
+    rng = np.random.default_rng(71)
+    ps = {"a": 0.2, "b": 0.5, "c": 0.8}
+    rows = [
+        (b, t, int(rng.uniform() < p))
+        for b in range(80)
+        for t, p in ps.items()
+    ]
+    got = _cq_df(spark, rows).orderBy("treatment").collect()
+    C = {t: 0 for t in ps}
+    R = np.zeros(80, dtype=np.int64)
+    for b, t, x in rows:
+        C[t] += x
+        R[b] += x
+    N, k = sum(C.values()), 3
+    num = (k - 1) * (k * sum(v * v for v in C.values()) - N * N)
+    den = k * N - int((R * R).sum())
+    for r in got:
+        assert r["q"] == pytest.approx(num / den, rel=0)  # exact division
+        assert r["k"] == 3 and r["df"] == 2
+    by = {r["treatment"]: r for r in got}
+    assert by["c"]["successes"] > by["a"]["successes"]
+    assert got[0]["q"] > 9.21  # chi2(2) 99th pct — planted effect found
+
+
+def test_cochran_q_null_calibrated_and_degenerate(spark):
+    rng = np.random.default_rng(73)
+    rows = [
+        (b, t, int(rng.uniform() < 0.5))
+        for b in range(120)
+        for t in ["a", "b", "c", "d"]
+    ]
+    assert _cq_df(spark, rows).collect()[0]["q"] < 11.34  # chi2(3) 99th
+
+    # all blocks all-1: denominator 0 -> NULL
+    allsame = [(b, t, 1) for b in range(6) for t in ["a", "b"]]
+    assert _cq_df(spark, allsame).collect()[0]["q"] is None
+    # k = 1 -> NULL
+    assert _cq_df(spark, [(0, "a", 1), (1, "a", 0)]).collect()[0]["q"] is None
+
+
+def test_cochran_q_incomplete_blocks_and_validation(spark):
+    rng = np.random.default_rng(79)
+    full = [
+        (b, t, int(rng.uniform() < 0.4))
+        for b in range(25)
+        for t in ["a", "b", "c"]
+    ]
+    ragged = full + [(99, "a", 1)]  # incomplete block drops
+    want = _cq_df(spark, full).orderBy("treatment").collect()
+    got = _cq_df(spark, ragged).orderBy("treatment").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    with pytest.raises(Exception, match="0/1"):
+        _cq_df(spark, [(0, "a", 2), (0, "b", 1)]).collect()
+
+
+def test_cochran_q_partition_invariance(spark):
+    from eristropy_spark.operators.grouptests import cochran_q
+
+    rng = np.random.default_rng(83)
+    rows = [
+        (b, f"t{j}", int(rng.uniform() < 0.3 + 0.1 * j))
+        for b in range(40)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "block int, treatment string, value long")
+    a = cochran_q(df.repartition(1)).orderBy("treatment").collect()
+    b = cochran_q(df.repartition(13)).orderBy("treatment").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
