@@ -8250,6 +8250,192 @@ FROM cls CROSS JOIN st
 """
 
 
+def _q_jonckheere(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-trend test across event types
+    (operators/grouptests.jonckheere_terpstra, Jonckheere 1954): the
+    monotone-alternative sharpening of kruskal_wallis — doubled
+    statistic 2J exact DECIMAL(38,0) via the dense group×value grid
+    prefix windows, tie-corrected Hollander–Wolfe null moments from
+    exact integer sums, z one fixed float expression 6-dp-quantized —
+    census shuffle shape, grid bounded by k·|value domain|, zero
+    Python."""
+    from eristropy_spark.operators.grouptests import jonckheere_terpstra
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("int").alias("tok")
+    )
+    r = jonckheere_terpstra(ev, group_col="event_type", value_col="tok")
+    return r.select(
+        F.col("group").alias("grp"),
+        "gi",
+        "n",
+        "two_j",
+        "four_e",
+        "z",
+        "k",
+        "n_total",
+    )
+
+
+_ORACLE_JONCKHEERE = """
+WITH pts AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS INT) AS v
+  FROM events
+), cnt AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY grp, v
+), grps AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+         CAST(dense_rank() OVER (ORDER BY grp) AS INT) AS gi
+  FROM cnt GROUP BY grp
+), vals AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY v
+), grid AS (
+  SELECT g.grp, g.gi, s.v, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM grps g CROSS JOIN vals s
+  LEFT JOIN cnt c ON c.grp = g.grp AND c.v = s.v
+), gt AS (
+  SELECT grp, gi, v, c,
+         2 * CAST(COALESCE(sum(c) OVER (PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + c AS tt
+  FROM grid
+), gp AS (
+  SELECT grp, v, c,
+         CAST(COALESCE(sum(tt) OVER (PARTITION BY v ORDER BY gi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS p
+  FROM gt
+), tj AS (
+  SELECT sum(CAST(c AS HUGEINT) * p) AS twoj FROM gp
+), gs AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+         sum(CAST(n AS HUGEINT) * n) AS sn2,
+         sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS sn125,
+         sum(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS sn12,
+         sum(CAST(n AS HUGEINT) * (n - 1)) AS sn1
+  FROM grps
+), ts AS (
+  SELECT sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS st125,
+         sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st12,
+         sum(CAST(t AS HUGEINT) * (t - 1)) AS st1
+  FROM vals
+), st AS (
+  SELECT gs.k, gs.nt,
+         CAST(tj.twoj AS BIGINT) AS two_j,
+         CAST(CAST(gs.nt AS HUGEINT) * gs.nt - gs.sn2 AS BIGINT) AS four_e,
+         CAST(CAST(gs.nt AS HUGEINT) * (gs.nt - 1)
+                * (2 * CAST(gs.nt AS HUGEINT) + 5)
+              - gs.sn125 - ts.st125 AS DOUBLE) / 72.0
+           + CAST(gs.sn12 AS DOUBLE) * CAST(ts.st12 AS DOUBLE)
+             / (36.0 * CAST(gs.nt AS DOUBLE)
+                * (CAST(gs.nt AS DOUBLE) - 1.0)
+                * (CAST(gs.nt AS DOUBLE) - 2.0))
+           + CAST(gs.sn1 AS DOUBLE) * CAST(ts.st1 AS DOUBLE)
+             / (8.0 * CAST(gs.nt AS DOUBLE)
+                * (CAST(gs.nt AS DOUBLE) - 1.0)) AS var
+  FROM gs CROSS JOIN ts CROSS JOIN tj
+)
+SELECT g.grp, g.gi, g.n, st.two_j, st.four_e,
+       CASE WHEN st.k >= 2 AND st.nt >= 3 AND st.var > 0.0 THEN
+         floor((2.0 * CAST(st.two_j AS DOUBLE)
+                - CAST(st.four_e AS DOUBLE))
+               / (4.0 * sqrt(st.var)) * 1000000 + 0.5) / 1000000
+       END AS z,
+       st.k, st.nt AS n_total
+FROM grps g CROSS JOIN st
+"""
+
+
+def _q_mood_median(spark, sf_dir):
+    """Mood's median test across event types
+    (operators/grouptests.mood_median, Mood 1950): the 2×k
+    above/≤-grand-median chi-square — doubled pooled median exact
+    from the distinct-value census order statistics, exact
+    DECIMAL(38,0) cell-count numerators, per-group terms
+    6-dp-quantized into DECIMAL(38,6) — census shuffle shape, zero
+    Python."""
+    from eristropy_spark.operators.grouptests import mood_median
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("int").alias("tok")
+    )
+    r = mood_median(ev, group_col="event_type", value_col="tok")
+    return r.select(
+        F.col("group").alias("grp"),
+        "n",
+        "n_above",
+        "n_le",
+        "median",
+        "chi2",
+        "df",
+        "k",
+        "n_total",
+        "n_above_total",
+    )
+
+
+_ORACLE_MOOD_MEDIAN = """
+WITH pts AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS INT) AS v
+  FROM events
+), cnt AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY grp, v
+), vals AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY v
+), cum AS (
+  SELECT v, t,
+         CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cumt,
+         CAST(sum(t) OVER () AS BIGINT) AS n
+  FROM vals
+), med AS (
+  SELECT CAST(min(CASE WHEN cumt >= floor((n + 1) / 2) THEN v END)
+              AS BIGINT)
+       + CAST(min(CASE WHEN cumt >= floor(n / 2) + 1 THEN v END)
+              AS BIGINT) AS m2
+  FROM cum
+), grp AS (
+  SELECT c.grp, CAST(sum(c.c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN 2 * CAST(c.v AS BIGINT) > m.m2
+                       THEN c.c ELSE 0 END) AS BIGINT) AS n_above,
+         max(m.m2) AS m2
+  FROM cnt c CROSS JOIN med m GROUP BY c.grp
+), g2 AS (
+  SELECT grp, n, n_above, CAST(n - n_above AS BIGINT) AS n_le, m2
+  FROM grp
+), tot AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(n_above) AS BIGINT) AS na FROM g2
+), terms AS (
+  SELECT CASE WHEN t.na > 0 AND t.na < t.nt THEN
+           CAST(floor((
+             CAST(CAST(g.n_above AS HUGEINT) * t.nt
+                  - CAST(g.n AS HUGEINT) * t.na AS DOUBLE)
+             * CAST(CAST(g.n_above AS HUGEINT) * t.nt
+                    - CAST(g.n AS HUGEINT) * t.na AS DOUBLE)
+             / (CAST(t.nt AS DOUBLE) * CAST(g.n AS DOUBLE)
+                * CAST(t.na AS DOUBLE))
+             + CAST(CAST(g.n_le AS HUGEINT) * t.nt
+                    - CAST(g.n AS HUGEINT) * (t.nt - t.na) AS DOUBLE)
+             * CAST(CAST(g.n_le AS HUGEINT) * t.nt
+                    - CAST(g.n AS HUGEINT) * (t.nt - t.na) AS DOUBLE)
+             / (CAST(t.nt AS DOUBLE) * CAST(g.n AS DOUBLE)
+                * CAST(t.nt - t.na AS DOUBLE))
+           ) * 1000000 + 0.5) / 1000000 AS DECIMAL(38, 6))
+         END AS term
+  FROM g2 g CROSS JOIN tot t
+), chi AS (
+  SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM terms
+)
+SELECT g.grp, g.n, g.n_above, g.n_le,
+       CAST(g.m2 AS DOUBLE) / 2.0 AS median,
+       CASE WHEN t.k >= 2 THEN c.chi2 END AS chi2,
+       CAST(t.k - 1 AS INT) AS df, t.k, t.nt AS n_total,
+       t.na AS n_above_total
+FROM g2 g CROSS JOIN tot t CROSS JOIN chi c
+"""
+
+
 def _q_chi2_drift(spark, sf_dir):
     """Two-sample chi-squared homogeneity drift per signal
     (operators/drift.chi2_drift, Pearson's 2×V contingency form):
@@ -10559,6 +10745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe": _q_brown_forsythe,
         "friedman_page": _q_friedman_page,
         "cochran_q": _q_cochran_q,
+        "jonckheere": _q_jonckheere,
+        "mood_median": _q_mood_median,
         "chi2_drift": _q_chi2_drift,
         "coint_eg": _q_coint_eg,
         "ttest_drift": _q_ttest_drift,
@@ -10742,6 +10930,8 @@ def oracle_sql() -> dict[str, str]:
         "brown_forsythe": _ORACLE_BROWN_FORSYTHE,
         "friedman_page": _ORACLE_FRIEDMAN_PAGE,
         "cochran_q": _ORACLE_COCHRAN_Q,
+        "jonckheere": _ORACLE_JONCKHEERE,
+        "mood_median": _ORACLE_MOOD_MEDIAN,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "coint_eg": _ORACLE_COINT,
         "ttest_drift": _ORACLE_TTEST_DRIFT,

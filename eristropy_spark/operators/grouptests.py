@@ -45,7 +45,14 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["kruskal_wallis", "brown_forsythe", "friedman_page", "cochran_q"]
+__all__ = [
+    "kruskal_wallis",
+    "brown_forsythe",
+    "friedman_page",
+    "cochran_q",
+    "jonckheere_terpstra",
+    "mood_median",
+]
 
 _D0 = "decimal(38,0)"
 _D6 = "decimal(38,6)"
@@ -497,4 +504,274 @@ def cochran_q(
         "q",
         "df",
         "k",
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative trend test (Jonckheere
+    1954 Biometrika 41; Terpstra 1952): are the k group distributions
+    stochastically ORDERED along the group sort order?  The k-sample
+    sharpening of Kruskal–Wallis when the alternative is monotone
+    (e.g. value drifts up across ordered corpus snapshots) — strictly
+    more powerful than H there because it spends no power on
+    non-monotone rearrangements.
+
+    J = Σ_{i<j} U_ij, U_ij the Mann–Whitney count of pairs (a in
+    group i, b in group j) with x_a < x_b, ties counted ½.  Groups
+    are ordered by the natural sort of their keys (document your key
+    encoding so the order is the intended one).
+
+    Exactness protocol (module docstring): the doubled statistic
+    2J = Σ_cells c·P is an exact DECIMAL(38,0) integer via the dense
+    (group × distinct-value) grid — P the prefix-over-groups sum of
+    T = 2·(#less in group) + (#equal in group) at fixed value; the
+    null moments use only exact integer sums (4E = N² − Σn²; the
+    Hollander–Wolfe tie-corrected variance's three terms A/72 +
+    B/(36·N(N−1)(N−2)) + C/(8·N(N−1)) from exact Σn(n−1)(2n+5),
+    Σt(t−1)(2t+5), Σn(n−1)(n−2), Σt(t−1)(t−2), Σn(n−1), Σt(t−1));
+    z is ONE fixed float expression, 6-dp-quantized only at the
+    output column — bit-identical in the DuckDB replay.
+
+    Scale shape: one census hash-aggregate, a k×V dense grid (V the
+    distinct-value domain — same bound every census operator here
+    carries), a per-group window over V rows, a per-value window over
+    k rows, and a 1-row global reduce broadcast back onto the k
+    output rows.  Zero Python.
+
+    Returns one row per group: (group, gi, n, two_j, four_e, z, k,
+    n_total); ``z`` is NULL when k < 2, N < 3, or the null variance
+    is 0 (every value tied).
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("group"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").cast("long").alias("_c"))
+
+    groups = cnt.groupBy("group").agg(F.sum("_c").cast("long").alias("n"))
+    # k-row window: the deterministic group order the statistic is
+    # defined over
+    groups = groups.withColumn(
+        "gi", F.dense_rank().over(Window.orderBy("group")).cast("int")
+    )
+    vals = cnt.groupBy("_v").agg(F.sum("_c").cast("long").alias("_t"))
+
+    grid = F.broadcast(groups.select("group", "gi")).crossJoin(
+        vals.select("_v")
+    )
+    grid = grid.join(cnt, ["group", "_v"], "left").withColumn(
+        "_c", F.coalesce(F.col("_c"), F.lit(0).cast("long"))
+    )
+
+    w_lt = (
+        Window.partitionBy("group")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "_T",
+        2 * F.coalesce(F.sum("_c").over(w_lt), F.lit(0).cast("long"))
+        + F.col("_c"),
+    )
+    w_pre = (
+        Window.partitionBy("_v")
+        .orderBy("gi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "_P",
+        F.coalesce(F.sum("_T").over(w_pre), F.lit(0).cast("long")),
+    )
+
+    two_j = grid.agg(
+        F.sum(F.col("_c").cast(_D0) * F.col("_P").cast(_D0)).alias("_twoj")
+    )
+
+    nn = F.col("n").cast(_D0)
+    gsum = groups.agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(nn * nn).alias("_sn2"),
+        F.sum(nn * (nn - 1) * (2 * nn + 5)).alias("_sn125"),
+        F.sum(nn * (nn - 1) * (nn - 2)).alias("_sn12"),
+        F.sum(nn * (nn - 1)).alias("_sn1"),
+    )
+    tt = F.col("_t").cast(_D0)
+    tsum = vals.agg(
+        F.sum(tt * (tt - 1) * (2 * tt + 5)).alias("_st125"),
+        F.sum(tt * (tt - 1) * (tt - 2)).alias("_st12"),
+        F.sum(tt * (tt - 1)).alias("_st1"),
+    )
+
+    glob = gsum.crossJoin(tsum).crossJoin(two_j)
+    nt = F.col("n_total").cast(_D0)
+    four_e = (nt * nt - F.col("_sn2")).cast(_D0)
+    ntd = F.col("n_total").cast("double")
+    var = (
+        (nt * (nt - 1) * (2 * nt + 5) - F.col("_sn125") - F.col("_st125"))
+        .cast("double")
+        / F.lit(72.0)
+        + F.col("_sn12").cast("double")
+        * F.col("_st12").cast("double")
+        / (F.lit(36.0) * ntd * (ntd - F.lit(1.0)) * (ntd - F.lit(2.0)))
+        + F.col("_sn1").cast("double")
+        * F.col("_st1").cast("double")
+        / (F.lit(8.0) * ntd * (ntd - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("k") >= 2) & (F.col("n_total") >= 3) & (var > F.lit(0.0)),
+        (
+            F.lit(2.0) * F.col("_twoj").cast("double")
+            - four_e.cast("double")
+        )
+        / (F.lit(4.0) * F.sqrt(var)),
+    )
+    glob = glob.select(
+        F.col("_twoj").cast("long").alias("two_j"),
+        four_e.cast("long").alias("four_e"),
+        _floor_round(z, 6).alias("z"),
+        "k",
+        "n_total",
+    )
+
+    out = groups.crossJoin(F.broadcast(glob))
+    return out.select(
+        "group", "gi", "n", "two_j", "four_e", "z", "k", "n_total"
+    )
+
+
+def mood_median(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mood's median test (Mood 1950, *Introduction to the Theory of
+    Statistics*): do the k groups share one median?  The 2×k
+    chi-square on (above grand median | ≤ grand median) counts — the
+    maximally tie- and outlier-robust location screen (it looks at
+    nothing but which side of the pooled median each value falls on),
+    the coarse complement to ``kruskal_wallis``.
+
+    Ties AT the grand median count in the ≤ cell (the scipy
+    ``median_test(ties='below')`` convention).
+
+    Exactness protocol (module docstring): the doubled grand median
+    m2 = x_(lo) + x_(hi) is an exact integer from the distinct-value
+    census order statistics (same machinery as ``brown_forsythe``,
+    pooled); the cell counts a_g (2v > m2) and their totals are exact
+    longs; each group's chi-square contribution ((a·N − n·A)² /
+    (N·n·A) + (b·N − n·B)² / (N·n·B), numerators exact
+    DECIMAL(38,0)) is 6-dp floor-quantized and accumulated as
+    DECIMAL(38,6); the statistic is the float cast of that exact sum
+    — bit-identical in the DuckDB replay.
+
+    Scale shape: one census hash-aggregate, one distinct-value-census
+    cumulative window (domain-bounded), a k-row reduce broadcast back
+    onto the k output rows.  Zero Python.
+
+    Returns one row per group: (group, n, n_above, n_le, median,
+    chi2, df, k, n_total, n_above_total); ``chi2`` is NULL when
+    k < 2 or either margin (A or B) is empty.
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("group"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").cast("long").alias("_c"))
+
+    vals = cnt.groupBy("_v").agg(F.sum("_c").cast("long").alias("_t"))
+    w_cum = (
+        Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = vals.withColumn("_cum", F.sum("_t").over(w_cum)).withColumn(
+        "_n", F.sum("_t").over(Window.partitionBy())
+    )
+    lo_rank = F.floor((F.col("_n") + 1) / 2)
+    hi_rank = F.floor(F.col("_n") / 2) + 1
+    med = vals.agg(
+        (
+            F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v"))).cast("long")
+            + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v"))).cast("long")
+        ).alias("_m2")
+    )
+
+    grp = (
+        cnt.crossJoin(F.broadcast(med))
+        .groupBy("group")
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.sum(
+                F.when(2 * F.col("_v").cast("long") > F.col("_m2"), F.col("_c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_above"),
+            F.max("_m2").alias("_m2"),
+        )
+    )
+    grp = grp.withColumn("n_le", (F.col("n") - F.col("n_above")).cast("long"))
+
+    tot = grp.agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("n_above").cast("long").alias("n_above_total"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    a_num = (
+        F.col("n_above").cast(_D0) * F.col("n_total").cast(_D0)
+        - F.col("n").cast(_D0) * F.col("n_above_total").cast(_D0)
+    )
+    b_tot = F.col("n_total").cast(_D0) - F.col("n_above_total").cast(_D0)
+    b_num = (
+        F.col("n_le").cast(_D0) * F.col("n_total").cast(_D0)
+        - F.col("n").cast(_D0) * b_tot
+    )
+    term = F.when(
+        (F.col("n_above_total") > 0)
+        & (F.col("n_above_total") < F.col("n_total")),
+        _floor_round(
+            a_num.cast("double")
+            * a_num.cast("double")
+            / (
+                F.col("n_total").cast("double")
+                * F.col("n").cast("double")
+                * F.col("n_above_total").cast("double")
+            )
+            + b_num.cast("double")
+            * b_num.cast("double")
+            / (
+                F.col("n_total").cast("double")
+                * F.col("n").cast("double")
+                * b_tot.cast("double")
+            ),
+            6,
+        ),
+    )
+    glob = j.agg(
+        F.max("k").alias("k"),
+        F.max("n_total").alias("n_total"),
+        F.max("n_above_total").alias("n_above_total"),
+        F.sum(term.cast(_D6)).alias("_chi2"),
+    )
+    chi2 = F.when(F.col("k") >= 2, F.col("_chi2").cast("double"))
+    glob = glob.select(
+        "k",
+        "n_total",
+        "n_above_total",
+        chi2.alias("chi2"),
+        (F.col("k") - 1).cast("int").alias("df"),
+    )
+
+    out = grp.crossJoin(F.broadcast(glob))
+    return out.select(
+        "group",
+        "n",
+        "n_above",
+        "n_le",
+        (F.col("_m2").cast("double") / F.lit(2.0)).alias("median"),
+        "chi2",
+        "df",
+        "k",
+        "n_total",
+        "n_above_total",
     )

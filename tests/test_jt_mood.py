@@ -1,0 +1,162 @@
+"""jonckheere_terpstra / mood_median — value parity against brute-force
+O(n²) / contingency recomputation, trend discrimination, tie and
+degenerate guards."""
+
+import numpy as np
+import pytest
+
+from eristropy_spark.operators.grouptests import jonckheere_terpstra, mood_median
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "source string, value int")
+
+
+def _jt_local(pairs):
+    """Brute-force J over ordered groups + exact null moments."""
+    groups = sorted(set(g for g, _ in pairs))
+    xs = {g: np.array([v for gg, v in pairs if gg == g], dtype=float) for g in groups}
+    two_j = 0
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            a, b = xs[groups[i]][:, None], xs[groups[j]][None, :]
+            two_j += int(2 * (a < b).sum() + (a == b).sum())
+    ns = np.array([len(xs[g]) for g in groups], dtype=float)
+    n = ns.sum()
+    vals, t = np.unique([v for _, v in pairs], return_counts=True)
+    t = t.astype(float)
+    e = (n * n - (ns**2).sum()) / 4.0
+    var = (
+        (n * (n - 1) * (2 * n + 5)
+         - (ns * (ns - 1) * (2 * ns + 5)).sum()
+         - (t * (t - 1) * (2 * t + 5)).sum()) / 72.0
+        + (ns * (ns - 1) * (ns - 2)).sum() * (t * (t - 1) * (t - 2)).sum()
+        / (36.0 * n * (n - 1) * (n - 2))
+        + (ns * (ns - 1)).sum() * (t * (t - 1)).sum() / (8.0 * n * (n - 1))
+    )
+    z = (two_j / 2.0 - e) / np.sqrt(var) if var > 0 else None
+    return two_j, int(4 * e), z
+
+
+def _mood_local(pairs):
+    vals = np.array([v for _, v in pairs], dtype=float)
+    grps = np.array([g for g, _ in pairs])
+    groups = sorted(set(grps))
+    med = np.median(vals)
+    a = np.array([(vals[grps == g] > med).sum() for g in groups], dtype=float)
+    n = np.array([(grps == g).sum() for g in groups], dtype=float)
+    b = n - a
+    nt, at, bt = n.sum(), a.sum(), b.sum()
+    if at == 0 or bt == 0:
+        return None
+    ea, eb = n * at / nt, n * bt / nt
+    return float(((a - ea) ** 2 / ea + (b - eb) ** 2 / eb).sum())
+
+
+def test_jt_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    pairs = [
+        (f"g{j}", int(v))
+        for j, mu in enumerate([0, 3, 6, 9])
+        for v in rng.normal(mu, 7, 80).round()
+    ]
+    two_j, four_e, z_ref = _jt_local(pairs)
+    rows = jonckheere_terpstra(_df(spark, pairs)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["two_j"] == two_j
+        assert r["four_e"] == four_e
+        assert r["z"] == pytest.approx(z_ref, abs=2e-6)
+        assert r["n_total"] == len(pairs) and r["k"] == 4
+    by = {r["group"]: r for r in rows}
+    assert [by[f"g{j}"]["gi"] for j in range(4)] == [1, 2, 3, 4]
+
+
+def test_jt_detects_monotone_trend_kw_style_null_noise_does_not(spark):
+    rng = np.random.default_rng(5)
+    trend = [
+        (f"g{j}", int(v))
+        for j, mu in enumerate([0, 4, 8])
+        for v in rng.normal(mu, 3, 120).round()
+    ]
+    null = [
+        (f"g{j}", int(v))
+        for j in range(3)
+        for v in rng.normal(0, 3, 120).round()
+    ]
+    z_t = jonckheere_terpstra(_df(spark, trend)).first()["z"]
+    z_0 = jonckheere_terpstra(_df(spark, null)).first()["z"]
+    assert z_t > 8.0
+    assert abs(z_0) < 3.0
+
+
+def test_jt_reversed_order_flips_sign(spark):
+    rng = np.random.default_rng(7)
+    up = [
+        (f"g{j}", int(v))
+        for j, mu in enumerate([0, 6])
+        for v in rng.normal(mu, 2, 90).round()
+    ]
+    down = [("g0" if g == "g1" else "g1", v) for g, v in up]
+    z_up = jonckheere_terpstra(_df(spark, up)).first()["z"]
+    z_dn = jonckheere_terpstra(_df(spark, down)).first()["z"]
+    assert z_up > 0 and z_dn < 0
+    assert z_up == pytest.approx(-z_dn, abs=2e-6)
+
+
+def test_jt_all_tied_null_z(spark):
+    pairs = [("a", 5)] * 10 + [("b", 5)] * 10
+    r = jonckheere_terpstra(_df(spark, pairs)).first()
+    assert r["z"] is None
+    assert r["two_j"] == 100  # all-equal pairs count ½ each: 2J = n_a*n_b
+
+
+def test_jt_single_group_null(spark):
+    r = jonckheere_terpstra(_df(spark, [("a", i) for i in range(10)])).first()
+    assert r["z"] is None and r["k"] == 1
+
+
+def test_mood_matches_contingency(spark):
+    rng = np.random.default_rng(3)
+    pairs = [
+        (f"g{j}", int(v))
+        for j, mu in enumerate([0, 5, -3])
+        for v in rng.normal(mu, 9, 140).round()
+    ]
+    chi_ref = _mood_local(pairs)
+    rows = mood_median(_df(spark, pairs)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["chi2"] == pytest.approx(chi_ref, abs=5e-6)
+        assert r["df"] == 2 and r["k"] == 3
+        assert r["n_above"] + r["n_le"] == r["n"]
+    tot = rows[0]
+    assert tot["n_above_total"] == sum(r["n_above"] for r in rows)
+
+
+def test_mood_median_and_cells_exact(spark):
+    pairs = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [3, 4, 5, 6]]
+    rows = {r["group"]: r for r in mood_median(_df(spark, pairs)).collect()}
+    # pooled sorted: 1 2 3 3 4 4 5 6 → median 3.5
+    assert rows["a"]["median"] == 3.5
+    assert rows["a"]["n_above"] == 1 and rows["a"]["n_le"] == 3
+    assert rows["b"]["n_above"] == 3 and rows["b"]["n_le"] == 1
+
+
+def test_mood_shifted_group_rejects_identical_does_not(spark):
+    rng = np.random.default_rng(9)
+    base = rng.normal(0, 4, 200).round()
+    shifted = [("a", int(v)) for v in base] + [
+        ("b", int(v) + 6) for v in base
+    ]
+    same = [("a", int(v)) for v in base] + [("b", int(v)) for v in base]
+    chi_s = mood_median(_df(spark, shifted)).first()["chi2"]
+    chi_0 = mood_median(_df(spark, same)).first()["chi2"]
+    assert chi_s > 50.0
+    assert chi_0 < 1.0
+
+
+def test_mood_degenerate_all_equal_null(spark):
+    pairs = [("a", 7)] * 8 + [("b", 7)] * 8
+    r = mood_median(_df(spark, pairs)).first()
+    assert r["chi2"] is None  # A margin empty: nothing above the median
