@@ -1333,8 +1333,12 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # and the k-row global reduce.
     # friedman_page shares the shape: cell aggregate + within-block
     # windows (keyed by block) + k-row reduces broadcast back.
+    # jonckheere_terpstra / mood_median extend it: the dense k×V grid
+    # / pooled-median frames are census-bounded too, and their cross
+    # joins broadcast k-row (or 1-row) sides — BNLJ with a broadcast
+    # side is the intended physical form, never a CartesianProduct.
     for qn in ("kruskal_wallis", "brown_forsythe", "friedman_page",
-               "cochran_q"):
+               "cochran_q", "jonckheere", "mood_median"):
         q67 = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(q67)
         checks.append(
