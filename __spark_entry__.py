@@ -8346,6 +8346,83 @@ FROM grps g CROSS JOIN st
 """
 
 
+def _q_cochran_armitage(spark, sf_dir):
+    """Cochran–Armitage binary trend test across event types
+    (operators/grouptests.cochran_armitage, Armitage 1955): does the
+    value>100 hit-rate trend across the ordered groups — T·N and
+    Var·N³ exact DECIMAL(38,0) integers, z and chi² each ONE fixed
+    float expression 6-dp-quantized, 0/1 validation in-plan — one
+    hash-aggregate + k-row rank window + 1-row broadcast, zero
+    Python."""
+    from eristropy_spark.operators.grouptests import cochran_armitage
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.when(F.col("value") > 100.0, 1).otherwise(0).cast("long").alias(
+            "hit"
+        ),
+    )
+    r = cochran_armitage(ev, group_col="event_type", value_col="hit")
+    return r.select(
+        F.col("group").alias("grp"),
+        "gi",
+        "n",
+        "successes",
+        _r6("rate").alias("rate"),
+        "z",
+        "chi2",
+        "df",
+        "k",
+        "n_total",
+        "r_total",
+    )
+
+
+_ORACLE_COCHRAN_ARMITAGE = """
+WITH pts AS (
+  SELECT event_type AS grp,
+         CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS x
+  FROM events
+), grp AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS successes,
+         CAST(dense_rank() OVER (ORDER BY grp) AS INT) AS gi
+  FROM pts GROUP BY grp
+), gl AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(successes) AS BIGINT) AS rt,
+         sum(CAST(gi AS HUGEINT) * successes) AS sr,
+         sum(CAST(gi AS HUGEINT) * n) AS s1,
+         sum(CAST(gi AS HUGEINT) * gi * n) AS s2
+  FROM grp
+), st AS (
+  SELECT k, nt, rt,
+         CAST(nt AS HUGEINT) * sr - CAST(rt AS HUGEINT) * s1 AS tn,
+         CAST(rt AS HUGEINT) * (nt - rt)
+           * (CAST(nt AS HUGEINT) * s2 - s1 * s1) AS varn3
+  FROM gl
+), zz AS (
+  SELECT k, nt, rt,
+         CASE WHEN k >= 2 AND rt > 0 AND rt < nt AND varn3 > 0 THEN
+           floor(CAST(tn AS DOUBLE) * sqrt(CAST(nt AS DOUBLE))
+                 / sqrt(CAST(varn3 AS DOUBLE)) * 1000000 + 0.5)
+           / 1000000 END AS z,
+         CASE WHEN k >= 2 AND rt > 0 AND rt < nt AND varn3 > 0 THEN
+           floor(CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)
+                 * CAST(nt AS DOUBLE)
+                 / CAST(varn3 AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 END AS chi2
+  FROM st
+)
+SELECT g.grp, g.gi, g.n, g.successes,
+       floor(CAST(g.successes AS DOUBLE) / CAST(g.n AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS rate,
+       zz.z, zz.chi2, CAST(1 AS INT) AS df, zz.k, zz.nt AS n_total,
+       zz.rt AS r_total
+FROM grp g CROSS JOIN zz
+"""
+
+
 def _q_mood_median(spark, sf_dir):
     """Mood's median test across event types
     (operators/grouptests.mood_median, Mood 1950): the 2×k
@@ -10746,6 +10823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_page": _q_friedman_page,
         "cochran_q": _q_cochran_q,
         "jonckheere": _q_jonckheere,
+        "cochran_armitage": _q_cochran_armitage,
         "mood_median": _q_mood_median,
         "chi2_drift": _q_chi2_drift,
         "coint_eg": _q_coint_eg,
@@ -10931,6 +11009,7 @@ def oracle_sql() -> dict[str, str]:
         "friedman_page": _ORACLE_FRIEDMAN_PAGE,
         "cochran_q": _ORACLE_COCHRAN_Q,
         "jonckheere": _ORACLE_JONCKHEERE,
+        "cochran_armitage": _ORACLE_COCHRAN_ARMITAGE,
         "mood_median": _ORACLE_MOOD_MEDIAN,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "coint_eg": _ORACLE_COINT,

@@ -52,6 +52,7 @@ __all__ = [
     "cochran_q",
     "jonckheere_terpstra",
     "mood_median",
+    "cochran_armitage",
 ]
 
 _D0 = "decimal(38,0)"
@@ -774,4 +775,117 @@ def mood_median(
         "k",
         "n_total",
         "n_above_total",
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954 Biometrics 10;
+    Armitage 1955 Biometrics 11): does a BINARY outcome's success
+    rate trend monotonically across the k ordered groups?  The binary
+    member of the ordered-trend family — ``jonckheere_terpstra`` for
+    continuous values, this for 0/1 outcomes (e.g. "does the
+    contamination-hit rate rise across ordered corpus snapshots?"),
+    with equally-spaced integer scores s_i = the group's rank in the
+    natural key sort order.
+
+    T = Σ s_i (r_i − n_i·R/N),  Var(T) = (R/N)(1−R/N)·(Σ s_i² n_i −
+    (Σ s_i n_i)²/N),  z = T/√Var — asymptotically N(0,1) under H0,
+    chi² = z² the 1-df Armitage statistic.
+
+    Exactness protocol (module docstring): every moment is an exact
+    DECIMAL(38,0) integer — T·N = N·Σs_i r_i − R·Σs_i n_i and
+    Var·N³ = R(N−R)(N·Σs_i²n_i − (Σs_i n_i)²) — so z =
+    T·N·√N / √(Var·N³) and chi² = (T·N)²·N / (Var·N³) are each ONE
+    fixed float expression over exact integers, 6-dp-quantized at the
+    output — bit-identical in the DuckDB replay.  0/1 validation is
+    IN-PLAN via raise_error (the ``cochran_q`` idiom — no second scan
+    of a 100 TB input).
+
+    Scale shape: ONE (group) hash-aggregate (map-side combined), a
+    k-row rank window, a 1-row global reduce broadcast back onto the
+    k output rows.  Zero Python, zero joins wider than k rows.
+
+    Returns one row per group: (group, gi, n, successes, rate, z,
+    chi2, df, k, n_total, r_total); ``z``/``chi2`` are NULL when
+    k < 2, the outcome margin is degenerate (R = 0 or R = N), or all
+    weight sits in one score (N·Σs²n = (Σsn)²).
+    """
+    x_raw = F.col(value_col).cast("long")
+    x_checked = F.when(x_raw.isin(0, 1), x_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cochran_armitage requires 0/1 values; got "),
+                x_raw.cast("string"),
+            )
+        )
+    )
+    cells = df.select(F.col(group_col).alias("group"), x_checked.alias("_x"))
+
+    grp = cells.groupBy("group").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("successes"),
+    )
+    # k-row window: the deterministic score order (s_i = rank)
+    grp = grp.withColumn(
+        "gi", F.dense_rank().over(Window.orderBy("group")).cast("int")
+    )
+
+    gi0 = F.col("gi").cast(_D0)
+    glob = grp.agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("successes").cast("long").alias("r_total"),
+        F.sum(gi0 * F.col("successes").cast(_D0)).alias("_sr"),
+        F.sum(gi0 * F.col("n").cast(_D0)).alias("_s1"),
+        F.sum(gi0 * gi0 * F.col("n").cast(_D0)).alias("_s2"),
+    )
+    n0 = F.col("n_total").cast(_D0)
+    r0 = F.col("r_total").cast(_D0)
+    tn = n0 * F.col("_sr") - r0 * F.col("_s1")
+    varn3 = r0 * (n0 - r0) * (n0 * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("r_total") > 0)
+        & (F.col("r_total") < F.col("n_total"))
+        & (varn3 > F.lit(0).cast(_D0))
+    )
+    nd = F.col("n_total").cast("double")
+    z = F.when(
+        ok,
+        tn.cast("double")
+        * F.sqrt(nd)
+        / F.sqrt(varn3.cast("double")),
+    )
+    chi2 = F.when(
+        ok,
+        tn.cast("double") * tn.cast("double") * nd / varn3.cast("double"),
+    )
+    glob = glob.select(
+        _floor_round(z, 6).alias("z"),
+        _floor_round(chi2, 6).alias("chi2"),
+        F.lit(1).cast("int").alias("df"),
+        "k",
+        "n_total",
+        "r_total",
+    )
+
+    out = grp.crossJoin(F.broadcast(glob))
+    return out.select(
+        "group",
+        "gi",
+        "n",
+        "successes",
+        (
+            F.col("successes").cast("double") / F.col("n").cast("double")
+        ).alias("rate"),
+        "z",
+        "chi2",
+        "df",
+        "k",
+        "n_total",
+        "r_total",
     )

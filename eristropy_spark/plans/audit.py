@@ -1338,7 +1338,8 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # joins broadcast k-row (or 1-row) sides — BNLJ with a broadcast
     # side is the intended physical form, never a CartesianProduct.
     for qn in ("kruskal_wallis", "brown_forsythe", "friedman_page",
-               "cochran_q", "jonckheere", "mood_median"):
+               "cochran_q", "jonckheere", "mood_median",
+               "cochran_armitage"):
         q67 = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(q67)
         checks.append(

@@ -160,3 +160,74 @@ def test_mood_degenerate_all_equal_null(spark):
     pairs = [("a", 7)] * 8 + [("b", 7)] * 8
     r = mood_median(_df(spark, pairs)).first()
     assert r["chi2"] is None  # A margin empty: nothing above the median
+
+
+# ---------------------------------------------------------------- CA trend
+
+from eristropy_spark.operators.grouptests import cochran_armitage  # noqa: E402
+
+
+def _ca_local(pairs):
+    groups = sorted(set(g for g, _ in pairs))
+    s = np.arange(1, len(groups) + 1, dtype=float)
+    n = np.array([sum(1 for g, _ in pairs if g == gg) for gg in groups], float)
+    r = np.array(
+        [sum(v for g, v in pairs if g == gg) for gg in groups], float
+    )
+    nt, rt = n.sum(), r.sum()
+    pbar = rt / nt
+    t = (s * (r - n * pbar)).sum()
+    var = pbar * (1 - pbar) * ((s * s * n).sum() - (s * n).sum() ** 2 / nt)
+    if var <= 0 or rt == 0 or rt == nt:
+        return None, None
+    return t / np.sqrt(var), t * t / var
+
+
+def test_ca_matches_formula(spark):
+    rng = np.random.default_rng(13)
+    pairs = [
+        (f"g{j}", int(rng.random() < p))
+        for j, p in enumerate([0.2, 0.35, 0.5, 0.65])
+        for _ in range(200)
+    ]
+    z_ref, chi_ref = _ca_local(pairs)
+    rows = cochran_armitage(_df(spark, pairs)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["z"] == pytest.approx(z_ref, abs=2e-6)
+        assert r["chi2"] == pytest.approx(chi_ref, abs=2e-6)
+        assert r["df"] == 1 and r["k"] == 4
+        assert r["successes"] <= r["n"]
+    assert rows[0]["r_total"] == sum(v for _, v in pairs)
+
+
+def test_ca_trend_discriminates_and_sign_flips(spark):
+    rng = np.random.default_rng(17)
+    up = [
+        (f"g{j}", int(rng.random() < p))
+        for j, p in enumerate([0.1, 0.4, 0.7])
+        for _ in range(300)
+    ]
+    flat = [
+        (f"g{j}", int(rng.random() < 0.4))
+        for j in range(3)
+        for _ in range(300)
+    ]
+    down = [(f"g{2 - int(g[1])}", v) for g, v in up]
+    z_up = cochran_armitage(_df(spark, up)).first()["z"]
+    z_fl = cochran_armitage(_df(spark, flat)).first()["z"]
+    z_dn = cochran_armitage(_df(spark, down)).first()["z"]
+    assert z_up > 8.0 and abs(z_fl) < 3.0 and z_dn < -8.0
+
+
+def test_ca_degenerate_margins_null(spark):
+    all_one = [("a", 1)] * 5 + [("b", 1)] * 5
+    r = cochran_armitage(_df(spark, all_one)).first()
+    assert r["z"] is None and r["chi2"] is None
+
+
+def test_ca_nonbinary_raises(spark):
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="0/1|raise|Job aborted"):
+        cochran_armitage(_df(spark, [("a", 2), ("b", 0)])).collect()
