@@ -8346,6 +8346,97 @@ FROM grps g CROSS JOIN st
 """
 
 
+def _q_quade(spark, sf_dir):
+    """Quade range-weighted blocked rank test across sources, blocks
+    = hour buckets (operators/grouptests.quade, Quade 1979): the
+    member of the complete-block family that up-weights
+    high-discrimination blocks — doubled cell midranks 2r and doubled
+    range midranks 2Q exact, 4S_ij = 2Q·(2r−(k+1)) exact
+    DECIMAL(38,0), F = (n−1)·Σ(4S_j)² / (n·Σ(4S_ij)² − Σ(4S_j)²) ONE
+    float division; complete-block rule shared with friedman_page;
+    cells = exact Σ round(value*100) per (hour, event_type)."""
+    from eristropy_spark.operators.grouptests import quade
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("block"),
+        F.col("event_type").alias("treatment"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cell")
+    )
+    r = quade(cells, "block", "treatment", "cell")
+    return r.select(
+        F.col("treatment").alias("trt"),
+        "j",
+        "n_blocks",
+        "s4_sum",
+        "f_stat",
+        "df1",
+        "df2",
+        "k",
+        "n",
+    )
+
+
+_ORACLE_QUADE = """
+WITH cells AS (
+  SELECT date_trunc('hour', ts) AS block, event_type AS trt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), kk AS (
+  SELECT CAST(count(DISTINCT trt) AS INT) AS k FROM cells
+), blk AS (
+  SELECT block, count(*) AS nr, count(DISTINCT trt) AS nt
+  FROM cells GROUP BY block
+), kept AS (
+  SELECT c.block, c.trt, c.v
+  FROM cells c JOIN blk b USING (block) CROSS JOIN kk
+  WHERE b.nr = kk.k AND b.nt = kk.k
+), ranked AS (
+  SELECT block, trt,
+         CAST(2 * rank() OVER (PARTITION BY block ORDER BY v)
+              + count(*) OVER (PARTITION BY block, v) - 1 AS BIGINT)
+           AS r2
+  FROM kept
+), rng AS (
+  SELECT block, CAST(max(v) - min(v) AS BIGINT) AS d
+  FROM kept GROUP BY block
+), qrk AS (
+  SELECT block,
+         CAST(2 * rank() OVER (ORDER BY d)
+              + count(*) OVER (PARTITION BY d) - 1 AS BIGINT) AS q2
+  FROM rng
+), s AS (
+  SELECT r.trt,
+         CAST(q.q2 AS HUGEINT) * (r.r2 - (kk.k + 1)) AS s4
+  FROM ranked r JOIN qrk q USING (block) CROSS JOIN kk
+), g AS (
+  SELECT trt, CAST(count(*) AS BIGINT) AS n_blocks,
+         sum(s4) AS s4s, sum(s4 * s4) AS a16j
+  FROM s GROUP BY trt
+), gj AS (
+  SELECT g.*, CAST(dense_rank() OVER (ORDER BY trt) AS INT) AS j FROM g
+), gl AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(max(n_blocks) AS BIGINT) AS n,
+         sum(a16j) AS a16, sum(s4s * s4s) AS b16n
+  FROM gj
+), st AS (
+  SELECT k, n,
+         CASE WHEN k >= 2 AND n >= 2
+                   AND CAST(n AS HUGEINT) * a16 - b16n > 0 THEN
+           floor(CAST(n - 1 AS DOUBLE) * CAST(b16n AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * a16 - b16n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000
+         END AS f_stat
+  FROM gl
+)
+SELECT gj.trt, gj.j, gj.n_blocks, CAST(gj.s4s AS BIGINT) AS s4_sum,
+       st.f_stat, CAST(st.k - 1 AS INT) AS df1,
+       CAST((st.n - 1) * (st.k - 1) AS BIGINT) AS df2, st.k, st.n
+FROM gj CROSS JOIN st
+"""
+
+
 def _q_cochran_armitage(spark, sf_dir):
     """Cochran–Armitage binary trend test across event types
     (operators/grouptests.cochran_armitage, Armitage 1955): does the
@@ -10824,6 +10915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_q": _q_cochran_q,
         "jonckheere": _q_jonckheere,
         "cochran_armitage": _q_cochran_armitage,
+        "quade": _q_quade,
         "mood_median": _q_mood_median,
         "chi2_drift": _q_chi2_drift,
         "coint_eg": _q_coint_eg,
@@ -11010,6 +11102,7 @@ def oracle_sql() -> dict[str, str]:
         "cochran_q": _ORACLE_COCHRAN_Q,
         "jonckheere": _ORACLE_JONCKHEERE,
         "cochran_armitage": _ORACLE_COCHRAN_ARMITAGE,
+        "quade": _ORACLE_QUADE,
         "mood_median": _ORACLE_MOOD_MEDIAN,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "coint_eg": _ORACLE_COINT,

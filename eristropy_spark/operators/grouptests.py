@@ -53,6 +53,7 @@ __all__ = [
     "jonckheere_terpstra",
     "mood_median",
     "cochran_armitage",
+    "quade",
 ]
 
 _D0 = "decimal(38,0)"
@@ -888,4 +889,142 @@ def cochran_armitage(
         "k",
         "n_total",
         "r_total",
+    )
+
+
+def quade(
+    df: DataFrame,
+    block_col: str = "block",
+    treat_col: str = "treatment",
+    value_col: str = "value",
+) -> DataFrame:
+    """Quade test (Quade 1979 JASA 74; Conover *Practical
+    Nonparametric Statistics* §5.8): the range-WEIGHTED member of the
+    complete-block family — Friedman treats every block as equally
+    informative, Quade up-weights blocks with a large within-block
+    spread (big range = the block discriminates treatments well),
+    which beats Friedman when treatment effects scale with block
+    level (the usual case for volume-proportional metrics).
+
+    Within block i: midranks r_ij of the k cells; block weight
+    Q_i = midrank of the block's range D_i = max_j v_ij − min_j v_ij
+    among all blocks; S_ij = Q_i·(r_ij − (k+1)/2); S_j = Σ_i S_ij;
+    F = (n−1)·B / (A − B) with A = ΣΣ S_ij², B = (1/n)·Σ_j S_j² —
+    F(k−1, (n−1)(k−1)) under H0.
+
+    Exactness protocol (module docstring): doubled cell midranks 2r
+    and doubled range midranks 2Q are exact integers, so
+    4S_ij = 2Q_i·(2r_ij − (k+1)) is exact, and
+    F = (n−1)·Σ(4S_j)² / (n·Σ(4S_ij)² − Σ(4S_j)²) is ONE float
+    division of exact DECIMAL(38,0) integers — bit-identical in the
+    DuckDB replay.  Complete-block rule shared with
+    ``friedman_page``.
+
+    Scale shape: the friedman_page plumbing plus ONE unkeyed window
+    over the BLOCK table to midrank the ranges — bounded by the
+    number of blocks (the time-bucket domain, e.g. hours — the same
+    domain-bound the distinct-value census carries), never by N.
+    Zero Python, joins keyed by block only.
+
+    Returns one row per treatment: (treatment, j, n_blocks, s4_sum,
+    f_stat, df1, df2, k, n); ``f_stat`` is NULL when k < 2, fewer
+    than 2 complete blocks, or A = B (every block's ranking
+    identical — no within-variance left).
+    """
+    cells = df.select(
+        F.col(block_col).alias("block"),
+        F.col(treat_col).alias("treatment"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+
+    kdf = cells.agg(F.count_distinct("treatment").cast("int").alias("_k"))
+
+    per_block = cells.groupBy("block").agg(
+        F.count("*").cast("int").alias("_nr"),
+        F.count_distinct("treatment").cast("int").alias("_nt"),
+    )
+    complete = per_block.crossJoin(F.broadcast(kdf)).where(
+        (F.col("_nr") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
+    )
+    kept = cells.join(complete.select("block"), "block")
+
+    w_rank = Window.partitionBy("block").orderBy("_v")
+    w_eq = Window.partitionBy("block", "_v")
+    ranked = kept.select(
+        "block",
+        "treatment",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_eq) - 1)
+        .cast("long")
+        .alias("_r2"),
+    )
+
+    # block-range table: n_blocks rows (time-bucket domain bound);
+    # the one unkeyed window midranks the ranges over it
+    rng = kept.groupBy("block").agg(
+        (F.max("_v") - F.min("_v")).cast("long").alias("_d")
+    )
+    w_drank = Window.orderBy("_d")
+    w_deq = Window.partitionBy("_d")
+    rng = rng.select(
+        "block",
+        (2 * F.rank().over(w_drank) + F.count("*").over(w_deq) - 1)
+        .cast("long")
+        .alias("_q2"),
+    )
+
+    s = (
+        ranked.join(rng, "block")
+        .crossJoin(F.broadcast(kdf))
+        .select(
+            "treatment",
+            (
+                F.col("_q2").cast(_D0)
+                * (F.col("_r2").cast(_D0) - (F.col("_k") + 1).cast(_D0))
+            ).alias("_s4"),
+        )
+    )
+
+    grp = s.groupBy("treatment").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("_s4").alias("_s4s"),
+        F.sum(F.col("_s4") * F.col("_s4")).alias("_a16j"),
+    )
+    grp = grp.withColumn(
+        "_j", F.dense_rank().over(Window.orderBy("treatment")).cast("int")
+    )
+
+    glob = grp.agg(
+        F.count("*").cast("int").alias("k"),
+        F.max("n_blocks").cast("long").alias("n"),
+        F.sum("_a16j").alias("_a16"),
+        F.sum(F.col("_s4s") * F.col("_s4s")).alias("_b16n"),
+    )
+    den = F.col("n").cast(_D0) * F.col("_a16") - F.col("_b16n")
+    f_stat = F.when(
+        (F.col("k") >= 2)
+        & (F.col("n") >= 2)
+        & (den > F.lit(0).cast(_D0)),
+        (F.col("n") - 1).cast("double")
+        * F.col("_b16n").cast("double")
+        / den.cast("double"),
+    )
+    glob = glob.select(
+        _floor_round(f_stat, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        ((F.col("n") - 1) * (F.col("k") - 1)).cast("long").alias("df2"),
+        "k",
+        "n",
+    )
+
+    out = grp.crossJoin(F.broadcast(glob))
+    return out.select(
+        "treatment",
+        F.col("_j").alias("j"),
+        "n_blocks",
+        F.col("_s4s").cast("long").alias("s4_sum"),
+        "f_stat",
+        "df1",
+        "df2",
+        "k",
+        "n",
     )

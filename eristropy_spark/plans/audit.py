@@ -1417,6 +1417,20 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 67b. quade: the friedman_page cell shape plus the block-range
+    # midrank join — every join keys by block (equi; SMJ acceptable:
+    # both sides are cell/block tables, bounded by the time-bucket
+    # domain), BNLJ only for k-row/1-row broadcast frames, zero
+    # Python.
+    q67b = entrymod.queries()["quade"](spark, sf_dir)
+    p = plan_of(q67b)
+    checks.append(
+        ("quade: block-keyed equi-joins over cell frames, no cartesian, "
+         "zero Python",
+         "CartesianProduct" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 71. rsi_macd: the ewma/holt/kalman sequential-scan class — one
     # key Exchange into one grouped-Pandas stage, no single-partition
     q71 = entrymod.queries()["rsi_macd"](spark, sf_dir)

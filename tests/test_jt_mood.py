@@ -231,3 +231,105 @@ def test_ca_nonbinary_raises(spark):
 
     with pytest.raises(Exception, match="0/1|raise|Job aborted"):
         cochran_armitage(_df(spark, [("a", 2), ("b", 0)])).collect()
+
+
+# ---------------------------------------------------------------- Quade
+
+from eristropy_spark.operators.grouptests import quade  # noqa: E402
+
+
+def _rankdata(a):
+    """Midrank implementation (no scipy in the sandbox)."""
+    a = np.asarray(a, dtype=float)
+    order = np.argsort(a, kind="mergesort")
+    ranks = np.empty(len(a), dtype=float)
+    sa = a[order]
+    i = 0
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and sa[j + 1] == sa[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def _quade_local(cells):
+    """cells: dict[(block, treatment)] -> value; complete design."""
+    blocks = sorted(set(b for b, _ in cells))
+    trts = sorted(set(t for _, t in cells))
+    n, k = len(blocks), len(trts)
+    v = np.array([[cells[(b, t)] for t in trts] for b in blocks], float)
+    r = np.apply_along_axis(_rankdata, 1, v)
+    d = v.max(axis=1) - v.min(axis=1)
+    q = _rankdata(d)
+    s = q[:, None] * (r - (k + 1) / 2.0)
+    a2 = (s**2).sum()
+    sj = s.sum(axis=0)
+    b = (sj**2).sum() / n
+    if a2 == b:
+        return None, sj
+    return (n - 1) * b / (a2 - b), sj
+
+
+def _cells_df(spark, cells):
+    rows = [(b, t, int(v)) for (b, t), v in cells.items()]
+    return spark.createDataFrame(
+        rows, "block string, treatment string, value long"
+    )
+
+
+def test_quade_matches_bruteforce(spark):
+    rng = np.random.default_rng(23)
+    effect = {"t0": 0, "t1": 30, "t2": 60}
+    cells = {}
+    for bi in range(25):
+        base = int(rng.integers(0, 500))
+        scale = 1 + bi % 4
+        for t, e in effect.items():
+            cells[(f"b{bi:02d}", t)] = base + scale * e + int(
+                rng.integers(0, 20)
+            )
+    f_ref, sj_ref = _quade_local(cells)
+    rows = quade(_cells_df(spark, cells)).collect()
+    assert len(rows) == 3
+    by = {r["treatment"]: r for r in rows}
+    for j, t in enumerate(sorted(effect)):
+        r = by[t]
+        assert r["f_stat"] == pytest.approx(f_ref, rel=1e-6)
+        assert r["s4_sum"] == pytest.approx(4 * sj_ref[j], abs=0)
+        assert r["j"] == j + 1 and r["k"] == 3 and r["n"] == 25
+        assert r["df1"] == 2 and r["df2"] == 48
+
+
+def test_quade_discriminates_effect_null_does_not(spark):
+    rng = np.random.default_rng(29)
+    eff, null = {}, {}
+    for bi in range(30):
+        base = int(rng.integers(0, 100))
+        for j in range(3):
+            eff[(f"b{bi}", f"t{j}")] = base + 50 * j + int(rng.integers(0, 10))
+            null[(f"b{bi}", f"t{j}")] = base + int(rng.integers(0, 60))
+    f_eff = quade(_cells_df(spark, eff)).first()["f_stat"]
+    f_null = quade(_cells_df(spark, null)).first()["f_stat"]
+    assert f_eff > 30.0
+    assert f_null < 5.0
+
+
+def test_quade_incomplete_blocks_drop(spark):
+    cells = {(f"b{i}", f"t{j}"): 10 * i + j for i in range(6) for j in range(3)}
+    full = quade(_cells_df(spark, cells)).collect()
+    cells_missing = dict(cells)
+    del cells_missing[("b5", "t2")]  # b5 incomplete -> dropped
+    part = quade(_cells_df(spark, cells_missing)).collect()
+    assert {r["n"] for r in full} == {6}
+    assert {r["n"] for r in part} == {5}
+
+
+def test_quade_identical_rankings_null_f(spark):
+    # every block ranks t0<t1<t2 with the same range: A == B -> NULL
+    cells = {
+        (f"b{i}", f"t{j}"): 100 * i + j for i in range(5) for j in range(3)
+    }
+    r = quade(_cells_df(spark, cells)).first()
+    assert r["f_stat"] is None
