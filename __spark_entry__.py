@@ -9884,6 +9884,109 @@ FROM varc
 """
 
 
+def _q_ansari(spark, sf_dir):
+    """Ansari–Bradley scale-drift per signal (operators/drift
+    .ansari_drift, Ansari & Bradley 1960): first-half vs second-half
+    DISPERSION test, the scale complement of mannwhitney_drift —
+    tie-run score sums exact DECIMAL(38,0) triangular numbers, run
+    mean scores 12-dp-quantized (psi rule), linear-rank variance; w/z
+    ONE fixed float expression each."""
+    from eristropy_spark.operators.drift import ansari_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = ansari_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _r6("w").alias("w"),
+        _r6("z").alias("z"),
+    )
+
+
+_ORACLE_ANSARI = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb, ca + cb AS t,
+         CAST(sum(ca + cb) OVER w AS BIGINT) AS cumt,
+         CAST(sum(ca + cb) OVER pk AS BIGINT) AS nn
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         pk AS (PARTITION BY user_id, event_type)
+), scored AS (
+  SELECT user_id, event_type, ca, cb, t,
+         CAST(floor(2.0 * CAST(ss AS DOUBLE) / CAST(t AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS a2
+  FROM (
+    SELECT *,
+           CASE WHEN LEAST(CAST(cumt AS HUGEINT), m) >= lo
+                THEN (LEAST(CAST(cumt AS HUGEINT), m)
+                      * (LEAST(CAST(cumt AS HUGEINT), m) + 1)
+                      - (lo - 1) * lo) // 2 ELSE 0 END
+           + CASE WHEN CAST(cumt AS HUGEINT) >= GREATEST(lo, m + 1)
+                  THEN (CAST(cumt AS HUGEINT)
+                        - GREATEST(lo, m + 1) + 1) * (nn + 1)
+                       - (CAST(cumt AS HUGEINT) * (cumt + 1)
+                          - (GREATEST(lo, m + 1) - 1)
+                            * GREATEST(lo, m + 1)) // 2
+                  ELSE 0 END AS ss
+    FROM (
+      SELECT *,
+             CAST(cumt - t + 1 AS HUGEINT) AS lo,
+             CAST((nn + 1) // 2 AS HUGEINT) AS m
+      FROM cum
+    )
+  )
+), red AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) AS BIGINT) AS n_ref,
+         CAST(sum(cb) AS BIGINT) AS n_cur,
+         sum(CAST(cb AS DECIMAL(38, 0)) * a2) AS w2,
+         sum(CAST(t AS DECIMAL(38, 0)) * a2) AS t1,
+         sum(CAST(floor(CAST(t AS DOUBLE) * CAST(a2 AS DOUBLE)
+                        * CAST(a2 AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS DECIMAL(38, 6))) AS t2
+  FROM scored GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       floor(CAST(w2 AS DOUBLE) / 2.0 * 1000000 + 0.5) / 1000000 AS w,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND n_ref + n_cur >= 2
+                 AND (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                     * CAST(t2 AS DOUBLE)
+                     - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) > 0.0
+            THEN floor(
+              (CAST(w2 AS DOUBLE)
+                 * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+               - CAST(n_cur AS DOUBLE) * CAST(t1 AS DOUBLE))
+              / sqrt(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                     * ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                        * CAST(t2 AS DOUBLE)
+                        - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+                     / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                        - 1.0))
+              * 1000000 + 0.5) / 1000000
+       END AS z
+FROM red
+"""
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered funnel conversion view → click → purchase within 7 days
     per step (operators/funnel.funnel_conversion): chained per-step
@@ -10923,6 +11026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_drift": _q_energy_drift,
         "hodges_lehmann": _q_hodges_lehmann,
         "ad_drift": _q_ad_drift,
+        "ansari_drift": _q_ansari,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -11110,6 +11214,7 @@ def oracle_sql() -> dict[str, str]:
         "energy_drift": _ORACLE_ENERGY_DRIFT,
         "hodges_lehmann": _ORACLE_HODGES_LEHMANN,
         "ad_drift": _ORACLE_AD_DRIFT,
+        "ansari_drift": _ORACLE_ANSARI,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -1225,3 +1225,142 @@ def ad_drift(
         ),
     )
     return red.select(*keys, "n_ref", "n_cur", a2.alias("a2"))
+
+
+def ansari_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, w, z) — the two-sample Ansari–Bradley
+    SCALE test (Ansari & Bradley 1960, AMS 31) between the first and
+    second half of each key's history: the DISPERSION complement of
+    ``mannwhitney_drift``'s location test and ``ks_drift``'s shape
+    test ("did the variance move even though the level didn't?" — the
+    classic symptom of a sensor losing calibration or a token
+    distribution flattening).
+
+    Scores from both ends inward: a(i) = min(i, N+1−i) over the
+    pooled order, tied observations averaging the scores of their run
+    (NOT the score of their midrank — a(·) is piecewise linear with a
+    peak, so run-averaging is the correct tie treatment).  W = Σ
+    scores of the CURRENT half; small scores sit at the extremes, so
+    z < 0 ⇒ the current half is MORE dispersed.  z uses the general
+    linear-rank-statistic variance (exact under ties, reducing to the
+    published even/odd-N forms when untied):
+
+        E[W] = n_cur·Σa/N,
+        Var[W] = n_ref·n_cur·(N·Σa² − (Σa)²) / (N²(N−1)).
+
+    Exactness protocol: per tie run [lo, hi] the score sum
+    S = Σ_{i=lo}^{hi} a(i) is an EXACT integer via the split at
+    m = ⌊(N+1)/2⌋ (two triangular sums in DECIMAL(38,0)); the doubled
+    mean score 2S/t is rational, so it is quantized onto the 12-dp
+    grid (the ``psi_drift`` quantize-then-derive rule) before the
+    DECIMAL(38,12) accumulations W2 = Σ c_cur·a2, T1 = Σ t·a2 and the
+    6-dp-quantized T2 = Σ t·a2² terms; z and w are then ONE fixed
+    float expression each — bit-identical in the DuckDB replay.
+
+    Same time-split protocol and shuffle shape as ``ks_drift`` /
+    ``mannwhitney_drift``: one keyed window pass, one (key, value)
+    census aggregate, per-key reduces riding the same partitioning —
+    no joins, no Python.  z is NULL when a half is empty, N < 2, or
+    every value is tied (Var = 0).
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = (
+        pts.groupBy(*keys, "_v")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+        .withColumn("_t", F.col("_ca") + F.col("_cb"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_kc = Window.partitionBy(*keys)
+    ranked = cnt.withColumn("_cumt", F.sum("_t").over(w_cum)).withColumn(
+        "_N", F.sum("_t").over(w_kc)
+    )
+
+    d0 = "decimal(38,0)"
+    lo = (F.col("_cumt") - F.col("_t") + 1).cast(d0)
+    hi = F.col("_cumt").cast(d0)
+    m = F.floor((F.col("_N") + 1) / 2).cast(d0)
+    h1 = F.least(hi, m)
+    part1 = F.when(
+        h1 >= lo,
+        (h1 * (h1 + 1) - (lo - 1) * lo) / 2,
+    ).otherwise(F.lit(0).cast(d0))
+    l2 = F.greatest(lo, m + 1)
+    np1 = (F.col("_N") + 1).cast(d0)
+    part2 = F.when(
+        hi >= l2,
+        (hi - l2 + 1) * np1 - (hi * (hi + 1) - (l2 - 1) * l2) / 2,
+    ).otherwise(F.lit(0).cast(d0))
+    s = (part1 + part2).cast(d0)
+    # doubled mean score of the run, 12-dp-quantized (psi rule)
+    a2 = _floor_round(
+        F.lit(2.0) * s.cast("double") / F.col("_t").cast("double"), 12
+    ).cast("decimal(38,12)")
+    ranked = ranked.withColumn("_a2", a2)
+
+    red = ranked.groupBy(*keys).agg(
+        F.sum("_ca").cast("long").alias("n_ref"),
+        F.sum("_cb").cast("long").alias("n_cur"),
+        F.sum(F.col("_cb").cast("decimal(38,0)") * F.col("_a2")).alias("_w2"),
+        F.sum(F.col("_t").cast("decimal(38,0)") * F.col("_a2")).alias("_t1"),
+        F.sum(
+            _floor_round(
+                F.col("_t").cast("double")
+                * F.col("_a2").cast("double")
+                * F.col("_a2").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("_t2"),
+    )
+
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    nd = na + nb
+    w2d = F.col("_w2").cast("double")
+    t1d = F.col("_t1").cast("double")
+    t2d = F.col("_t2").cast("double")
+    varterm = nd * t2d - t1d * t1d
+    z = F.when(
+        (F.col("n_ref") >= 1)
+        & (F.col("n_cur") >= 1)
+        & (F.col("n_ref") + F.col("n_cur") >= 2)
+        & (varterm > F.lit(0.0)),
+        (w2d * nd - nb * t1d)
+        / F.sqrt(na * nb * varterm / (nd - F.lit(1.0))),
+    )
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        (w2d / F.lit(2.0)).alias("w"),
+        z.alias("z"),
+    )

@@ -1,0 +1,102 @@
+"""ansari_drift — Ansari–Bradley scale-drift parity against a
+brute-force tie-averaged score recomputation, dispersion
+discrimination, degenerate guards."""
+
+import numpy as np
+import pytest
+
+from eristropy_spark.operators.drift import ansari_drift
+
+
+def _df(spark, vals, key="s1"):
+    rows = [(key, i, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "sid string, ts long, value double")
+
+
+def _ab_local(vals):
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    ref, cur = vals[: n // 2], vals[n // 2 :]
+    pooled = np.concatenate([ref, cur])
+    order = np.argsort(pooled, kind="mergesort")
+    pos_scores = np.minimum(
+        np.arange(1, n + 1), n + 1 - np.arange(1, n + 1)
+    ).astype(float)
+    sp = pooled[order]
+    avg = pos_scores.copy()
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sp[j + 1] == sp[i]:
+            j += 1
+        avg[i : j + 1] = pos_scores[i : j + 1].mean()
+        i = j + 1
+    a = np.empty(n)
+    a[order] = avg
+    a_cur = a[len(ref) :]
+    w = a_cur.sum()
+    sa, sa2 = a.sum(), (a**2).sum()
+    e = len(cur) * sa / n
+    var = len(ref) * len(cur) * (n * sa2 - sa**2) / (n**2 * (n - 1))
+    if var <= 0:
+        return w, None
+    return w, (w - e) / np.sqrt(var)
+
+
+@pytest.mark.parametrize("seed,m", [(31, 200), (37, 151)])
+def test_ansari_matches_bruteforce(spark, seed, m):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 40, m).astype(float)  # heavy ties
+    w_ref, z_ref = _ab_local(vals)
+    r = ansari_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["n_ref"] == m // 2 and r["n_cur"] == m - m // 2
+    assert r["w"] == pytest.approx(w_ref, abs=1e-6)
+    assert r["z"] == pytest.approx(z_ref, abs=1e-4)
+
+
+def test_ansari_detects_scale_not_fooled_by_none(spark):
+    rng = np.random.default_rng(41)
+    base = rng.normal(50, 2, 150)
+    wide = rng.normal(50, 8, 150)  # same center, 4x spread
+    same = rng.normal(50, 2, 150)
+    z_scale = ansari_drift(
+        _df(spark, np.concatenate([base, wide])), "sid", ts_col="ts"
+    ).first()["z"]
+    z_null = ansari_drift(
+        _df(spark, np.concatenate([base, same])), "sid", ts_col="ts"
+    ).first()["z"]
+    # current half MORE dispersed -> extremes -> low scores -> z < 0
+    assert z_scale < -5.0
+    assert abs(z_null) < 3.0
+
+
+def test_ansari_narrowing_flips_sign(spark):
+    rng = np.random.default_rng(43)
+    wide = rng.normal(0, 9, 120)
+    narrow = rng.normal(0, 1, 120)
+    z = ansari_drift(
+        _df(spark, np.concatenate([wide, narrow])), "sid", ts_col="ts"
+    ).first()["z"]
+    assert z > 5.0
+
+
+def test_ansari_all_tied_null(spark):
+    r = ansari_drift(_df(spark, [7.0] * 30), "sid", ts_col="ts").first()
+    assert r["z"] is None
+    # every score is the pooled mean score: W = n_cur * sa/n
+    assert r["w"] == pytest.approx(15 * ((30 + 2) * 30 / 4) / 30, abs=1e-5)
+
+
+def test_ansari_multi_key_independent(spark):
+    rng = np.random.default_rng(47)
+    a = [("a", i, float(v)) for i, v in enumerate(rng.normal(0, 1, 80))]
+    b = [
+        ("b", i, float(v))
+        for i, v in enumerate(
+            np.concatenate([rng.normal(0, 1, 40), rng.normal(0, 6, 40)])
+        )
+    ]
+    df = spark.createDataFrame(a + b, "sid string, ts long, value double")
+    rows = {r["sid"]: r for r in ansari_drift(df, "sid", ts_col="ts").collect()}
+    assert abs(rows["a"]["z"]) < 3.0
+    assert rows["b"]["z"] < -3.0
