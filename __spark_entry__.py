@@ -9884,6 +9884,97 @@ FROM varc
 """
 
 
+def _q_kuiper(spark, sf_dir):
+    """Kuiper V drift per signal (operators/drift.kuiper_drift,
+    Kuiper 1960): the rotation-invariant KS twin — V = D⁺ + D⁻ from
+    the exact-integer signed census differences, full tail
+    sensitivity; v_num exact BIGINT, λ/p_bound fixed float
+    expressions (Stephens finite-n λ, NR small-λ pin)."""
+    from eristropy_spark.operators.drift import kuiper_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = kuiper_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "vplus_num",
+        "vminus_num",
+        "v_num",
+        _r6("v").alias("v"),
+        _r6("lam").alias("lam"),
+        _r6("p_bound").alias("p_bound"),
+    )
+
+
+_ORACLE_KUIPER = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER w AS BIGINT) AS cumb
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT user_id, event_type, cuma, cumb,
+         CAST(max(cuma) OVER pk AS BIGINT) AS na,
+         CAST(max(cumb) OVER pk AS BIGINT) AS nb
+  FROM cum
+  WINDOW pk AS (PARTITION BY user_id, event_type)
+), red AS (
+  SELECT user_id, event_type,
+         CAST(max(na) AS BIGINT) AS n_ref,
+         CAST(max(nb) AS BIGINT) AS n_cur,
+         CAST(GREATEST(max(cumb * na - cuma * nb), 0) AS BIGINT)
+           AS vplus_num,
+         CAST(GREATEST(-min(cumb * na - cuma * nb), 0) AS BIGINT)
+           AS vminus_num
+  FROM tot GROUP BY user_id, event_type
+), fin AS (
+  SELECT user_id, event_type, n_ref, n_cur, vplus_num, vminus_num,
+         vplus_num + vminus_num AS v_num,
+         CAST(n_ref AS DOUBLE) AS na, CAST(n_cur AS DOUBLE) AS nb
+  FROM red
+), st AS (
+  SELECT *,
+         CAST(v_num AS DOUBLE) / (na * nb) AS v,
+         (sqrt(na * nb / (na + nb)) + 0.155
+          + 0.24 / sqrt(na * nb / (na + nb)))
+           * (CAST(v_num AS DOUBLE) / (na * nb)) AS lam
+  FROM fin
+)
+SELECT user_id, event_type, n_ref, n_cur, vplus_num, vminus_num, v_num,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(v * 1000000 + 0.5) / 1000000 END AS v,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         floor(lam * 1000000 + 0.5) / 1000000 END AS lam,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 THEN
+         CASE WHEN lam < 0.4 THEN 1.0 ELSE
+           floor(LEAST(1.0, GREATEST(0.0,
+             2.0 * (4.0 * (lam * lam) - 1.0)
+               * exp(-2.0 * (lam * lam))))
+             * 1000000 + 0.5) / 1000000 END
+       END AS p_bound
+FROM st
+"""
+
+
 def _q_ansari(spark, sf_dir):
     """Ansari–Bradley scale-drift per signal (operators/drift
     .ansari_drift, Ansari & Bradley 1960): first-half vs second-half
@@ -11027,6 +11118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hodges_lehmann": _q_hodges_lehmann,
         "ad_drift": _q_ad_drift,
         "ansari_drift": _q_ansari,
+        "kuiper_drift": _q_kuiper,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -11215,6 +11307,7 @@ def oracle_sql() -> dict[str, str]:
         "hodges_lehmann": _ORACLE_HODGES_LEHMANN,
         "ad_drift": _ORACLE_AD_DRIFT,
         "ansari_drift": _ORACLE_ANSARI,
+        "kuiper_drift": _ORACLE_KUIPER,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

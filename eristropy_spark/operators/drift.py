@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift", "kuiper_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -1363,4 +1363,110 @@ def ansari_drift(
         "n_cur",
         (w2d / F.lit(2.0)).alias("w"),
         z.alias("z"),
+    )
+
+
+def kuiper_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, vplus_num, vminus_num, v_num, v, lam,
+    p_bound) — the two-sample Kuiper test (Kuiper 1960) between the
+    first and second half of each key's history: the
+    rotation-invariant twin of ``ks_drift``.  V = D⁺ + D⁻ weighs the
+    two CDF excursion directions EQUALLY, so it keeps full power at
+    the distribution's tails and on circular/wrapped domains
+    (time-of-day, phase) where KS loses sensitivity away from its
+    single sup point — the right drift test for daily-cycle signals.
+
+    Exactness protocol (``ks_drift``): the census signed difference
+    d_x = cumB·nA − cumA·nB is an exact integer; D⁺ = max(0, max d),
+    D⁻ = max(0, −min d) (zero is always attainable — both CDFs agree
+    before the first and after the last value), so ``v_num`` =
+    vplus_num + vminus_num is the exact-integer numerator and
+    V = v_num/(nA·nB).  ``lam`` = (√ne + 0.155 + 0.24/√ne)·V (the
+    Stephens 1970 finite-n form, ne = nA·nB/(nA+nB)) and ``p_bound``
+    the leading term of the Kuiper series min(1, 2(4λ²−1)e^(−2λ²)),
+    pinned to 1 for λ < 0.4 where the asymptotic series is invalid
+    (the Numerical-Recipes convention).
+
+    Same time-split protocol and shuffle shape as ``ks_drift`` — one
+    keyed window pass, one (key, value) census, per-key reduces on
+    the same partitioning; no joins, zero Python.  Statistics are
+    NULL when either half is empty.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = pts.groupBy(*keys, "_v").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w_cdf = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        *keys,
+        F.sum("_ca").over(w_cdf).alias("_cuma"),
+        F.sum("_cb").over(w_cdf).alias("_cumb"),
+    )
+    totals = cum.withColumn(
+        "_na", F.max("_cuma").over(Window.partitionBy(*keys))
+    ).withColumn("_nb", F.max("_cumb").over(Window.partitionBy(*keys)))
+    d_signed = F.col("_cumb") * F.col("_na") - F.col("_cuma") * F.col("_nb")
+    red = totals.groupBy(*keys).agg(
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+        F.greatest(F.max(d_signed), F.lit(0)).cast("long").alias("vplus_num"),
+        F.greatest(-F.min(d_signed), F.lit(0)).cast("long").alias(
+            "vminus_num"
+        ),
+    )
+    red = red.withColumn(
+        "v_num", (F.col("vplus_num") + F.col("vminus_num")).cast("long")
+    )
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    v = F.col("v_num").cast("double") / (na * nb)
+    ne = na * nb / (na + nb)
+    lam = (F.sqrt(ne) + F.lit(0.155) + F.lit(0.24) / F.sqrt(ne)) * v
+    lam2 = lam * lam
+    p_raw = F.lit(2.0) * (F.lit(4.0) * lam2 - F.lit(1.0)) * F.exp(
+        F.lit(-2.0) * lam2
+    )
+    ok = (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    nulld = F.lit(None).cast("double")
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "vplus_num",
+        "vminus_num",
+        "v_num",
+        F.when(ok, v).otherwise(nulld).alias("v"),
+        F.when(ok, lam).otherwise(nulld).alias("lam"),
+        F.when(
+            ok,
+            F.when(lam < F.lit(0.4), F.lit(1.0)).otherwise(
+                F.least(F.lit(1.0), F.greatest(F.lit(0.0), p_raw))
+            ),
+        )
+        .otherwise(nulld)
+        .alias("p_bound"),
     )

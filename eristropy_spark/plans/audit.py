@@ -968,18 +968,20 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
-    # 43b. ansari_drift: the same census class — keyed window pass +
-    # (key, value) census with the triangular score sums in-row +
-    # per-key reduce, no Join, zero Python
-    aq = entrymod.queries()["ansari_drift"](spark, sf_dir)
-    p = plan_of(aq)
-    checks.append(
-        ("ansari_drift: <=3 keyed Exchanges, no Join, no "
-         "single-partition window, zero Python",
-         p.count("Exchange") <= 3
-         and "Join" not in p
-         and _py_node_count(p) == 0, p)
-    )
+    # 43b. ansari_drift / kuiper_drift: the same census class — keyed
+    # window pass + (key, value) census (ansari adds the in-row
+    # triangular score sums, kuiper the signed sup reduce) + per-key
+    # reduce, no Join, zero Python
+    for qn in ("ansari_drift", "kuiper_drift"):
+        aq = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(aq)
+        checks.append(
+            (f"{qn}: <=3 keyed Exchanges, no Join, no "
+             "single-partition window, zero Python",
+             p.count("Exchange") <= 3
+             and "Join" not in p
+             and _py_node_count(p) == 0, p)
+        )
 
     # 44. funnel: chained step minima over ONE key partitioning (the
     # final k-row reduce may be single-partition — it is k rows), no

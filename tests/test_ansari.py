@@ -100,3 +100,57 @@ def test_ansari_multi_key_independent(spark):
     rows = {r["sid"]: r for r in ansari_drift(df, "sid", ts_col="ts").collect()}
     assert abs(rows["a"]["z"]) < 3.0
     assert rows["b"]["z"] < -3.0
+
+
+# ---------------------------------------------------------------- Kuiper
+
+from eristropy_spark.operators.drift import kuiper_drift  # noqa: E402
+
+
+def _kuiper_local(vals):
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    ref, cur = vals[: n // 2], vals[n // 2 :]
+    na, nb = len(ref), len(cur)
+    xs = np.unique(vals)
+    fa = np.searchsorted(np.sort(ref), xs, side="right") / na
+    fb = np.searchsorted(np.sort(cur), xs, side="right") / nb
+    d = fb - fa
+    dplus = max(0.0, d.max())
+    dminus = max(0.0, -d.min())
+    return dplus + dminus
+
+
+def test_kuiper_matches_bruteforce(spark):
+    rng = np.random.default_rng(53)
+    vals = rng.integers(0, 30, 180).astype(float)
+    v_ref = _kuiper_local(vals)
+    r = kuiper_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["v"] == pytest.approx(v_ref, abs=1e-12)
+    assert r["v_num"] == r["vplus_num"] + r["vminus_num"]
+    assert r["v_num"] == round(v_ref * r["n_ref"] * r["n_cur"])
+
+
+def test_kuiper_vs_ks_tail_shift_sensitivity(spark):
+    # symmetric tail widening: mass moves to BOTH tails -> KS's single
+    # sup point sees each direction separately, Kuiper adds them
+    rng = np.random.default_rng(59)
+    base = rng.normal(0, 1, 400)
+    widened = rng.normal(0, 3, 400)
+    vals = np.concatenate([base, widened])
+    r = kuiper_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    from eristropy_spark.operators.drift import ks_drift
+
+    k = ks_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["vplus_num"] > 0 and r["vminus_num"] > 0
+    assert r["v_num"] > k["d_num"]  # V = D+ + D- strictly dominates D
+    assert r["p_bound"] < 0.01
+
+
+def test_kuiper_null_identical_halves_p_one(spark):
+    rng = np.random.default_rng(61)
+    half = rng.integers(0, 50, 100).astype(float)
+    vals = np.concatenate([half, half])  # identical halves
+    r = kuiper_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["v_num"] == 0
+    assert r["p_bound"] == 1.0
