@@ -9884,6 +9884,93 @@ FROM varc
 """
 
 
+def _q_allan(spark, sf_dir):
+    """Allan variance per signal over the τ grid (operators/rollup
+    .allan_variance, Allan 1966 / IEEE 1139): the stability-vs-
+    averaging-time curve of the rollup cascade itself — white noise
+    slopes τ⁻¹, random-walk drift τ⁺¹, the knee is the optimal rollup
+    horizon.  Values pre-scaled to exact centi-units so bucket sums
+    are exact longs; bucket means 12-dp-quantized (psi rule), squared
+    adjacent diffs 6-dp into DECIMAL(38,6), AVAR one float division.
+    One (key, τ, bucket) map-side-combined aggregate + lag window,
+    no joins, zero Python."""
+    from eristropy_spark.operators.rollup import allan_variance
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cval"),
+    )
+    r = allan_variance(
+        ev,
+        ("user_id", "event_type"),
+        ts_col="ts",
+        value_col="cval",
+        taus=(60, 240, 960),
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "tau_s",
+        "n_buckets",
+        "m_pairs",
+        _r6("avar").alias("avar"),
+        _r6("adev").alias("adev"),
+    )
+
+
+_ORACLE_ALLAN = """
+WITH pts AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cval
+  FROM events
+), ex AS (
+  SELECT p.*, t.tau_s
+  FROM pts p CROSS JOIN (VALUES (60), (240), (960)) AS t(tau_s)
+), g AS (
+  SELECT user_id, event_type, tau_s,
+         CAST(floor(CAST(sec AS DOUBLE) / CAST(tau_s AS DOUBLE))
+              AS BIGINT) AS bucket,
+         CAST(sum(cval) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2, 3, 4
+), m AS (
+  SELECT user_id, event_type, tau_s, bucket,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS m12
+  FROM g
+), lagd AS (
+  SELECT user_id, event_type, tau_s, bucket, m12,
+         lag(bucket) OVER w AS pb, lag(m12) OVER w AS pm
+  FROM m
+  WINDOW w AS (PARTITION BY user_id, event_type, tau_s ORDER BY bucket)
+), red AS (
+  SELECT user_id, event_type, tau_s,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN pb = bucket - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS m_pairs,
+         sum(CASE WHEN pb = bucket - 1 THEN
+               CAST(floor(CAST(m12 - pm AS DOUBLE)
+                          * CAST(m12 - pm AS DOUBLE)
+                          * 1000000 + 0.5) / 1000000 AS DECIMAL(38, 6))
+             END) AS ss
+  FROM lagd GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, tau_s, n_buckets, m_pairs,
+       CASE WHEN m_pairs >= 1 THEN
+         floor(CAST(ss AS DOUBLE) / (2.0 * CAST(m_pairs AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS avar,
+       CASE WHEN m_pairs >= 1 THEN
+         floor(sqrt(CAST(ss AS DOUBLE)
+                    / (2.0 * CAST(m_pairs AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 END AS adev
+FROM red
+"""
+
+
 def _q_kuiper(spark, sf_dir):
     """Kuiper V drift per signal (operators/drift.kuiper_drift,
     Kuiper 1960): the rotation-invariant KS twin — V = D⁺ + D⁻ from
@@ -11119,6 +11206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ad_drift": _q_ad_drift,
         "ansari_drift": _q_ansari,
         "kuiper_drift": _q_kuiper,
+        "allan_variance": _q_allan,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -11308,6 +11396,7 @@ def oracle_sql() -> dict[str, str]:
         "ad_drift": _ORACLE_AD_DRIFT,
         "ansari_drift": _ORACLE_ANSARI,
         "kuiper_drift": _ORACLE_KUIPER,
+        "allan_variance": _ORACLE_ALLAN,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
-__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "histogram_rollup", "m4_downsample", "TIER_SPECS"]
+__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "histogram_rollup", "m4_downsample", "allan_variance", "TIER_SPECS"]
 
 # tier name -> truncation unit for date_trunc
 TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
@@ -373,4 +373,91 @@ def m4_downsample(
         F.col("_vmax.t").alias("t_max"),
         F.col("_vmax.v").alias("v_max"),
         "n",
+    )
+
+
+def allan_variance(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    taus: tuple[int, ...] = (60, 120, 240, 480, 960),
+) -> DataFrame:
+    """Allan variance / deviation per signal over a grid of averaging
+    times (Allan 1966 Proc IEEE 54; the IEEE 1139 frequency-stability
+    standard): AVAR(τ) = ½·E[(ȳ_{i+1} − ȳ_i)²] over means of
+    consecutive τ-second buckets.  THE diagnostic for "how long may I
+    average this signal before drift beats noise": white noise slopes
+    τ^-1, random-walk drift slopes τ^+1, and the knee between them is
+    the optimal rollup horizon — the continuous-aggregate cascade's
+    own tuning curve, computed by the same engine that runs the
+    cascade.
+
+    Sparse-series convention: buckets with no points simply don't
+    exist; only ADJACENT present buckets (b, b+1) form pairs, and
+    ``m_pairs`` reports how many — so a gappy signal yields an
+    honestly-reduced sample rather than interpolated noise.
+
+    Exactness protocol: bucket means (sum/count rational) are
+    quantized onto the 12-dp grid (the ``psi_drift``
+    quantize-then-derive rule), successive differences of quantized
+    means are exact DECIMAL, squared terms are 6-dp-quantized into a
+    DECIMAL(38,6) accumulation, and AVAR = S/(2·m) is ONE float
+    division — bit-identical in the DuckDB replay.
+
+    Scale shape: the τ-grid is an IN-ROW explode (|taus| ≤ ~6 copies,
+    no second scan), ONE (key, τ, bucket) map-side-combined hash
+    aggregate, one lag window and the per-(key, τ) reduce riding the
+    same partitioning — no joins, zero Python; the τ-grid multiplies
+    the shuffle by |taus| but every bucket row is already aggregated.
+
+    Returns one row per (key, tau_s): (*key, tau_s, n_buckets,
+    m_pairs, avar, adev); ``avar`` is NULL when m_pairs = 0.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    from eristropy_spark.operators.changepoint import _floor_round
+    from pyspark.sql import Window
+
+    tau_arr = F.array(*[F.lit(int(t)) for t in taus])
+    pts = df.select(
+        *keys,
+        F.explode(tau_arr).alias("tau_s"),
+        F.unix_timestamp(F.col(ts_col)).alias("_sec"),
+        F.col(value_col).alias("_v"),
+    ).withColumn("_bucket", F.floor(F.col("_sec") / F.col("tau_s")))
+
+    g = pts.groupBy(*keys, "tau_s", "_bucket").agg(
+        F.sum("_v").alias("_s"),
+        F.count("*").cast("long").alias("_c"),
+    )
+    mean12 = _floor_round(
+        F.col("_s").cast("double") / F.col("_c").cast("double"), 12
+    ).cast("decimal(38,12)")
+    g = g.withColumn("_m12", mean12)
+
+    w = Window.partitionBy(*keys, "tau_s").orderBy("_bucket")
+    g = g.withColumn("_pb", F.lag("_bucket").over(w)).withColumn(
+        "_pm", F.lag("_m12").over(w)
+    )
+    adj = F.col("_pb") == F.col("_bucket") - 1
+    dd = (F.col("_m12") - F.col("_pm")).cast("double")
+    term = F.when(adj, _floor_round(dd * dd, 6).cast("decimal(38,6)"))
+
+    red = g.groupBy(*keys, "tau_s").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(adj, 1).otherwise(0)).cast("long").alias("m_pairs"),
+        F.sum(term).alias("_ss"),
+    )
+    md = F.col("m_pairs").cast("double")
+    avar = F.when(
+        F.col("m_pairs") >= 1,
+        F.col("_ss").cast("double") / (F.lit(2.0) * md),
+    )
+    return red.select(
+        *keys,
+        "tau_s",
+        "n_buckets",
+        "m_pairs",
+        avar.alias("avar"),
+        F.when(avar.isNotNull(), F.sqrt(avar)).alias("adev"),
     )

@@ -289,3 +289,86 @@ def test_histogram_rollup_validation(spark):
         histogram_rollup(df, "hour", 0.0, 1.0, n_bins=0)
     with pytest.raises(ValueError):
         histogram_rollup(df, "hour", 1.0, 1.0)
+
+
+# ---------------------------------------------------------------- Allan
+
+import numpy as np
+import pytest as _pytest
+
+from eristropy_spark.operators.rollup import allan_variance
+
+
+def _allan_local(secs, vals, tau):
+    b = np.floor(np.asarray(secs) / tau).astype(np.int64)
+    uniq = np.unique(b)
+    means = {int(u): np.mean([v for bb, v in zip(b, vals) if bb == u]) for u in uniq}
+    pairs = [(means[u + 1] - means[u]) ** 2 for u in uniq if u + 1 in means]
+    if not pairs:
+        return None, 0
+    return float(np.sum(pairs) / (2 * len(pairs))), len(pairs)
+
+
+def _ts_df(spark, secs, vals, key="s1"):
+    rows = [
+        (key, float(s), float(v)) for s, v in zip(secs, vals)
+    ]
+    return spark.createDataFrame(rows, "sid string, sec double, value double").select(
+        "sid", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+
+
+def test_allan_matches_bruteforce(spark):
+    rng = np.random.default_rng(67)
+    secs = np.sort(rng.uniform(0, 7200, 600))
+    vals = rng.normal(10, 2, 600)
+    df = _ts_df(spark, secs, vals)
+    rows = {
+        r["tau_s"]: r
+        for r in allan_variance(df, "sid", taus=(60, 240)).collect()
+    }
+    for tau in (60, 240):
+        ref, m = _allan_local(np.floor(secs), vals, tau)
+        r = rows[tau]
+        assert r["m_pairs"] == m
+        assert r["avar"] == _pytest.approx(ref, abs=1e-5)
+        assert r["adev"] == _pytest.approx(np.sqrt(ref), abs=1e-5)
+
+
+def test_allan_white_noise_slope_down_random_walk_up(spark):
+    rng = np.random.default_rng(71)
+    n = 4096
+    secs = np.arange(n, dtype=float)
+    white = rng.normal(0, 1, n)
+    walk = np.cumsum(rng.normal(0, 1, n))
+    aw = {
+        r["tau_s"]: r["avar"]
+        for r in allan_variance(
+            _ts_df(spark, secs, white), "sid", taus=(4, 16, 64)
+        ).collect()
+    }
+    ar = {
+        r["tau_s"]: r["avar"]
+        for r in allan_variance(
+            _ts_df(spark, secs, walk), "sid", taus=(4, 16, 64)
+        ).collect()
+    }
+    # white noise: AVAR ~ 1/tau (averaging helps); random walk: ~ tau
+    assert aw[4] > aw[16] > aw[64]
+    assert ar[4] < ar[16] < ar[64]
+
+
+def test_allan_gappy_series_pairs_only_adjacent(spark):
+    # buckets 0,1,5,6 at tau=10: adjacent pairs (0,1) and (5,6) only
+    secs = [5.0, 15.0, 55.0, 65.0]
+    vals = [1.0, 3.0, 10.0, 14.0]
+    r = allan_variance(_ts_df(spark, secs, vals), "sid", taus=(10,)).first()
+    assert r["n_buckets"] == 4 and r["m_pairs"] == 2
+    assert r["avar"] == _pytest.approx((4.0 + 16.0) / 4.0, abs=1e-9)
+
+
+def test_allan_single_bucket_null(spark):
+    r = allan_variance(
+        _ts_df(spark, [1.0, 2.0], [5.0, 7.0]), "sid", taus=(60,)
+    ).first()
+    assert r["avar"] is None and r["m_pairs"] == 0
