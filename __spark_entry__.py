@@ -8346,6 +8346,126 @@ FROM grps g CROSS JOIN st
 """
 
 
+def _q_conover(spark, sf_dir):
+    """Conover squared-ranks k-sample scale test across event types
+    (operators/grouptests.conover_squared_ranks, Conover & Iman
+    1981, median-centred variant): pooled midranks of |2v − m2|
+    deviations; T is scale-invariant, so it runs on NORMALIZED
+    squared ranks u = (2r/2N)² quantized onto the 12-dp grid (raw
+    (ΣR²)² would pass 1e20 at 10⁴ rows) — all sums exact
+    DECIMAL(38,12), T ONE fixed float expression, structural
+    single-deviation degeneracy guard — census shuffle shape, zero
+    Python."""
+    from eristropy_spark.operators.grouptests import conover_squared_ranks
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("int").alias("tok")
+    )
+    r = conover_squared_ranks(ev, group_col="event_type", value_col="tok")
+    return r.select(
+        F.col("group").alias("grp"),
+        "n",
+        _r6("s_u").alias("s_u"),
+        _r6("mean_u").alias("mean_u"),
+        "t_stat",
+        "df",
+        "k",
+        "n_total",
+    )
+
+
+_ORACLE_CONOVER = """
+WITH pts AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS INT) AS v
+  FROM events
+), cnt AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY grp, v
+), ranked AS (
+  SELECT grp, v, c,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM cnt
+), med AS (
+  SELECT grp,
+         CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT)
+       + CAST(min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS BIGINT)
+           AS m2
+  FROM ranked GROUP BY grp
+), dev AS (
+  SELECT c.grp, abs(2 * CAST(c.v AS BIGINT) - m.m2) AS z2,
+         CAST(sum(c.c) AS BIGINT) AS c
+  FROM cnt c JOIN med m USING (grp) GROUP BY 1, 2
+), zvals AS (
+  SELECT z2, CAST(sum(c) AS BIGINT) AS t FROM dev GROUP BY z2
+), zcum AS (
+  SELECT z2, t,
+         CAST(sum(t) OVER (ORDER BY z2 ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT) AS cumt,
+         CAST(sum(t) OVER () AS BIGINT) AS nn
+  FROM zvals
+), uu AS (
+  SELECT z2, t,
+         CAST(floor(
+           (CAST(2 * cumt - t + 1 AS DOUBLE)
+            / (2.0 * CAST(nn AS DOUBLE)))
+           * (CAST(2 * cumt - t + 1 AS DOUBLE)
+              / (2.0 * CAST(nn AS DOUBLE)))
+           * 1000000000000.0 + 0.5) / 1000000000000.0
+           AS DECIMAL(38, 12)) AS u
+  FROM zcum
+), uw AS (
+  SELECT z2, t, u,
+         CAST(floor(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS w
+  FROM uu
+), g AS (
+  SELECT d.grp, CAST(sum(d.c) AS BIGINT) AS n,
+         sum(CAST(d.c AS DECIMAL(13, 0)) * CAST(m.u AS DECIMAL(24, 12)))
+           AS su
+  FROM dev d JOIN uw m USING (z2) GROUP BY d.grp
+), pooled AS (
+  SELECT sum(CAST(t AS DECIMAL(13, 0)) * CAST(u AS DECIMAL(24, 12)))
+           AS t1,
+         sum(CAST(t AS DECIMAL(13, 0)) * CAST(w AS DECIMAL(24, 12)))
+           AS t2,
+         CAST(count(*) AS BIGINT) AS nz
+  FROM uw
+), gl AS (
+  SELECT CAST(count(*) AS INT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+         sum(CAST(floor(CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS DECIMAL(38, 6))) AS sq
+  FROM g
+), st AS (
+  SELECT gl.k, gl.nt,
+         CASE WHEN gl.k >= 2 AND gl.nt >= 2 AND p.nz >= 2
+                   AND (CAST(p.t2 AS DOUBLE)
+                        - CAST(p.t1 AS DOUBLE) * CAST(p.t1 AS DOUBLE)
+                          / CAST(gl.nt AS DOUBLE))
+                       / (CAST(gl.nt AS DOUBLE) - 1.0) > 0.0 THEN
+           floor((CAST(gl.sq AS DOUBLE)
+                  - CAST(p.t1 AS DOUBLE) * CAST(p.t1 AS DOUBLE)
+                    / CAST(gl.nt AS DOUBLE))
+                 / ((CAST(p.t2 AS DOUBLE)
+                     - CAST(p.t1 AS DOUBLE) * CAST(p.t1 AS DOUBLE)
+                       / CAST(gl.nt AS DOUBLE))
+                    / (CAST(gl.nt AS DOUBLE) - 1.0))
+                 * 1000000 + 0.5) / 1000000
+         END AS t_stat
+  FROM gl CROSS JOIN pooled p
+)
+SELECT g.grp, g.n,
+       floor(CAST(g.su AS DOUBLE) * 1000000 + 0.5) / 1000000 AS s_u,
+       floor(CAST(g.su AS DOUBLE) / CAST(g.n AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS mean_u,
+       st.t_stat, CAST(st.k - 1 AS INT) AS df, st.k, st.nt AS n_total
+FROM g CROSS JOIN st
+"""
+
+
 def _q_quade(spark, sf_dir):
     """Quade range-weighted blocked rank test across sources, blocks
     = hour buckets (operators/grouptests.quade, Quade 1979): the
@@ -11197,6 +11317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jonckheere": _q_jonckheere,
         "cochran_armitage": _q_cochran_armitage,
         "quade": _q_quade,
+        "conover": _q_conover,
         "mood_median": _q_mood_median,
         "chi2_drift": _q_chi2_drift,
         "coint_eg": _q_coint_eg,
@@ -11387,6 +11508,7 @@ def oracle_sql() -> dict[str, str]:
         "jonckheere": _ORACLE_JONCKHEERE,
         "cochran_armitage": _ORACLE_COCHRAN_ARMITAGE,
         "quade": _ORACLE_QUADE,
+        "conover": _ORACLE_CONOVER,
         "mood_median": _ORACLE_MOOD_MEDIAN,
         "chi2_drift": _ORACLE_CHI2_DRIFT,
         "coint_eg": _ORACLE_COINT,

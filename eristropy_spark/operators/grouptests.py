@@ -54,6 +54,7 @@ __all__ = [
     "mood_median",
     "cochran_armitage",
     "quade",
+    "conover_squared_ranks",
 ]
 
 _D0 = "decimal(38,0)"
@@ -1027,4 +1028,186 @@ def quade(
         "df2",
         "k",
         "n",
+    )
+
+
+def conover_squared_ranks(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """Conover squared-ranks test for equal variances (Conover &
+    Iman 1981; Conover *Practical Nonparametric Statistics* §5.3):
+    the k-sample RANK test of scale — ``brown_forsythe`` runs an
+    ANOVA on |x − median|, this ranks the pooled deviations and sums
+    their SQUARES per group, trading a little power for full
+    outlier-insensitivity (one wild point moves a rank by at most
+    one slot, not the whole F).  The k-sample complement of
+    ``ansari_drift``'s two-sample scale test, and the scale analogue
+    of ``kruskal_wallis``.
+
+    Median-centred variant (documented deviation from Conover's
+    mean-centred original): deviations are taken from the GROUP
+    median so they stay on the exact-integer grid — Conover himself
+    notes mean or median centring are both valid (the statistic is
+    asymptotically the same chi²(k−1)); means would put a float in
+    every deviation.
+
+        z_gj = |x_gj − median_g|,  R = pooled midranks of z,
+        S_j = Σ R²,  T = (Σ_j S_j²/n_j − N·S̄²) / D²,
+        D² = (ΣΣR⁴ − N·S̄²)/(N−1),  S̄ = ΣΣR²/N  —  T ~ chi²(k−1).
+
+    Exactness protocol (module docstring): doubled group medians m2
+    and doubled deviations z2 = |2v − m2| exact; pooled doubled
+    midranks 2r over the (group, z2) census exact.  T is invariant
+    under any rescaling u → α·u of the squared ranks (numerator and
+    denominator both scale α²), so the computation uses the
+    NORMALIZED squared ranks u = (2r/2N)² ∈ (0, 1] — raw (ΣR²)²
+    reaches ~1e20 at 10⁴ rows, past every integer grid, while every
+    normalized quantity stays O(N).  u and u² are quantized onto the
+    12-dp grid (the ``psi_drift`` rule), all sums are exact
+    DECIMAL(38,12), per-group S_j²/n_j terms 6-dp into
+    DECIMAL(38,6), and T is ONE fixed float expression —
+    bit-identical in the DuckDB replay.
+
+    Scale shape: two census hash-aggregates ((group, value) then
+    (group, z2)), the brown_forsythe per-group median windows, ONE
+    domain-bounded unkeyed cumulative window over the distinct-z2
+    census, k-row reduces broadcast back.  Zero Python.
+
+    Returns one row per group: (group, n, s_u, mean_u, t_stat, df,
+    k, n_total); ``s_u`` = Σu over the group (the normalized
+    squared-rank sum — larger mean_u = wider group); ``t_stat`` is
+    NULL when k < 2, N < 2, or D² = 0 (every pooled deviation
+    tied).
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("group"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").cast("long").alias("_c"))
+
+    w_g = (
+        Window.partitionBy("group")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("group")
+    ranked = cnt.withColumn("_cum", F.sum("_c").over(w_g)).withColumn(
+        "_n", F.sum("_c").over(w_tot)
+    )
+    lo_rank = F.floor((F.col("_n") + 1) / 2)
+    hi_rank = F.floor(F.col("_n") / 2) + 1
+    med = ranked.groupBy("group").agg(
+        (
+            F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v"))).cast("long")
+            + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v"))).cast("long")
+        ).alias("_m2")
+    )
+
+    dev = (
+        cnt.join(F.broadcast(med), "group")
+        .withColumn(
+            "_z2",
+            F.abs(2 * F.col("_v").cast("long") - F.col("_m2")).cast("long"),
+        )
+        .groupBy("group", "_z2")
+        .agg(F.sum("_c").cast("long").alias("_c"))
+    )
+
+    zvals = dev.groupBy("_z2").agg(F.sum("_c").cast("long").alias("_t"))
+    w_cum = (
+        Window.orderBy("_z2").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    zvals = zvals.withColumn("_cumt", F.sum("_t").over(w_cum))
+
+    ntot = zvals.agg(F.sum("_t").cast("long").alias("_N"))
+
+    # scale-invariance of T: u -> alpha*u leaves T unchanged, so work
+    # with u = (2r / 2N)^2 in (0, 1] instead of raw R^2 — raw (4S_j)^2
+    # reaches ~1e20 at 10^4 rows (overflowing any long-based grid),
+    # while every normalized quantity stays O(N).  u and u^2 are
+    # quantized onto the 12-dp grid (the psi rule) so all sums are
+    # exact DECIMAL(38,12), bit-identical in the replay.
+    zvals = zvals.crossJoin(F.broadcast(ntot))
+    r2d = (2 * F.col("_cumt") - F.col("_t") + 1).cast("double")
+    ud = (r2d / (F.lit(2.0) * F.col("_N").cast("double"))) * (
+        r2d / (F.lit(2.0) * F.col("_N").cast("double"))
+    )
+    zvals = zvals.withColumn(
+        "_u", _floor_round(ud, 12).cast("decimal(38,12)")
+    ).withColumn(
+        "_w",
+        _floor_round(
+            F.col("_u").cast("double") * F.col("_u").cast("double"), 12
+        ).cast("decimal(38,12)"),
+    )
+
+    joined = dev.join(F.broadcast(zvals.select("_z2", "_u")), "_z2")
+    # operand widths chosen so the product precision is exactly 38 at
+    # scale 12 ((13,0)x(24,12) -> (38,12)): a (38,0)x(38,12) product
+    # overflows Spark's declared precision and silently REDUCES the
+    # scale to 6 (allowPrecisionLoss), diverging from the replay
+    c13 = F.col("_c").cast("decimal(13,0)")
+    t13 = F.col("_t").cast("decimal(13,0)")
+    u24 = F.col("_u").cast("decimal(24,12)")
+    w24 = F.col("_w").cast("decimal(24,12)")
+    grp = joined.groupBy("group").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(c13 * u24).alias("_su"),
+    )
+
+    pooled = zvals.agg(
+        F.sum(t13 * u24).alias("_t1"),
+        F.sum(t13 * w24).alias("_t2"),
+        # structural degeneracy flag: D² = 0 iff ONE distinct pooled
+        # deviation — an exact count, not a float-zero test (the float
+        # den lands within one ulp of 0 either side when degenerate)
+        F.count("*").cast("long").alias("_nz"),
+    )
+
+    glob = (
+        grp.agg(
+            F.count("*").cast("int").alias("k"),
+            F.sum("n").cast("long").alias("n_total"),
+            F.sum(
+                _floor_round(
+                    F.col("_su").cast("double")
+                    * F.col("_su").cast("double")
+                    / F.col("n").cast("double"),
+                    6,
+                ).cast(_D6)
+            ).alias("_sq"),
+        )
+        .crossJoin(pooled)
+    )
+    nd = F.col("n_total").cast("double")
+    nbar2 = F.col("_t1").cast("double") * F.col("_t1").cast("double") / nd
+    den = (F.col("_t2").cast("double") - nbar2) / (nd - F.lit(1.0))
+    t_stat = F.when(
+        (F.col("k") >= 2)
+        & (F.col("n_total") >= 2)
+        & (F.col("_nz") >= 2)
+        & (den > F.lit(0.0)),
+        (F.col("_sq").cast("double") - nbar2) / den,
+    )
+    glob = glob.select(
+        _floor_round(t_stat, 6).alias("t_stat"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        "k",
+        "n_total",
+    )
+
+    out = grp.crossJoin(F.broadcast(glob))
+    return out.select(
+        "group",
+        "n",
+        F.col("_su").cast("double").alias("s_u"),
+        (
+            F.col("_su").cast("double") / F.col("n").cast("double")
+        ).alias("mean_u"),
+        "t_stat",
+        "df",
+        "k",
+        "n_total",
     )

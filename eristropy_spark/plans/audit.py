@@ -1368,7 +1368,7 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # side is the intended physical form, never a CartesianProduct.
     for qn in ("kruskal_wallis", "brown_forsythe", "friedman_page",
                "cochran_q", "jonckheere", "mood_median",
-               "cochran_armitage"):
+               "cochran_armitage", "conover"):
         q67 = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(q67)
         checks.append(

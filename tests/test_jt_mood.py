@@ -333,3 +333,93 @@ def test_quade_identical_rankings_null_f(spark):
     }
     r = quade(_cells_df(spark, cells)).first()
     assert r["f_stat"] is None
+
+
+# ---------------------------------------------------------------- Conover
+
+from eristropy_spark.operators.grouptests import conover_squared_ranks  # noqa: E402
+
+
+def _conover_local(pairs):
+    """Median-centred squared-ranks statistic (matches the operator's
+    documented deviation)."""
+    grps = np.array([g for g, _ in pairs])
+    vals = np.array([v for _, v in pairs], dtype=float)
+    groups = sorted(set(grps))
+    z = np.empty(len(vals))
+    for g in groups:
+        m = np.median(vals[grps == g])
+        z[grps == g] = np.abs(vals[grps == g] - m)
+    r = _rankdata(z)
+    u = r**2
+    n = len(vals)
+    s = np.array([u[grps == g].sum() for g in groups])
+    ns = np.array([(grps == g).sum() for g in groups], dtype=float)
+    sbar = u.sum() / n
+    d2 = ((u**2).sum() - n * sbar**2) / (n - 1)
+    if d2 <= 0:
+        return None
+    return ((s**2 / ns).sum() - n * sbar**2) / d2
+
+
+def _rankdata_for_conover(pairs):
+    grps = np.array([g for g, _ in pairs])
+    vals = np.array([v for _, v in pairs], dtype=float)
+    z = np.empty(len(vals))
+    for g in sorted(set(grps)):
+        m = np.median(vals[grps == g])
+        z[grps == g] = np.abs(vals[grps == g] - m)
+    return _rankdata(z)
+
+
+def test_conover_matches_bruteforce(spark):
+    rng = np.random.default_rng(73)
+    pairs = [
+        (f"g{j}", int(v))
+        for j, sd in enumerate([5, 12, 25])
+        for v in rng.normal(100, sd, 130).round()
+    ]
+    t_ref = _conover_local(pairs)
+    rows = conover_squared_ranks(_df(spark, pairs)).collect()
+    assert len(rows) == 3
+    n_tot = sum(r["n"] for r in rows)
+    for r in rows:
+        assert r["t_stat"] == pytest.approx(t_ref, rel=1e-5)
+        assert r["df"] == 2 and r["k"] == 3
+    by = {r["group"]: r for r in rows}
+    # wider group -> larger deviations -> larger normalized rank mass
+    assert by["g2"]["mean_u"] > by["g0"]["mean_u"]
+    # s_u sums to ~ sum over all points of (r/N)^2
+    assert sum(r["s_u"] for r in rows) == pytest.approx(
+        sum((_rankdata_for_conover(pairs) / n_tot) ** 2), abs=1e-4
+    )
+
+
+def test_conover_scale_discriminates_equal_scale_does_not(spark):
+    rng = np.random.default_rng(79)
+    widened = [
+        (f"g{j}", int(v))
+        for j, sd in enumerate([3, 15])
+        for v in rng.normal(0, sd, 200).round()
+    ]
+    same = [
+        (f"g{j}", int(v))
+        for j in range(2)
+        for v in rng.normal(0, 5, 200).round()
+    ]
+    # location shift with SAME scale must NOT trigger (median-centred)
+    shifted = [
+        (g, v + (500 if g == "g1" else 0)) for g, v in same
+    ]
+    t_w = conover_squared_ranks(_df(spark, widened)).first()["t_stat"]
+    t_s = conover_squared_ranks(_df(spark, same)).first()["t_stat"]
+    t_l = conover_squared_ranks(_df(spark, shifted)).first()["t_stat"]
+    assert t_w > 30.0
+    assert t_s < 7.0
+    assert t_l < 7.0
+
+
+def test_conover_all_tied_null(spark):
+    pairs = [("a", 4)] * 10 + [("b", 4)] * 10
+    r = conover_squared_ranks(_df(spark, pairs)).first()
+    assert r["t_stat"] is None
