@@ -10091,6 +10091,91 @@ FROM red
 """
 
 
+def _q_hadamard(spark, sf_dir):
+    """Hadamard variance per signal over the τ grid (operators/rollup
+    .hadamard_variance, Baugh 1971 / IEEE 1139): the drift-immune
+    second-difference companion of allan_variance — linear ramps
+    cancel exactly, exposing the noise floor alone.  Same exactness
+    protocol (centi-unit values, 12-dp bucket means, 6-dp squared
+    second differences) and the same one-aggregate shape."""
+    from eristropy_spark.operators.rollup import hadamard_variance
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cval"),
+    )
+    r = hadamard_variance(
+        ev,
+        ("user_id", "event_type"),
+        ts_col="ts",
+        value_col="cval",
+        taus=(60, 240, 960),
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "tau_s",
+        "n_buckets",
+        "m_triples",
+        _r6("hvar").alias("hvar"),
+        _r6("hdev").alias("hdev"),
+    )
+
+
+_ORACLE_HADAMARD = """
+WITH pts AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cval
+  FROM events
+), ex AS (
+  SELECT p.*, t.tau_s
+  FROM pts p CROSS JOIN (VALUES (60), (240), (960)) AS t(tau_s)
+), g AS (
+  SELECT user_id, event_type, tau_s,
+         CAST(floor(CAST(sec AS DOUBLE) / CAST(tau_s AS DOUBLE))
+              AS BIGINT) AS bucket,
+         CAST(sum(cval) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2, 3, 4
+), m AS (
+  SELECT user_id, event_type, tau_s, bucket,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(38, 12)) AS m12
+  FROM g
+), lagd AS (
+  SELECT user_id, event_type, tau_s, bucket, m12,
+         lag(bucket, 1) OVER w AS pb1, lag(m12, 1) OVER w AS pm1,
+         lag(bucket, 2) OVER w AS pb2, lag(m12, 2) OVER w AS pm2
+  FROM m
+  WINDOW w AS (PARTITION BY user_id, event_type, tau_s ORDER BY bucket)
+), red AS (
+  SELECT user_id, event_type, tau_s,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN pb1 = bucket - 1 AND pb2 = bucket - 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m_triples,
+         sum(CASE WHEN pb1 = bucket - 1 AND pb2 = bucket - 2 THEN
+               CAST(floor(CAST(m12 - 2 * pm1 + pm2 AS DOUBLE)
+                          * CAST(m12 - 2 * pm1 + pm2 AS DOUBLE)
+                          * 1000000 + 0.5) / 1000000 AS DECIMAL(38, 6))
+             END) AS ss
+  FROM lagd GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, tau_s, n_buckets, m_triples,
+       CASE WHEN m_triples >= 1 THEN
+         floor(CAST(ss AS DOUBLE) / (6.0 * CAST(m_triples AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS hvar,
+       CASE WHEN m_triples >= 1 THEN
+         floor(sqrt(CAST(ss AS DOUBLE)
+                    / (6.0 * CAST(m_triples AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 END AS hdev
+FROM red
+"""
+
+
 def _q_kuiper(spark, sf_dir):
     """Kuiper V drift per signal (operators/drift.kuiper_drift,
     Kuiper 1960): the rotation-invariant KS twin — V = D⁺ + D⁻ from
@@ -11328,6 +11413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ansari_drift": _q_ansari,
         "kuiper_drift": _q_kuiper,
         "allan_variance": _q_allan,
+        "hadamard_variance": _q_hadamard,
         "kn_bigram": _q_kn_bigram,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -11519,6 +11605,7 @@ def oracle_sql() -> dict[str, str]:
         "ansari_drift": _ORACLE_ANSARI,
         "kuiper_drift": _ORACLE_KUIPER,
         "allan_variance": _ORACLE_ALLAN,
+        "hadamard_variance": _ORACLE_HADAMARD,
         "kn_bigram": _ORACLE_KN,
         "bpe_merges": _ORACLE_BPE_MERGES,
         "bpe_encode": _ORACLE_BPE_ENCODE,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.functions.entropy_arrow import entropy_points_arrow
 
-__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "histogram_rollup", "m4_downsample", "allan_variance", "TIER_SPECS"]
+__all__ = ["entropy_points", "rollup_tier", "cascade", "percentile_rollup", "cardinality_rollup", "ohlc_rollup", "histogram_rollup", "m4_downsample", "allan_variance", "hadamard_variance", "TIER_SPECS"]
 
 # tier name -> truncation unit for date_trunc
 TIER_SPECS: list[tuple[str, str]] = [("1min", "minute"), ("1hour", "hour")]
@@ -460,4 +460,90 @@ def allan_variance(
         "m_pairs",
         avar.alias("avar"),
         F.when(avar.isNotNull(), F.sqrt(avar)).alias("adev"),
+    )
+
+
+def hadamard_variance(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    taus: tuple[int, ...] = (60, 120, 240, 480, 960),
+) -> DataFrame:
+    """Hadamard variance per signal over a grid of averaging times
+    (Baugh 1971; the IEEE 1139 companion to ``allan_variance``):
+    HVAR(τ) = ⅙·E[(ȳ_{i+2} − 2ȳ_{i+1} + ȳ_i)²] — the SECOND
+    difference of consecutive τ-bucket means, which cancels any
+    LINEAR frequency drift exactly.  Allan answers "when does drift
+    beat noise"; Hadamard answers "what does the noise alone look
+    like once the deterministic ramp is removed" — the pair separates
+    a signal's drift rate from its noise floor using only the rollup
+    cascade's own bucket means.
+
+    Sparse-series convention: a triple contributes only when buckets
+    b, b+1, b+2 are ALL present (``m_triples`` reports how many).
+
+    Exactness protocol and scale shape: identical to
+    ``allan_variance`` (12-dp-quantized bucket means, exact decimal
+    second differences, 6-dp-quantized squares into DECIMAL(38,6),
+    ONE float division; in-row τ explode + one (key, τ, bucket)
+    map-side-combined aggregate + one two-lag window — no joins, zero
+    Python).
+
+    Returns one row per (key, tau_s): (*key, tau_s, n_buckets,
+    m_triples, hvar, hdev); ``hvar`` is NULL when m_triples = 0.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    from eristropy_spark.operators.changepoint import _floor_round
+    from pyspark.sql import Window
+
+    tau_arr = F.array(*[F.lit(int(t)) for t in taus])
+    pts = df.select(
+        *keys,
+        F.explode(tau_arr).alias("tau_s"),
+        F.unix_timestamp(F.col(ts_col)).alias("_sec"),
+        F.col(value_col).alias("_v"),
+    ).withColumn("_bucket", F.floor(F.col("_sec") / F.col("tau_s")))
+
+    g = pts.groupBy(*keys, "tau_s", "_bucket").agg(
+        F.sum("_v").alias("_s"),
+        F.count("*").cast("long").alias("_c"),
+    )
+    mean12 = _floor_round(
+        F.col("_s").cast("double") / F.col("_c").cast("double"), 12
+    ).cast("decimal(38,12)")
+    g = g.withColumn("_m12", mean12)
+
+    w = Window.partitionBy(*keys, "tau_s").orderBy("_bucket")
+    g = (
+        g.withColumn("_pb1", F.lag("_bucket", 1).over(w))
+        .withColumn("_pm1", F.lag("_m12", 1).over(w))
+        .withColumn("_pb2", F.lag("_bucket", 2).over(w))
+        .withColumn("_pm2", F.lag("_m12", 2).over(w))
+    )
+    adj = (F.col("_pb1") == F.col("_bucket") - 1) & (
+        F.col("_pb2") == F.col("_bucket") - 2
+    )
+    dd = (
+        F.col("_m12") - 2 * F.col("_pm1") + F.col("_pm2")
+    ).cast("double")
+    term = F.when(adj, _floor_round(dd * dd, 6).cast("decimal(38,6)"))
+
+    red = g.groupBy(*keys, "tau_s").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(adj, 1).otherwise(0)).cast("long").alias("m_triples"),
+        F.sum(term).alias("_ss"),
+    )
+    md = F.col("m_triples").cast("double")
+    hvar = F.when(
+        F.col("m_triples") >= 1,
+        F.col("_ss").cast("double") / (F.lit(6.0) * md),
+    )
+    return red.select(
+        *keys,
+        "tau_s",
+        "n_buckets",
+        "m_triples",
+        hvar.alias("hvar"),
+        F.when(hvar.isNotNull(), F.sqrt(hvar)).alias("hdev"),
     )

@@ -983,19 +983,21 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and _py_node_count(p) == 0, p)
         )
 
-    # 43c. allan_variance: in-row tau explode + ONE (key, tau, bucket)
-    # map-side-combined aggregate + lag window + per-(key, tau) reduce
-    # riding the same partitioning — no Join, zero Python
-    av = entrymod.queries()["allan_variance"](spark, sf_dir)
-    p = plan_of(av)
-    checks.append(
-        ("allan_variance: <=2 keyed Exchanges, in-row tau explode, "
-         "no Join, zero Python",
-         p.count("Exchange") <= 2
-         and "Join" not in p
-         and "Generate" in p
-         and _py_node_count(p) == 0, p)
-    )
+    # 43c. allan_variance / hadamard_variance: in-row tau explode +
+    # ONE (key, tau, bucket) map-side-combined aggregate + lag window
+    # + per-(key, tau) reduce riding the same partitioning — no Join,
+    # zero Python
+    for qn in ("allan_variance", "hadamard_variance"):
+        av = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(av)
+        checks.append(
+            (f"{qn}: <=2 keyed Exchanges, in-row tau explode, "
+             "no Join, zero Python",
+             p.count("Exchange") <= 2
+             and "Join" not in p
+             and "Generate" in p
+             and _py_node_count(p) == 0, p)
+        )
 
     # 44. funnel: chained step minima over ONE key partitioning (the
     # final k-row reduce may be single-partition — it is k rows), no

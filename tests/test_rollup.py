@@ -372,3 +372,79 @@ def test_allan_single_bucket_null(spark):
         _ts_df(spark, [1.0, 2.0], [5.0, 7.0]), "sid", taus=(60,)
     ).first()
     assert r["avar"] is None and r["m_pairs"] == 0
+
+
+# ---------------------------------------------------------------- Hadamard
+
+from eristropy_spark.operators.rollup import hadamard_variance
+
+
+def _hadamard_local(secs, vals, tau):
+    b = np.floor(np.asarray(secs) / tau).astype(np.int64)
+    uniq = np.unique(b)
+    means = {int(u): np.mean([v for bb, v in zip(b, vals) if bb == u]) for u in uniq}
+    trips = [
+        (means[u + 2] - 2 * means[u + 1] + means[u]) ** 2
+        for u in uniq
+        if u + 1 in means and u + 2 in means
+    ]
+    if not trips:
+        return None, 0
+    return float(np.sum(trips) / (6 * len(trips))), len(trips)
+
+
+def test_hadamard_matches_bruteforce(spark):
+    rng = np.random.default_rng(83)
+    secs = np.sort(rng.uniform(0, 7200, 700))
+    vals = rng.normal(5, 3, 700)
+    rows = {
+        r["tau_s"]: r
+        for r in hadamard_variance(
+            _ts_df(spark, secs, vals), "sid", taus=(60, 240)
+        ).collect()
+    }
+    for tau in (60, 240):
+        ref, m = _hadamard_local(np.floor(secs), vals, tau)
+        r = rows[tau]
+        assert r["m_triples"] == m
+        assert r["hvar"] == _pytest.approx(ref, abs=1e-5)
+        assert r["hdev"] == _pytest.approx(np.sqrt(ref), abs=1e-5)
+
+
+def test_hadamard_immune_to_linear_drift_allan_is_not(spark):
+    n = 4096
+    secs = np.arange(n, dtype=float)
+    rng = np.random.default_rng(89)
+    noise = rng.normal(0, 0.5, n)
+    drift = 0.05 * secs + noise
+    taus = (8, 64)
+    av = {
+        r["tau_s"]: r["avar"]
+        for r in allan_variance(_ts_df(spark, secs, drift), "sid", taus=taus).collect()
+    }
+    hv = {
+        r["tau_s"]: r["hvar"]
+        for r in hadamard_variance(
+            _ts_df(spark, secs, drift), "sid", taus=taus
+        ).collect()
+    }
+    hv_pure = {
+        r["tau_s"]: r["hvar"]
+        for r in hadamard_variance(
+            _ts_df(spark, secs, noise), "sid", taus=taus
+        ).collect()
+    }
+    # the ramp dominates Allan at long tau (AVAR ~ (drift*tau)^2/2)
+    assert av[64] > 100 * hv[64]
+    # Hadamard on drift+noise ~ Hadamard on noise alone
+    assert hv[64] == _pytest.approx(hv_pure[64], rel=0.05)
+
+
+def test_hadamard_needs_three_adjacent(spark):
+    # buckets 0,1 and 5,6,7 at tau=10: one triple (5,6,7)
+    secs = [5.0, 15.0, 55.0, 65.0, 75.0]
+    vals = [1.0, 2.0, 10.0, 13.0, 20.0]
+    r = hadamard_variance(_ts_df(spark, secs, vals), "sid", taus=(10,)).first()
+    assert r["n_buckets"] == 5 and r["m_triples"] == 1
+    # (20 - 2*13 + 10)^2 / 6 = 16/6
+    assert r["hvar"] == _pytest.approx(16.0 / 6.0, abs=1e-9)
