@@ -10345,17 +10345,121 @@ WITH pts AS (
          sum(CAST(t AS DECIMAL(38, 0)) * a2) AS t1,
          sum(CAST(floor(CAST(t AS DOUBLE) * CAST(a2 AS DOUBLE)
                         * CAST(a2 AS DOUBLE) * 1000000 + 0.5) / 1000000
-                  AS DECIMAL(38, 6))) AS t2
+                  AS DECIMAL(38, 6))) AS t2,
+         CAST(count(*) AS BIGINT) AS nv
   FROM scored GROUP BY user_id, event_type
 )
 SELECT user_id, event_type, n_ref, n_cur,
        floor(CAST(w2 AS DOUBLE) / 2.0 * 1000000 + 0.5) / 1000000 AS w,
        CASE WHEN n_ref >= 1 AND n_cur >= 1 AND n_ref + n_cur >= 2
+                 AND nv >= 2
                  AND (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
                      * CAST(t2 AS DOUBLE)
                      - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) > 0.0
             THEN floor(
               (CAST(w2 AS DOUBLE)
+                 * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+               - CAST(n_cur AS DOUBLE) * CAST(t1 AS DOUBLE))
+              / sqrt(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                     * ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                        * CAST(t2 AS DOUBLE)
+                        - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+                     / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                        - 1.0))
+              * 1000000 + 0.5) / 1000000
+       END AS z
+FROM red
+"""
+
+
+def _q_mood_scale(spark, sf_dir):
+    """Mood two-sample scale drift per signal (operators/drift
+    .mood_scale_drift, Mood 1954): quadratic centre-out scores
+    (i−(N+1)/2)² with tie-run averaging — the power complement of
+    ansari_drift (heavier tail weighting, opposite sign convention);
+    quadrupled run score sums exact via the square-pyramidal closed
+    form, 12-dp run means, (13,0)×(24,12) products, structural
+    degeneracy guard; t/z ONE fixed float expression each."""
+    from eristropy_spark.operators.drift import mood_scale_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = mood_scale_drift(
+        ev, ("user_id", "event_type"), tiebreak_col="event_id"
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _r6("t").alias("t"),
+        _r6("z").alias("z"),
+    )
+
+
+_ORACLE_MOOD_SCALE = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb, ca + cb AS t,
+         CAST(sum(ca + cb) OVER w AS BIGINT) AS cumt,
+         CAST(sum(ca + cb) OVER pk AS BIGINT) AS nn
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         pk AS (PARTITION BY user_id, event_type)
+), scored AS (
+  SELECT user_id, event_type, ca, cb, t,
+         CAST(floor(CAST(s4 AS DOUBLE) / CAST(t AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(24, 12)) AS a4
+  FROM (
+    SELECT *,
+           4 * ((hi * (hi + 1) * (2 * hi + 1)
+                 - (lo - 1) * lo * (2 * lo - 1)) // 6)
+           - 4 * np1 * ((hi * (hi + 1) - (lo - 1) * lo) // 2)
+           + CAST(t AS HUGEINT) * np1 * np1 AS s4
+    FROM (
+      SELECT *,
+             CAST(cumt - t + 1 AS HUGEINT) AS lo,
+             CAST(cumt AS HUGEINT) AS hi,
+             CAST(nn + 1 AS HUGEINT) AS np1
+      FROM cum
+    )
+  )
+), red AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) AS BIGINT) AS n_ref,
+         CAST(sum(cb) AS BIGINT) AS n_cur,
+         sum(CAST(cb AS DECIMAL(13, 0)) * a4) AS w4,
+         sum(CAST(t AS DECIMAL(13, 0)) * a4) AS t1,
+         sum(CAST(floor(CAST(t AS DOUBLE) * CAST(a4 AS DOUBLE)
+                        * CAST(a4 AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS DECIMAL(38, 6))) AS t2,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM scored GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       floor(CAST(w4 AS DOUBLE) / 4.0 * 1000000 + 0.5) / 1000000 AS t,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND n_ref + n_cur >= 2
+                 AND nv >= 2
+                 AND (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                     * CAST(t2 AS DOUBLE)
+                     - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) > 0.0
+            THEN floor(
+              (CAST(w4 AS DOUBLE)
                  * (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
                - CAST(n_cur AS DOUBLE) * CAST(t1 AS DOUBLE))
               / sqrt(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
@@ -11412,6 +11516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ad_drift": _q_ad_drift,
         "ansari_drift": _q_ansari,
         "kuiper_drift": _q_kuiper,
+        "mood_scale_drift": _q_mood_scale,
         "allan_variance": _q_allan,
         "hadamard_variance": _q_hadamard,
         "kn_bigram": _q_kn_bigram,
@@ -11604,6 +11709,7 @@ def oracle_sql() -> dict[str, str]:
         "ad_drift": _ORACLE_AD_DRIFT,
         "ansari_drift": _ORACLE_ANSARI,
         "kuiper_drift": _ORACLE_KUIPER,
+        "mood_scale_drift": _ORACLE_MOOD_SCALE,
         "allan_variance": _ORACLE_ALLAN,
         "hadamard_variance": _ORACLE_HADAMARD,
         "kn_bigram": _ORACLE_KN,

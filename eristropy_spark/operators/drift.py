@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift", "kuiper_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift", "kuiper_drift", "mood_scale_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -1340,6 +1340,8 @@ def ansari_drift(
                 6,
             ).cast("decimal(38,6)")
         ).alias("_t2"),
+        # structural degeneracy count (see mood_scale_drift)
+        F.count("*").cast("long").alias("_nv"),
     )
 
     na = F.col("n_ref").cast("double")
@@ -1353,6 +1355,7 @@ def ansari_drift(
         (F.col("n_ref") >= 1)
         & (F.col("n_cur") >= 1)
         & (F.col("n_ref") + F.col("n_cur") >= 2)
+        & (F.col("_nv") >= 2)
         & (varterm > F.lit(0.0)),
         (w2d * nd - nb * t1d)
         / F.sqrt(na * nb * varterm / (nd - F.lit(1.0))),
@@ -1469,4 +1472,141 @@ def kuiper_drift(
         )
         .otherwise(nulld)
         .alias("p_bound"),
+    )
+
+
+def mood_scale_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, t, z) — Mood's two-sample SCALE test
+    (Mood 1954, AMS 25) between the first and second half of each
+    key's history: scores a(i) = (i − (N+1)/2)² grow QUADRATICALLY
+    from the centre out, so it weights genuine tail spread harder
+    than ``ansari_drift``'s linear min(i, N+1−i) scores — the more
+    powerful of the two under light-tailed alternatives, the more
+    outlier-sensitive under heavy ones (run both; disagreement is
+    itself diagnostic).  T = Σ scores of the CURRENT half; z > 0 ⇒
+    the current half is MORE dispersed (opposite sign convention to
+    ansari, where extremes score LOW).
+
+    Tied observations average the scores of their run (the ``ansari``
+    rule — a(·) is nonlinear, so run-averaging ≠ score of midrank).
+    z uses the same general linear-rank-statistic variance, exact
+    under ties.
+
+    Exactness protocol: per tie run [lo, hi] the QUADRUPLED score sum
+    4S = Σ (2i − (N+1))² is an exact integer via the square-pyramidal
+    closed form 4Σi² − 4(N+1)Σi + t(N+1)² in DECIMAL(38,0); the
+    quadrupled mean score 4S/t is 12-dp-quantized (psi rule) before
+    the DECIMAL(38,12) accumulations (operand widths (13,0)×(24,12)
+    so the product precision is exactly 38 — the
+    ``conover_squared_ranks`` precision-loss guard); z and t are ONE
+    fixed float expression each — bit-identical in the DuckDB
+    replay.
+
+    Same time-split protocol and census shuffle shape as
+    ``ansari_drift``; no joins, zero Python.  z is NULL when a half
+    is empty, N < 2, or every value is tied.
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = (
+        pts.groupBy(*keys, "_v")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+        .withColumn("_t", F.col("_ca") + F.col("_cb"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_kc = Window.partitionBy(*keys)
+    ranked = cnt.withColumn("_cumt", F.sum("_t").over(w_cum)).withColumn(
+        "_N", F.sum("_t").over(w_kc)
+    )
+
+    d0 = "decimal(38,0)"
+    lo = (F.col("_cumt") - F.col("_t") + 1).cast(d0)
+    hi = F.col("_cumt").cast(d0)
+    t0 = F.col("_t").cast(d0)
+    np1 = (F.col("_N") + 1).cast(d0)
+    # 4S = sum_{i=lo}^{hi} (2i - (N+1))^2
+    #    = 4*sum i^2 - 4*(N+1)*sum i + t*(N+1)^2, all exact
+    sum_i = (hi * (hi + 1) - (lo - 1) * lo) / 2
+    sum_i2 = (
+        hi * (hi + 1) * (2 * hi + 1) - (lo - 1) * lo * (2 * lo - 1)
+    ) / 6
+    s4 = (4 * sum_i2 - 4 * np1 * sum_i + t0 * np1 * np1).cast(d0)
+    a4 = _floor_round(
+        s4.cast("double") / F.col("_t").cast("double"), 12
+    ).cast("decimal(24,12)")
+    ranked = ranked.withColumn("_a4", a4)
+
+    red = ranked.groupBy(*keys).agg(
+        F.sum("_ca").cast("long").alias("n_ref"),
+        F.sum("_cb").cast("long").alias("n_cur"),
+        F.sum(F.col("_cb").cast("decimal(13,0)") * F.col("_a4")).alias(
+            "_w4"
+        ),
+        F.sum(F.col("_t").cast("decimal(13,0)") * F.col("_a4")).alias(
+            "_t1"
+        ),
+        F.sum(
+            _floor_round(
+                F.col("_t").cast("double")
+                * F.col("_a4").cast("double")
+                * F.col("_a4").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("_t2"),
+        # structural degeneracy count: Var = 0 iff ONE distinct value
+        # (the float varterm sits within an ulp of 0 when degenerate)
+        F.count("*").cast("long").alias("_nv"),
+    )
+
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    nd = na + nb
+    w4d = F.col("_w4").cast("double")
+    t1d = F.col("_t1").cast("double")
+    t2d = F.col("_t2").cast("double")
+    varterm = nd * t2d - t1d * t1d
+    z = F.when(
+        (F.col("n_ref") >= 1)
+        & (F.col("n_cur") >= 1)
+        & (F.col("n_ref") + F.col("n_cur") >= 2)
+        & (F.col("_nv") >= 2)
+        & (varterm > F.lit(0.0)),
+        (w4d * nd - nb * t1d)
+        / F.sqrt(na * nb * varterm / (nd - F.lit(1.0))),
+    )
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        (w4d / F.lit(4.0)).alias("t"),
+        z.alias("z"),
     )

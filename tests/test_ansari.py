@@ -154,3 +154,63 @@ def test_kuiper_null_identical_halves_p_one(spark):
     r = kuiper_drift(_df(spark, vals), "sid", ts_col="ts").first()
     assert r["v_num"] == 0
     assert r["p_bound"] == 1.0
+
+
+# ---------------------------------------------------------------- Mood scale
+
+from eristropy_spark.operators.drift import mood_scale_drift  # noqa: E402
+
+
+def _mood_scale_local(vals):
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    ref, cur = vals[: n // 2], vals[n // 2 :]
+    pooled = np.concatenate([ref, cur])
+    order = np.argsort(pooled, kind="mergesort")
+    pos_scores = (np.arange(1, n + 1) - (n + 1) / 2.0) ** 2
+    sp = pooled[order]
+    avg = pos_scores.copy()
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sp[j + 1] == sp[i]:
+            j += 1
+        avg[i : j + 1] = pos_scores[i : j + 1].mean()
+        i = j + 1
+    a = np.empty(n)
+    a[order] = avg
+    a_cur = a[len(ref) :]
+    t = a_cur.sum()
+    sa, sa2 = a.sum(), (a**2).sum()
+    e = len(cur) * sa / n
+    var = len(ref) * len(cur) * (n * sa2 - sa**2) / (n**2 * (n - 1))
+    if var <= 0:
+        return t, None
+    return t, (t - e) / np.sqrt(var)
+
+
+@pytest.mark.parametrize("seed,m", [(101, 180), (103, 145)])
+def test_mood_scale_matches_bruteforce(spark, seed, m):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 35, m).astype(float)
+    t_ref, z_ref = _mood_scale_local(vals)
+    r = mood_scale_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["t"] == pytest.approx(t_ref, rel=1e-9)
+    assert r["z"] == pytest.approx(z_ref, abs=1e-4)
+
+
+def test_mood_scale_sign_opposite_to_ansari(spark):
+    rng = np.random.default_rng(107)
+    base = rng.normal(0, 1, 150)
+    wide = rng.normal(0, 6, 150)
+    vals = np.concatenate([base, wide])
+    zm = mood_scale_drift(_df(spark, vals), "sid", ts_col="ts").first()["z"]
+    za = ansari_drift(_df(spark, vals), "sid", ts_col="ts").first()["z"]
+    # cur more dispersed: mood scores (quadratic, centre-out) HIGH ->
+    # z > 0; ansari scores (ends-in) LOW -> z < 0
+    assert zm > 5.0 and za < -5.0
+
+
+def test_mood_scale_all_tied_null(spark):
+    r = mood_scale_drift(_df(spark, [3.0] * 24), "sid", ts_col="ts").first()
+    assert r["z"] is None
