@@ -5788,6 +5788,73 @@ FROM red
 """
 
 
+def _q_bartels(spark, sf_dir):
+    """Bartels rank von Neumann randomness test per signal
+    (operators/acf.bartels_rank, Bartels 1982): RVN = Σ(ΔR)²/Σ(R−R̄)²
+    on time-order midranks — quadrupled numerator and denominator
+    exact int64 (2R̄ = n+1 exactly), RVN one int/int division, z the
+    Bartels asymptotic; ONE mapInArrow boundary over the array
+    layout, zero shuffle beyond tokenize's own."""
+    from eristropy_spark.operators.acf import bartels_rank
+
+    tokens = events_to_tokens(_utc(spark), sf_dir)
+    r = bartels_rank(tokens, array_col="tokens", keep_cols=("doc_id",))
+    return r.select(
+        "doc_id",
+        "n",
+        "num4",
+        "den4",
+        _r6("rvn").alias("rvn"),
+        _r6("z").alias("z"),
+    )
+
+
+_ORACLE_BARTELS = """
+WITH pts AS (
+  SELECT user_id || ':' || event_type AS doc_id,
+         CAST(round(value * 100) AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), rk AS (
+  SELECT doc_id, i,
+         CAST(2 * rank() OVER (PARTITION BY doc_id ORDER BY tok)
+              + count(*) OVER (PARTITION BY doc_id, tok) - 1
+              AS BIGINT) AS r2,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM pts
+), lagd AS (
+  SELECT doc_id, n, r2,
+         lag(r2) OVER (PARTITION BY doc_id ORDER BY i) AS pr
+  FROM rk
+), red AS (
+  SELECT doc_id, CAST(max(n) AS INT) AS n,
+         CAST(sum(CASE WHEN pr IS NOT NULL
+                       THEN (r2 - pr) * (r2 - pr) END) AS BIGINT)
+           AS num4,
+         CAST(sum((r2 - (n + 1)) * (r2 - (n + 1))) AS BIGINT) AS den4
+  FROM lagd GROUP BY doc_id
+)
+SELECT doc_id, n,
+       CASE WHEN n >= 10 THEN num4 END AS num4,
+       CASE WHEN n >= 10 THEN den4 END AS den4,
+       CASE WHEN n >= 10 AND den4 > 0 THEN
+         floor(CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 END AS rvn,
+       CASE WHEN n >= 10 AND den4 > 0 THEN
+         floor((CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
+               / sqrt(4.0 * (CAST(n AS DOUBLE) - 2.0)
+                      * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         - 2.0 * CAST(n AS DOUBLE) - 9.0)
+                      / (5.0 * CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) + 1.0)
+                         * (CAST(n AS DOUBLE) - 1.0)
+                         * (CAST(n AS DOUBLE) - 1.0)))
+               * 1000000 + 0.5) / 1000000 END AS z
+FROM red
+"""
+
+
 def _q_ljung_box(spark, sf_dir):
     """Ljung–Box white-noise test per signal (operators/acf.ljung_box):
     quantized-ρ portmanteau Q over 10 lags + the even-df closed-form
@@ -11471,6 +11538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normality": _q_normality,
         "benford": _q_benford,
         "ljung_box": _q_ljung_box,
+        "bartels_rank": _q_bartels,
         "matrix_profile": _q_matrix_profile,
         "higuchi_fd": _q_higuchi,
         "dfa": _q_dfa,
@@ -11664,6 +11732,7 @@ def oracle_sql() -> dict[str, str]:
         "normality": _ORACLE_NORMALITY,
         "benford": _benford_oracle(),
         "ljung_box": _ORACLE_LJUNG_BOX,
+        "bartels_rank": _ORACLE_BARTELS,
         "matrix_profile": _ORACLE_MATRIX_PROFILE,
         "higuchi_fd": _ORACLE_HIGUCHI,
         "dfa": _ORACLE_DFA,

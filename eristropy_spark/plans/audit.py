@@ -668,7 +668,8 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # array-kernel class — ONE Arrow boundary, only tokenize's
     # Exchange, no joins
     for qname in (
-        "higuchi_fd", "dfa", "lz_complexity", "lttb", "lz_entropy_rate"
+        "higuchi_fd", "dfa", "lz_complexity", "lttb", "lz_entropy_rate",
+        "bartels_rank"
     ):
         hq = entrymod.queries()[qname](spark, sf_dir)
         p = plan_of(hq)

@@ -139,3 +139,67 @@ def test_ess_matches_local_and_discriminates(spark):
         assert r["ess"] == _pt.approx(len(vals) / tau, abs=1e-9)
     assert out["trend"]["ess"] < 20 < out["iid"]["ess"]
     assert out["short"]["tau"] == 1.0 and out["short"]["ess"] == 1.0
+
+
+# ---------------------------------------------------------------- Bartels
+
+from eristropy_spark.operators.acf import bartels_rank
+
+
+def _bartels_local(x):
+    import numpy as _np
+
+    x = _np.asarray(x, dtype=float)
+    n = len(x)
+    sx = _np.sort(x)
+    lt = _np.searchsorted(sx, x, side="left")
+    le = _np.searchsorted(sx, x, side="right")
+    r = (lt + le + 1) / 2.0  # midranks
+    num = _np.diff(r) @ _np.diff(r)
+    den = ((r - (n + 1) / 2.0) ** 2).sum()
+    if den == 0:
+        return None, None
+    rvn = num / den
+    var = 4 * (n - 2) * (5 * n * n - 2 * n - 9) / (
+        5 * n * (n + 1) * (n - 1) ** 2
+    )
+    return rvn, (rvn - 2.0) / np.sqrt(var)
+
+
+def _arr_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_bartels_matches_bruteforce(spark):
+    rng = np.random.default_rng(109)
+    rows = [
+        (f"d{i}", [int(v) for v in rng.integers(0, 50, 120)])
+        for i in range(6)
+    ]
+    got = {r["doc_id"]: r for r in bartels_rank(_arr_df(spark, rows)).collect()}
+    for did, toks in rows:
+        rvn_ref, z_ref = _bartels_local(toks)
+        r = got[did]
+        assert r["rvn"] == pytest.approx(rvn_ref, abs=1e-12)
+        assert r["z"] == pytest.approx(z_ref, abs=1e-9)
+        assert r["num4"] == int(round(4 * rvn_ref * (r["den4"] / 4)))
+
+
+def test_bartels_discriminates_trend_oscillation_noise(spark):
+    rng = np.random.default_rng(113)
+    n = 200
+    trend = [int(v) for v in (np.arange(n) + rng.integers(0, 5, n))]
+    osc = [int(1000 + 500 * (-1) ** i + rng.integers(0, 50)) for i in range(n)]
+    noise = [int(v) for v in rng.integers(0, 10000, n)]
+    rows = [("trend", trend), ("osc", osc), ("noise", noise)]
+    got = {r["doc_id"]: r for r in bartels_rank(_arr_df(spark, rows)).collect()}
+    assert got["trend"]["z"] < -8.0   # RVN << 2
+    assert got["osc"]["z"] > 8.0      # RVN >> 2
+    assert abs(got["noise"]["z"]) < 3.0
+
+
+def test_bartels_short_and_constant_null(spark):
+    rows = [("short", [1, 2, 3]), ("const", [7] * 40)]
+    got = {r["doc_id"]: r for r in bartels_rank(_arr_df(spark, rows)).collect()}
+    assert got["short"]["rvn"] is None
+    assert got["const"]["rvn"] is None and got["const"]["den4"] == 0
