@@ -10439,6 +10439,130 @@ FROM red
 """
 
 
+def _q_lepage(spark, sf_dir):
+    """Lepage location+scale omnibus drift per signal
+    (operators/drift.lepage_drift, Lepage 1971): L = z_W² + z_AB² ~
+    χ²(2) — Wilcoxon and Ansari–Bradley z's computed from ONE census
+    pass (strictly cheaper than running the two parents), exact
+    doubled midranks / triangular run scores, structural degeneracy
+    guard; each z and L ONE fixed float expression."""
+    from eristropy_spark.operators.drift import lepage_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = lepage_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _r6("z_w").alias("z_w"),
+        _r6("z_ab").alias("z_ab"),
+        _r6("l_stat").alias("l_stat"),
+    )
+
+
+_ORACLE_LEPAGE = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb, ca + cb AS t,
+         CAST(sum(ca + cb) OVER w AS BIGINT) AS cumt,
+         CAST(sum(ca + cb) OVER pk AS BIGINT) AS nn
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         pk AS (PARTITION BY user_id, event_type)
+), scored AS (
+  SELECT user_id, event_type, ca, cb, t, cumt,
+         CAST(floor(2.0 * CAST(ss AS DOUBLE) / CAST(t AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(24, 12)) AS a2
+  FROM (
+    SELECT *,
+           CASE WHEN LEAST(CAST(cumt AS HUGEINT), m) >= lo
+                THEN (LEAST(CAST(cumt AS HUGEINT), m)
+                      * (LEAST(CAST(cumt AS HUGEINT), m) + 1)
+                      - (lo - 1) * lo) // 2 ELSE 0 END
+           + CASE WHEN CAST(cumt AS HUGEINT) >= GREATEST(lo, m + 1)
+                  THEN (CAST(cumt AS HUGEINT)
+                        - GREATEST(lo, m + 1) + 1) * (nn + 1)
+                       - (CAST(cumt AS HUGEINT) * (cumt + 1)
+                          - (GREATEST(lo, m + 1) - 1)
+                            * GREATEST(lo, m + 1)) // 2
+                  ELSE 0 END AS ss
+    FROM (
+      SELECT *,
+             CAST(cumt - t + 1 AS HUGEINT) AS lo,
+             CAST((nn + 1) // 2 AS HUGEINT) AS m
+      FROM cum
+    )
+  )
+), red AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) AS BIGINT) AS n_ref,
+         CAST(sum(cb) AS BIGINT) AS n_cur,
+         CAST(sum(cb * (2 * cumt - t + 1)) AS BIGINT) AS r2b,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie,
+         sum(CAST(cb AS DECIMAL(13, 0)) * a2) AS w2,
+         sum(CAST(t AS DECIMAL(13, 0)) * a2) AS t1,
+         sum(CAST(floor(CAST(t AS DOUBLE) * CAST(a2 AS DOUBLE)
+                        * CAST(a2 AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS DECIMAL(38, 6))) AS t2,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM scored GROUP BY user_id, event_type
+), zz AS (
+  SELECT user_id, event_type, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) AS na, CAST(n_cur AS DOUBLE) AS nb,
+         r2b - n_cur * (n_cur + 1) AS u2,
+         CAST(tie AS DOUBLE) AS td,
+         CAST(w2 AS DOUBLE) AS w2d, CAST(t1 AS DOUBLE) AS t1d,
+         CAST(t2 AS DOUBLE) AS t2d, nv
+  FROM red
+), st AS (
+  SELECT user_id, event_type, n_ref, n_cur,
+         CASE WHEN n_ref >= 1 AND n_cur >= 1 AND nv >= 2
+                   AND (na * nb / 12.0)
+                       * ((na + nb + 1.0)
+                          - td / ((na + nb) * (na + nb - 1.0))) > 0.0
+              THEN (CAST(u2 AS DOUBLE) - na * nb)
+                   / (2.0 * sqrt((na * nb / 12.0)
+                        * ((na + nb + 1.0)
+                           - td / ((na + nb) * (na + nb - 1.0)))))
+         END AS z_w,
+         CASE WHEN n_ref >= 1 AND n_cur >= 1 AND n_ref + n_cur >= 2
+                   AND nv >= 2
+                   AND (na + nb) * t2d - t1d * t1d > 0.0
+              THEN (w2d * (na + nb) - nb * t1d)
+                   / sqrt(na * nb * ((na + nb) * t2d - t1d * t1d)
+                          / ((na + nb) - 1.0))
+         END AS z_ab
+  FROM zz
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       CASE WHEN z_w IS NOT NULL THEN
+         floor(z_w * 1000000 + 0.5) / 1000000 END AS z_w,
+       CASE WHEN z_ab IS NOT NULL THEN
+         floor(z_ab * 1000000 + 0.5) / 1000000 END AS z_ab,
+       CASE WHEN z_w IS NOT NULL AND z_ab IS NOT NULL THEN
+         floor((z_w * z_w + z_ab * z_ab) * 1000000 + 0.5) / 1000000
+       END AS l_stat
+FROM st
+"""
+
+
 def _q_mood_scale(spark, sf_dir):
     """Mood two-sample scale drift per signal (operators/drift
     .mood_scale_drift, Mood 1954): quadratic centre-out scores
@@ -11585,6 +11709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ansari_drift": _q_ansari,
         "kuiper_drift": _q_kuiper,
         "mood_scale_drift": _q_mood_scale,
+        "lepage_drift": _q_lepage,
         "allan_variance": _q_allan,
         "hadamard_variance": _q_hadamard,
         "kn_bigram": _q_kn_bigram,
@@ -11779,6 +11904,7 @@ def oracle_sql() -> dict[str, str]:
         "ansari_drift": _ORACLE_ANSARI,
         "kuiper_drift": _ORACLE_KUIPER,
         "mood_scale_drift": _ORACLE_MOOD_SCALE,
+        "lepage_drift": _ORACLE_LEPAGE,
         "allan_variance": _ORACLE_ALLAN,
         "hadamard_variance": _ORACLE_HADAMARD,
         "kn_bigram": _ORACLE_KN,

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift", "kuiper_drift", "mood_scale_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift", "kuiper_drift", "mood_scale_drift", "lepage_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -1609,4 +1609,162 @@ def mood_scale_drift(
         "n_cur",
         (w4d / F.lit(4.0)).alias("t"),
         z.alias("z"),
+    )
+
+
+def lepage_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, z_w, z_ab, l_stat) — the Lepage omnibus
+    test (Lepage 1971, Biometrika 58) between the first and second
+    half of each key's history: L = z_W² + z_AB², the Wilcoxon
+    LOCATION z and the Ansari–Bradley SCALE z combined —
+    asymptotically χ²(2) under H0, with power against a level shift,
+    a dispersion change, or both at once.  The single-number drift
+    gate when you don't know which way a signal will break; the
+    component z's say which it was.
+
+    Both statistics are linear rank statistics over the SAME
+    (key, value) census, so the operator computes them in ONE census
+    pass + ONE per-key reduce — strictly cheaper than running
+    ``mannwhitney_drift`` + ``ansari_drift`` separately.
+
+    Exactness protocol: doubled Wilcoxon midranks and rank-sums exact
+    int64 (the ``mannwhitney_drift`` machinery, tie-corrected
+    variance from the exact tie cube); Ansari run scores exact
+    triangular sums, 12-dp run means, (13,0)×(24,12) products and
+    the structural degeneracy guard (the ``ansari_drift`` /
+    ``conover`` machinery); each z is ONE fixed float expression and
+    L literally z_W·z_W + z_AB·z_AB — bit-identical in the DuckDB
+    replay.
+
+    Same time-split protocol and census shuffle shape as the rest of
+    the drift family; no joins, zero Python.  ``l_stat`` is NULL when
+    either component is (empty half, N < 2, or all values tied).
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = (
+        pts.groupBy(*keys, "_v")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+        .withColumn("_t", F.col("_ca") + F.col("_cb"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_kc = Window.partitionBy(*keys)
+    ranked = cnt.withColumn("_cumt", F.sum("_t").over(w_cum)).withColumn(
+        "_N", F.sum("_t").over(w_kc)
+    )
+
+    d0 = "decimal(38,0)"
+    # Ansari run scores (triangular split at m = floor((N+1)/2))
+    lo = (F.col("_cumt") - F.col("_t") + 1).cast(d0)
+    hi = F.col("_cumt").cast(d0)
+    m = F.floor((F.col("_N") + 1) / 2).cast(d0)
+    h1 = F.least(hi, m)
+    part1 = F.when(
+        h1 >= lo, (h1 * (h1 + 1) - (lo - 1) * lo) / 2
+    ).otherwise(F.lit(0).cast(d0))
+    l2 = F.greatest(lo, m + 1)
+    np1 = (F.col("_N") + 1).cast(d0)
+    part2 = F.when(
+        hi >= l2,
+        (hi - l2 + 1) * np1 - (hi * (hi + 1) - (l2 - 1) * l2) / 2,
+    ).otherwise(F.lit(0).cast(d0))
+    s = (part1 + part2).cast(d0)
+    a2 = _floor_round(
+        F.lit(2.0) * s.cast("double") / F.col("_t").cast("double"), 12
+    ).cast("decimal(24,12)")
+    ranked = ranked.withColumn("_a2", a2)
+
+    r2w = (2 * F.col("_cumt") - F.col("_t") + 1).cast("decimal(38,0)")
+    red = ranked.groupBy(*keys).agg(
+        F.sum("_ca").cast("long").alias("n_ref"),
+        F.sum("_cb").cast("long").alias("n_cur"),
+        # Wilcoxon pieces (mannwhitney_drift protocol)
+        F.sum(F.col("_cb").cast("decimal(38,0)") * r2w).alias("_r2b"),
+        F.sum(
+            F.col("_t").cast("decimal(38,0)")
+            * F.col("_t").cast("decimal(38,0)")
+            * F.col("_t").cast("decimal(38,0)")
+            - F.col("_t").cast("decimal(38,0)")
+        ).alias("_tie"),
+        # Ansari pieces (ansari_drift protocol)
+        F.sum(F.col("_cb").cast("decimal(13,0)") * F.col("_a2")).alias("_w2"),
+        F.sum(F.col("_t").cast("decimal(13,0)") * F.col("_a2")).alias("_t1"),
+        F.sum(
+            _floor_round(
+                F.col("_t").cast("double")
+                * F.col("_a2").cast("double")
+                * F.col("_a2").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("_t2"),
+        F.count("*").cast("long").alias("_nv"),
+    )
+
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    nd = na + nb
+    u2 = (F.col("_r2b") - F.col("n_cur") * (F.col("n_cur") + 1)).cast("long")
+    u2d = u2.cast("double")
+    td = F.col("_tie").cast("double")
+    var_u = (na * nb / F.lit(12.0)) * (
+        (nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0)))
+    )
+    z_w = F.when(
+        (F.col("n_ref") >= 1)
+        & (F.col("n_cur") >= 1)
+        & (F.col("_nv") >= 2)
+        & (var_u > F.lit(0.0)),
+        (u2d - na * nb) / (F.lit(2.0) * F.sqrt(var_u)),
+    )
+    w2d = F.col("_w2").cast("double")
+    t1d = F.col("_t1").cast("double")
+    t2d = F.col("_t2").cast("double")
+    varterm = nd * t2d - t1d * t1d
+    z_ab = F.when(
+        (F.col("n_ref") >= 1)
+        & (F.col("n_cur") >= 1)
+        & (F.col("n_ref") + F.col("n_cur") >= 2)
+        & (F.col("_nv") >= 2)
+        & (varterm > F.lit(0.0)),
+        (w2d * nd - nb * t1d)
+        / F.sqrt(na * nb * varterm / (nd - F.lit(1.0))),
+    )
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        z_w.alias("z_w"),
+        z_ab.alias("z_ab"),
+        F.when(
+            z_w.isNotNull() & z_ab.isNotNull(), z_w * z_w + z_ab * z_ab
+        ).alias("l_stat"),
     )

@@ -973,7 +973,8 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # window pass + (key, value) census (ansari adds the in-row
     # triangular score sums, kuiper the signed sup reduce) + per-key
     # reduce, no Join, zero Python
-    for qn in ("ansari_drift", "kuiper_drift", "mood_scale_drift"):
+    for qn in ("ansari_drift", "kuiper_drift", "mood_scale_drift",
+               "lepage_drift"):
         aq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(aq)
         checks.append(

@@ -214,3 +214,69 @@ def test_mood_scale_sign_opposite_to_ansari(spark):
 def test_mood_scale_all_tied_null(spark):
     r = mood_scale_drift(_df(spark, [3.0] * 24), "sid", ts_col="ts").first()
     assert r["z"] is None
+
+
+# ---------------------------------------------------------------- Lepage
+
+from eristropy_spark.operators.drift import lepage_drift, mannwhitney_drift  # noqa: E402
+
+
+def _mwu_z_local(vals):
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    ref, cur = vals[: n // 2], vals[n // 2 :]
+    pooled = np.concatenate([ref, cur])
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(n)
+    sp = pooled[order]
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sp[j + 1] == sp[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    r_cur = ranks[len(ref) :].sum()
+    na, nb = len(ref), len(cur)
+    u = r_cur - nb * (nb + 1) / 2.0
+    _, t = np.unique(pooled, return_counts=True)
+    tie = float((t.astype(float) ** 3 - t).sum())
+    var_u = (na * nb / 12.0) * ((n + 1) - tie / (n * (n - 1)))
+    if var_u <= 0:
+        return None
+    return (u - na * nb / 2.0) / np.sqrt(var_u)
+
+
+def test_lepage_components_match_parents(spark):
+    rng = np.random.default_rng(127)
+    vals = rng.integers(0, 60, 240).astype(float)
+    r = lepage_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    z_w_ref = _mwu_z_local(vals)
+    _, z_ab_ref = _ab_local(vals)
+    assert r["z_w"] == pytest.approx(z_w_ref, abs=1e-9)
+    assert r["z_ab"] == pytest.approx(z_ab_ref, abs=1e-4)
+    assert r["l_stat"] == pytest.approx(
+        r["z_w"] ** 2 + r["z_ab"] ** 2, abs=1e-9
+    )
+
+
+def test_lepage_fires_on_shift_or_scale_or_both(spark):
+    rng = np.random.default_rng(131)
+    base = rng.normal(0, 2, 200)
+    shift = np.concatenate([base, rng.normal(5, 2, 200)])
+    scale = np.concatenate([base, rng.normal(0, 8, 200)])
+    both = np.concatenate([base, rng.normal(5, 8, 200)])
+    null = np.concatenate([base, rng.normal(0, 2, 200)])
+    l_shift = lepage_drift(_df(spark, shift), "sid", ts_col="ts").first()
+    l_scale = lepage_drift(_df(spark, scale), "sid", ts_col="ts").first()
+    l_both = lepage_drift(_df(spark, both), "sid", ts_col="ts").first()
+    l_null = lepage_drift(_df(spark, null), "sid", ts_col="ts").first()
+    assert l_shift["l_stat"] > 30 and abs(l_shift["z_w"]) > 5
+    assert l_scale["l_stat"] > 30 and abs(l_scale["z_ab"]) > 5
+    assert l_both["l_stat"] > 60
+    assert l_null["l_stat"] < 12
+
+
+def test_lepage_all_tied_null(spark):
+    r = lepage_drift(_df(spark, [5.0] * 30), "sid", ts_col="ts").first()
+    assert r["l_stat"] is None and r["z_w"] is None and r["z_ab"] is None
