@@ -10439,6 +10439,102 @@ FROM red
 """
 
 
+def _q_cucconi(spark, sf_dir):
+    """Cucconi omnibus drift per signal (operators/drift
+    .cucconi_drift, Cucconi 1968 / Marozzi 2009): squared ranks and
+    squared contrary ranks combined through their exact negative
+    correlation — the other location+scale omnibus next to
+    lepage_drift, often stronger under heavy tails.  Quadrupled
+    moments exact DECIMAL(38,0) via doubled midranks; U, V, ρ, C
+    each ONE fixed float expression."""
+    from eristropy_spark.operators.drift import cucconi_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = cucconi_drift(ev, ("user_id", "event_type"), tiebreak_col="event_id")
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _r6("u").alias("u"),
+        _r6("v").alias("v"),
+        _r6("c_stat").alias("c_stat"),
+    )
+
+
+_ORACLE_CUCCONI = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb, ca + cb AS t,
+         CAST(sum(ca + cb) OVER w AS BIGINT) AS cumt,
+         CAST(sum(ca + cb) OVER pk AS BIGINT) AS nn
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         pk AS (PARTITION BY user_id, event_type)
+), red AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) AS BIGINT) AS n_ref,
+         CAST(sum(cb) AS BIGINT) AS n_cur,
+         sum(CAST(cb AS HUGEINT)
+             * (2 * cumt - t + 1) * (2 * cumt - t + 1)) AS sr4,
+         sum(CAST(cb AS HUGEINT)
+             * (2 * (nn + 1) - (2 * cumt - t + 1))
+             * (2 * (nn + 1) - (2 * cumt - t + 1))) AS sc4,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM cum GROUP BY user_id, event_type
+), st AS (
+  SELECT user_id, event_type, n_ref, n_cur, nv,
+         CAST(n_ref AS DOUBLE) AS na, CAST(n_cur AS DOUBLE) AS nb,
+         CAST(sr4 AS DOUBLE) AS sr4d, CAST(sc4 AS DOUBLE) AS sc4d
+  FROM red
+), zz AS (
+  SELECT *,
+         (6.0 * sr4d
+          - 4.0 * nb * (na + nb + 1.0) * (2.0 * (na + nb) + 1.0))
+         / (4.0 * sqrt(na * nb * (na + nb + 1.0)
+                       * (2.0 * (na + nb) + 1.0)
+                       * (8.0 * (na + nb) + 11.0) / 5.0)) AS u,
+         (6.0 * sc4d
+          - 4.0 * nb * (na + nb + 1.0) * (2.0 * (na + nb) + 1.0))
+         / (4.0 * sqrt(na * nb * (na + nb + 1.0)
+                       * (2.0 * (na + nb) + 1.0)
+                       * (8.0 * (na + nb) + 11.0) / 5.0)) AS v,
+         2.0 * ((na + nb) * (na + nb) - 4.0)
+           / ((2.0 * (na + nb) + 1.0) * (8.0 * (na + nb) + 11.0))
+           - 1.0 AS rho
+  FROM st
+)
+SELECT user_id, event_type, n_ref, n_cur,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND n_ref + n_cur >= 3
+                 AND nv >= 2 THEN
+         floor(u * 1000000 + 0.5) / 1000000 END AS u,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND n_ref + n_cur >= 3
+                 AND nv >= 2 THEN
+         floor(v * 1000000 + 0.5) / 1000000 END AS v,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND n_ref + n_cur >= 3
+                 AND nv >= 2 THEN
+         floor((u * u + v * v - 2.0 * rho * u * v)
+               / (2.0 * (1.0 - rho * rho)) * 1000000 + 0.5)
+           / 1000000 END AS c_stat
+FROM zz
+"""
+
+
 def _q_lepage(spark, sf_dir):
     """Lepage location+scale omnibus drift per signal
     (operators/drift.lepage_drift, Lepage 1971): L = z_W² + z_AB² ~
@@ -11710,6 +11806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kuiper_drift": _q_kuiper,
         "mood_scale_drift": _q_mood_scale,
         "lepage_drift": _q_lepage,
+        "cucconi_drift": _q_cucconi,
         "allan_variance": _q_allan,
         "hadamard_variance": _q_hadamard,
         "kn_bigram": _q_kn_bigram,
@@ -11905,6 +12002,7 @@ def oracle_sql() -> dict[str, str]:
         "kuiper_drift": _ORACLE_KUIPER,
         "mood_scale_drift": _ORACLE_MOOD_SCALE,
         "lepage_drift": _ORACLE_LEPAGE,
+        "cucconi_drift": _ORACLE_CUCCONI,
         "allan_variance": _ORACLE_ALLAN,
         "hadamard_variance": _ORACLE_HADAMARD,
         "kn_bigram": _ORACLE_KN,

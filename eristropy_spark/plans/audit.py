@@ -974,7 +974,7 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # triangular score sums, kuiper the signed sup reduce) + per-key
     # reduce, no Join, zero Python
     for qn in ("ansari_drift", "kuiper_drift", "mood_scale_drift",
-               "lepage_drift"):
+               "lepage_drift", "cucconi_drift"):
         aq = entrymod.queries()[qn](spark, sf_dir)
         p = plan_of(aq)
         checks.append(

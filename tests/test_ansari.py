@@ -280,3 +280,61 @@ def test_lepage_fires_on_shift_or_scale_or_both(spark):
 def test_lepage_all_tied_null(spark):
     r = lepage_drift(_df(spark, [5.0] * 30), "sid", ts_col="ts").first()
     assert r["l_stat"] is None and r["z_w"] is None and r["z_ab"] is None
+
+
+# ---------------------------------------------------------------- Cucconi
+
+from eristropy_spark.operators.drift import cucconi_drift  # noqa: E402
+
+
+def _cucconi_local(vals):
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    ref, cur = vals[: n // 2], vals[n // 2 :]
+    pooled = np.concatenate([ref, cur])
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(n)
+    sp = pooled[order]
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sp[j + 1] == sp[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    rj = ranks[len(ref) :]
+    na, nb = len(ref), len(cur)
+    sig = np.sqrt(na * nb * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0)
+    u = (6 * (rj**2).sum() - nb * (n + 1) * (2 * n + 1)) / sig
+    v = (6 * ((n + 1 - rj) ** 2).sum() - nb * (n + 1) * (2 * n + 1)) / sig
+    rho = 2.0 * (n * n - 4.0) / ((2 * n + 1.0) * (8 * n + 11.0)) - 1.0
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    return u, v, c
+
+
+def test_cucconi_matches_bruteforce(spark):
+    rng = np.random.default_rng(137)
+    vals = rng.integers(0, 45, 220).astype(float)
+    u_ref, v_ref, c_ref = _cucconi_local(vals)
+    r = cucconi_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["u"] == pytest.approx(u_ref, abs=1e-9)
+    assert r["v"] == pytest.approx(v_ref, abs=1e-9)
+    assert r["c_stat"] == pytest.approx(c_ref, abs=1e-9)
+
+
+def test_cucconi_fires_on_shift_scale_both_not_null(spark):
+    rng = np.random.default_rng(139)
+    base = rng.normal(0, 2, 200)
+    shift = np.concatenate([base, rng.normal(6, 2, 200)])
+    scale = np.concatenate([base, rng.normal(0, 9, 200)])
+    null = np.concatenate([base, rng.normal(0, 2, 200)])
+    c_sh = cucconi_drift(_df(spark, shift), "sid", ts_col="ts").first()["c_stat"]
+    c_sc = cucconi_drift(_df(spark, scale), "sid", ts_col="ts").first()["c_stat"]
+    c_0 = cucconi_drift(_df(spark, null), "sid", ts_col="ts").first()["c_stat"]
+    assert c_sh > 15 and c_sc > 15
+    assert c_0 < 6
+
+
+def test_cucconi_all_tied_null(spark):
+    r = cucconi_drift(_df(spark, [9.0] * 30), "sid", ts_col="ts").first()
+    assert r["c_stat"] is None
