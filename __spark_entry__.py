@@ -10439,6 +10439,107 @@ FROM red
 """
 
 
+def _q_fligner_policello(spark, sf_dir):
+    """Fligner–Policello robust rank-order drift per signal
+    (operators/drift.fligner_policello_drift, Fligner & Policello
+    1981): the rank Behrens–Fisher — location drift with NO
+    equal-variance assumption, placement sums studentized by their
+    own empirical variances.  Doubled midplacements 2P = 2·cumB − cB
+    exact off the shared census cumulative; doubled means
+    12-dp-quantized, quadrupled variance terms 6-dp; Û ONE fixed
+    float expression."""
+    from eristropy_spark.operators.drift import fligner_policello_drift
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    r = fligner_policello_drift(
+        ev, ("user_id", "event_type"), tiebreak_col="event_id"
+    )
+    return r.select(
+        "user_id",
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "p2_sum",
+        "q2_sum",
+        _r6("u_stat").alias("u_stat"),
+    )
+
+
+_ORACLE_FLIGNER_POLICELLO = """
+WITH pts AS (
+  SELECT user_id, event_type, value AS v,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+), tagged AS (
+  SELECT user_id, event_type, v, (i < n // 2) AS ref FROM pts
+), cv AS (
+  SELECT user_id, event_type, v,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY user_id, event_type, v
+), cum AS (
+  SELECT user_id, event_type, ca, cb,
+         CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER w AS BIGINT) AS cumb
+  FROM cv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pl AS (
+  SELECT user_id, event_type, ca, cb,
+         CAST(2 * cumb - cb AS BIGINT) AS p2,
+         CAST(2 * cuma - ca AS BIGINT) AS q2
+  FROM cum
+), sums AS (
+  SELECT user_id, event_type,
+         CAST(sum(ca) AS BIGINT) AS n_ref,
+         CAST(sum(cb) AS BIGINT) AS n_cur,
+         sum(CAST(ca AS HUGEINT) * p2) AS sp2,
+         sum(CAST(cb AS HUGEINT) * q2) AS sq2
+  FROM pl GROUP BY user_id, event_type
+), mb AS (
+  SELECT user_id, event_type, n_ref, n_cur, sp2, sq2,
+         CAST(floor(CAST(sp2 AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(24, 12)) AS pb2,
+         CAST(floor(CAST(sq2 AS DOUBLE) / CAST(n_cur AS DOUBLE)
+                    * 1000000000000.0 + 0.5) / 1000000000000.0
+              AS DECIMAL(24, 12)) AS qb2
+  FROM sums
+), red AS (
+  SELECT p.user_id, p.event_type,
+         max(m.n_ref) AS n_ref, max(m.n_cur) AS n_cur,
+         max(m.sp2) AS sp2, max(m.sq2) AS sq2,
+         sum(CAST(floor(CAST(p.ca AS DOUBLE)
+                * CAST(CAST(p.p2 AS DECIMAL(24, 12)) - m.pb2 AS DOUBLE)
+                * CAST(CAST(p.p2 AS DECIMAL(24, 12)) - m.pb2 AS DOUBLE)
+                * 1000000 + 0.5) / 1000000 AS DECIMAL(38, 6))) AS vx4,
+         sum(CAST(floor(CAST(p.cb AS DOUBLE)
+                * CAST(CAST(p.q2 AS DECIMAL(24, 12)) - m.qb2 AS DOUBLE)
+                * CAST(CAST(p.q2 AS DECIMAL(24, 12)) - m.qb2 AS DOUBLE)
+                * 1000000 + 0.5) / 1000000 AS DECIMAL(38, 6))) AS vy4
+  FROM pl p JOIN mb m USING (user_id, event_type)
+  GROUP BY p.user_id, p.event_type
+), st AS (
+  SELECT user_id, event_type, n_ref, n_cur,
+         CAST(sp2 AS BIGINT) AS p2_sum, CAST(sq2 AS BIGINT) AS q2_sum,
+         CAST(vx4 AS DOUBLE) + CAST(vy4 AS DOUBLE)
+           + (CAST(sp2 AS DOUBLE) / CAST(n_ref AS DOUBLE))
+             * (CAST(sq2 AS DOUBLE) / CAST(n_cur AS DOUBLE)) AS stud,
+         CAST(sq2 AS DOUBLE) - CAST(sp2 AS DOUBLE) AS num
+  FROM red
+)
+SELECT user_id, event_type, n_ref, n_cur, p2_sum, q2_sum,
+       CASE WHEN n_ref >= 1 AND n_cur >= 1 AND stud > 0.0 THEN
+         floor(num / (2.0 * sqrt(stud)) * 1000000 + 0.5) / 1000000
+       END AS u_stat
+FROM st
+"""
+
+
 def _q_cucconi(spark, sf_dir):
     """Cucconi omnibus drift per signal (operators/drift
     .cucconi_drift, Cucconi 1968 / Marozzi 2009): squared ranks and
@@ -11807,6 +11908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_scale_drift": _q_mood_scale,
         "lepage_drift": _q_lepage,
         "cucconi_drift": _q_cucconi,
+        "fligner_policello": _q_fligner_policello,
         "allan_variance": _q_allan,
         "hadamard_variance": _q_hadamard,
         "kn_bigram": _q_kn_bigram,
@@ -12003,6 +12105,7 @@ def oracle_sql() -> dict[str, str]:
         "mood_scale_drift": _ORACLE_MOOD_SCALE,
         "lepage_drift": _ORACLE_LEPAGE,
         "cucconi_drift": _ORACLE_CUCCONI,
+        "fligner_policello": _ORACLE_FLIGNER_POLICELLO,
         "allan_variance": _ORACLE_ALLAN,
         "hadamard_variance": _ORACLE_HADAMARD,
         "kn_bigram": _ORACLE_KN,

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
 
-__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift", "kuiper_drift", "mood_scale_drift", "lepage_drift", "cucconi_drift"]
+__all__ = ["ks_drift", "psi_drift", "mannwhitney_drift", "wasserstein_drift", "cvm_drift", "quantile_drift", "categorical_drift", "chi2_drift", "ttest_drift", "energy_drift", "hodges_lehmann_drift", "ad_drift", "ansari_drift", "kuiper_drift", "mood_scale_drift", "lepage_drift", "cucconi_drift", "fligner_policello_drift"]
 
 
 def _keys(key) -> list[str]:
@@ -1898,4 +1898,152 @@ def cucconi_drift(
         F.when(ok, u).otherwise(nulld).alias("u"),
         F.when(ok, v).otherwise(nulld).alias("v"),
         F.when(ok, c_stat).otherwise(nulld).alias("c_stat"),
+    )
+
+
+def fligner_policello_drift(
+    df: DataFrame,
+    key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(*key, n_ref, n_cur, p2_sum, q2_sum, u_stat) — the
+    Fligner–Policello robust rank-order test (Fligner & Policello
+    1981, JASA 76) between the first and second half of each key's
+    history: the rank BEHRENS–FISHER solution — ``mannwhitney_drift``
+    assumes the two halves share a shape and differ only in location;
+    FP tests P(X < Y) = ½ with NO equal-variance assumption, by
+    studentizing the placement sums with their own empirical
+    variances:
+
+        Û = (ΣQ_j − ΣP_i) / (2·√(V_x + V_y + P̄·Q̄)),
+
+    P_i = midplacement of ref point i among the current half, Q_j
+    vice versa, V = Σ(placement − mean)² per half.  The drift monitor
+    to trust when the scale monitors (ansari/mood) are ALSO firing —
+    MWU's z is anticonservative exactly then.
+
+    Exactness protocol: doubled midplacements 2P_v = 2·cumB − c_B are
+    exact integers off the same census cumulative the whole family
+    uses; doubled placement sums exact DECIMAL(38,0); the doubled
+    means are 12-dp-quantized (psi rule) so the quadrupled variance
+    terms Σc·(2P_v − 2P̄)² accumulate 6-dp-exactly; Û is ONE fixed
+    float expression — bit-identical in the DuckDB replay.
+
+    Same time-split protocol and census shuffle shape as the drift
+    family; no joins, zero Python.  ``u_stat`` is NULL when a half is
+    empty or the studentizer is 0 (placements constant at an
+    extreme — fully separated halves; all-TIED halves instead give a
+    well-defined U = 0, since P̄·Q̄ > 0 studentizes the zero
+    numerator).
+    """
+    keys = _keys(key)
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys)
+
+    pts = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_rank) - 1).alias("_i"),
+        F.count("*").over(w_key).alias("_n"),
+    ).withColumn("_ref", F.col("_i") < F.floor(F.col("_n") / 2))
+
+    cnt = (
+        pts.groupBy(*keys, "_v")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        cnt.withColumn("_cuma", F.sum("_ca").over(w_cum))
+        .withColumn("_cumb", F.sum("_cb").over(w_cum))
+    )
+    # doubled midplacements of each half's points among the OTHER half
+    p2 = (2 * F.col("_cumb") - F.col("_cb")).cast("long")  # ref among cur
+    q2 = (2 * F.col("_cuma") - F.col("_ca")).cast("long")  # cur among ref
+    ranked = ranked.withColumn("_p2", p2).withColumn("_q2", q2)
+
+    d0 = "decimal(38,0)"
+    sums = ranked.groupBy(*keys).agg(
+        F.sum("_ca").cast("long").alias("n_ref"),
+        F.sum("_cb").cast("long").alias("n_cur"),
+        F.sum(F.col("_ca").cast(d0) * F.col("_p2").cast(d0)).alias("_sp2"),
+        F.sum(F.col("_cb").cast(d0) * F.col("_q2").cast(d0)).alias("_sq2"),
+    )
+    pbar2 = _floor_round(
+        F.col("_sp2").cast("double") / F.col("n_ref").cast("double"), 12
+    ).cast("decimal(24,12)")
+    qbar2 = _floor_round(
+        F.col("_sq2").cast("double") / F.col("n_cur").cast("double"), 12
+    ).cast("decimal(24,12)")
+    sums = sums.withColumn("_pb2", pbar2).withColumn("_qb2", qbar2)
+
+    # second pass over the census rows with the 1-row means broadcast
+    # back (the k-row-reduce idiom — the census is the bounded frame)
+    j = ranked.join(
+        F.broadcast(
+            sums.select(*keys, "n_ref", "n_cur", "_pb2", "_qb2")
+        ),
+        keys,
+    )
+    dxp = F.col("_p2").cast("decimal(24,12)") - F.col("_pb2")
+    dxq = F.col("_q2").cast("decimal(24,12)") - F.col("_qb2")
+    vx_t = _floor_round(
+        F.col("_ca").cast("double")
+        * dxp.cast("double")
+        * dxp.cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    vy_t = _floor_round(
+        F.col("_cb").cast("double")
+        * dxq.cast("double")
+        * dxq.cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    red = j.groupBy(*keys).agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(F.col("_ca").cast(d0) * F.col("_p2").cast(d0)).alias("_sp2"),
+        F.sum(F.col("_cb").cast(d0) * F.col("_q2").cast(d0)).alias("_sq2"),
+        F.sum(vx_t).alias("_vx4"),
+        F.sum(vy_t).alias("_vy4"),
+    )
+
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    sp2d = F.col("_sp2").cast("double")
+    sq2d = F.col("_sq2").cast("double")
+    # U = ((2SQ - 2SP)/2) / (2*sqrt(Vx + Vy + Pbar*Qbar))
+    #   = (2SQ - 2SP) / (4*sqrt((4Vx + 4Vy + (2Pb)(2Qb))/4))
+    #   = (2SQ - 2SP) / (2*sqrt(vx4 + vy4 + (2Pb)(2Qb)))
+    stud = (
+        F.col("_vx4").cast("double")
+        + F.col("_vy4").cast("double")
+        + (sp2d / na) * (sq2d / nb)
+    )
+    u = F.when(
+        (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1) & (stud > F.lit(0.0)),
+        (sq2d - sp2d) / (F.lit(2.0) * F.sqrt(stud)),
+    )
+    return red.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.col("_sp2").cast("long").alias("p2_sum"),
+        F.col("_sq2").cast("long").alias("q2_sum"),
+        u.alias("u_stat"),
     )

@@ -1001,6 +1001,20 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
              and _py_node_count(p) == 0, p)
         )
 
+    # 43d. fligner_policello: the census class plus ONE broadcast
+    # mean join-back (the brown_forsythe med-join idiom) — no SMJ, no
+    # single-partition stage, zero Python
+    fpq = entrymod.queries()["fligner_policello"](spark, sf_dir)
+    p = plan_of(fpq)
+    checks.append(
+        ("fligner_policello: broadcast-only mean join-back, no SMJ, "
+         "no single-partition stage, zero Python",
+         "SortMergeJoin" not in p
+         and "CartesianProduct" not in p
+         and "SinglePartition" not in p
+         and _py_node_count(p) == 0, p)
+    )
+
     # 44. funnel: chained step minima over ONE key partitioning (the
     # final k-row reduce may be single-partition — it is k rows), no
     # joins, zero Python

@@ -338,3 +338,68 @@ def test_cucconi_fires_on_shift_scale_both_not_null(spark):
 def test_cucconi_all_tied_null(spark):
     r = cucconi_drift(_df(spark, [9.0] * 30), "sid", ts_col="ts").first()
     assert r["c_stat"] is None
+
+
+# ---------------------------------------------------------------- Fligner-Policello
+
+from eristropy_spark.operators.drift import fligner_policello_drift  # noqa: E402
+
+
+def _fp_local(vals):
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    x, y = vals[: n // 2], vals[n // 2 :]  # ref, cur
+    P = np.array([(y < xi).sum() + 0.5 * (y == xi).sum() for xi in x])
+    Q = np.array([(x < yj).sum() + 0.5 * (x == yj).sum() for yj in y])
+    vx = ((P - P.mean()) ** 2).sum()
+    vy = ((Q - Q.mean()) ** 2).sum()
+    stud = vx + vy + P.mean() * Q.mean()
+    if stud <= 0:
+        return None
+    return (Q.sum() - P.sum()) / (2.0 * np.sqrt(stud))
+
+
+def test_fp_matches_bruteforce(spark):
+    rng = np.random.default_rng(149)
+    vals = rng.integers(0, 40, 190).astype(float)
+    u_ref = _fp_local(vals)
+    r = fligner_policello_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["u_stat"] == pytest.approx(u_ref, abs=1e-4)
+    # doubled placement sums are exact integers
+    n = len(vals)
+    x, y = vals[: n // 2], vals[n // 2 :]
+    P = np.array([(y < xi).sum() + 0.5 * (y == xi).sum() for xi in x])
+    Q = np.array([(x < yj).sum() + 0.5 * (x == yj).sum() for yj in y])
+    assert r["p2_sum"] == int(round(2 * P.sum()))
+    assert r["q2_sum"] == int(round(2 * Q.sum()))
+
+
+def test_fp_robust_to_unequal_variance_null(spark):
+    # same center, very different spreads: a LOCATION test should stay
+    # calm; FP is built for exactly this (MWU's variance is misspecified)
+    rng = np.random.default_rng(151)
+    vals = np.concatenate([rng.normal(0, 1, 250), rng.normal(0, 10, 250)])
+    shift = np.concatenate([rng.normal(0, 1, 250), rng.normal(12, 10, 250)])
+    u_null = fligner_policello_drift(
+        _df(spark, vals), "sid", ts_col="ts"
+    ).first()["u_stat"]
+    u_shift = fligner_policello_drift(
+        _df(spark, shift), "sid", ts_col="ts"
+    ).first()["u_stat"]
+    assert abs(u_null) < 3.0
+    assert u_shift > 5.0
+
+
+def test_fp_degenerate_null(spark):
+    # fully separated halves: placements are constant -> V = 0 but
+    # Pbar*Qbar = 0 too... actually separated: P all 0, Q all n/2;
+    # Pbar*Qbar = 0 -> stud = 0 -> NULL (documented)
+    vals = np.concatenate([np.arange(10), np.arange(100, 110)]).astype(float)
+    r = fligner_policello_drift(_df(spark, vals), "sid", ts_col="ts").first()
+    assert r["u_stat"] is None
+    # all-tied halves: every placement is n/4 exactly, V = 0 but
+    # Pbar*Qbar > 0 -> U is a well-defined 0 (no location evidence)
+    all_tied = fligner_policello_drift(
+        _df(spark, [4.0] * 20), "sid", ts_col="ts"
+    ).first()
+    assert all_tied["u_stat"] == 0.0
