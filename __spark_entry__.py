@@ -7370,6 +7370,67 @@ FROM fin
 
 
 
+def _q_zero_inflation(spark, sf_dir):
+    """van den Broek zero-inflation score test per source
+    (operators/dispersion.zero_inflation, van den Broek 1995): more
+    empty buckets than the Poisson rate explains?  n₀ = span −
+    distinct non-empty buckets — three exact integers off ONE census,
+    NO dense explode; S one fixed float expression with a single
+    exp() (the pettitt rule)."""
+    from eristropy_spark.operators.dispersion import zero_inflation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = zero_inflation(
+        ev, source_col="event_type", ts_col="ts",
+        bucket_sec=600, min_buckets=8,
+    )
+    return r.select(
+        "source",
+        "n_events",
+        "n_buckets",
+        "n_zero",
+        _r6("zero_frac").alias("zero_frac"),
+        _r6("p0").alias("p0"),
+        _r6("score").alias("score"),
+    )
+
+
+_ORACLE_ZERO_INFLATION = """
+WITH cts AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), red AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS nnz,
+         CAST(max(bucket) - min(bucket) + 1 AS BIGINT) AS n_buckets
+  FROM cts GROUP BY source
+), st AS (
+  SELECT source, n_events, n_buckets,
+         CAST(n_buckets - nnz AS BIGINT) AS n_zero,
+         CAST(n_buckets AS DOUBLE) AS nd,
+         CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS ybar
+  FROM red
+), zz AS (
+  SELECT *, exp(-ybar) AS p0 FROM st
+)
+SELECT source, n_events, n_buckets, n_zero,
+       floor(CAST(n_zero AS DOUBLE) / nd * 1000000 + 0.5)
+         / 1000000 AS zero_frac,
+       floor(p0 * 1000000 + 0.5) / 1000000 AS p0,
+       CASE WHEN n_buckets >= 8
+                 AND nd * p0 * (1.0 - p0) - nd * ybar * p0 * p0 > 0.0
+            THEN floor(
+              (CAST(n_zero AS DOUBLE) - nd * p0)
+              * (CAST(n_zero AS DOUBLE) - nd * p0)
+              / (nd * p0 * (1.0 - p0) - nd * ybar * p0 * p0)
+              * 1000000 + 0.5) / 1000000
+       END AS score
+FROM zz
+"""
+
+
 def _q_count_dispersion(spark, sf_dir):
     """Fano factor + Allan variance of the bucketed event-count series
     per source (operators/dispersion.count_dispersion, Fano 1947 /
@@ -11880,6 +11941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": _q_holt_winters,
         "dcca": _q_dcca,
         "count_dispersion": _q_count_dispersion,
+        "zero_inflation": _q_zero_inflation,
         "tail_dependence": _q_tail_dependence,
         "poincare": _q_poincare,
         "ordinal_census": _q_ordinal_census,
@@ -12077,6 +12139,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters": _ORACLE_HW,
         "dcca": _ORACLE_DCCA,
         "count_dispersion": _ORACLE_DISPERSION,
+        "zero_inflation": _ORACLE_ZERO_INFLATION,
         "tail_dependence": _ORACLE_TAILDEP,
         "poincare": _ORACLE_POINCARE,
         "ordinal_census": _ORACLE_ORDINAL,

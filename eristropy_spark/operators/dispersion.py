@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.rolling import _micros
 
-__all__ = ["count_dispersion"]
+__all__ = ["count_dispersion", "zero_inflation"]
 
 
 def count_dispersion(
@@ -105,4 +105,76 @@ def count_dispersion(
         fano.alias("fano"),
         avar.alias("avar"),
         avar_ratio.alias("avar_ratio"),
+    )
+
+
+def zero_inflation(
+    df: DataFrame,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    bucket_sec: int = 600,
+    min_buckets: int = 8,
+) -> DataFrame:
+    """(source, n_events, n_buckets, n_zero, zero_frac, p0, score)
+    — van den Broek's score test for ZERO INFLATION in a Poisson
+    count series (van den Broek 1995, Biometrics 51), per source
+    over the same bucket grid as ``count_dispersion``: are there more
+    empty buckets than the Poisson rate explains?
+
+        S = (n₀ − n·p̂₀)² / (n·p̂₀(1−p̂₀) − n·ȳ·p̂₀²),
+        p̂₀ = e^(−ȳ),  ȳ = events/buckets  —  S ~ χ²(1) under Poisson.
+
+    The structural-vs-sampling-zeros discriminator the counter family
+    needs: ``count_dispersion``'s Fano factor says the counts are
+    overdispersed; this says whether the excess mass sits AT ZERO
+    specifically (a service that is sometimes simply off), which
+    changes the fix (zero-inflated model / uptime gate) versus
+    generic burstiness.
+
+    NO dense bucket explode: n₀ = span − (distinct non-empty
+    buckets), three exact integers off ONE (source, bucket) census —
+    the zero-run-algebra spirit taken to its limit, the whole
+    statistic from a 4-scalar reduce.  ``score`` is ONE fixed float
+    expression over exact integers (single exp(), the ``pettitt``
+    rule) — bit-identical in the DuckDB replay.
+
+    ``score`` is NULL when the span is under ``min_buckets`` or the
+    information denominator is ≤ 0 (degenerate at very large ȳ·p₀ or
+    all-empty spans).
+    """
+    span_us = F.lit(int(bucket_sec) * 1_000_000)
+    b = F.floor(_micros(df, ts_col) / span_us).cast("long")
+    cts = df.groupBy(
+        F.col(source_col).alias("source"), b.alias("_b")
+    ).agg(F.count("*").cast("long").alias("_c"))
+
+    red = cts.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("_nnz"),
+        F.min("_b").alias("_bmin"),
+        F.max("_b").alias("_bmax"),
+    )
+    red = red.withColumn(
+        "n_buckets", (F.col("_bmax") - F.col("_bmin") + 1).cast("long")
+    ).withColumn(
+        "n_zero", (F.col("n_buckets") - F.col("_nnz")).cast("long")
+    )
+
+    nd = F.col("n_buckets").cast("double")
+    ybar = F.col("n_events").cast("double") / nd
+    p0 = F.exp(-ybar)
+    den = nd * p0 * (F.lit(1.0) - p0) - nd * ybar * p0 * p0
+    num = F.col("n_zero").cast("double") - nd * p0
+    score = F.when(
+        (F.col("n_buckets") >= int(min_buckets)) & (den > F.lit(0.0)),
+        num * num / den,
+    )
+    return red.select(
+        "source",
+        "n_events",
+        "n_buckets",
+        "n_zero",
+        (F.col("n_zero").cast("double") / nd).alias("zero_frac"),
+        p0.alias("p0"),
+        score.alias("score"),
     )

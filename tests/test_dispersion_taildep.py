@@ -188,3 +188,68 @@ def test_dispersion_taildep_guards(spark):
         tail_dependence(df, q_pct=0)
     with pytest.raises(ValueError):
         tail_dependence(df, q_pct=100)
+
+
+# ---------------------------------------------------------------- ZIP score
+
+import datetime as _dt
+
+from eristropy_spark.operators.dispersion import zero_inflation
+
+
+def _ev_df(spark, rows):
+    return spark.createDataFrame(rows, "source string, ts timestamp")
+
+
+def _mk(src, secs):
+    base = _dt.datetime(2024, 1, 1)
+    return [(src, base + _dt.timedelta(seconds=float(s))) for s in secs]
+
+
+def _zip_local(secs, bucket_sec=600):
+    b = np.floor(np.asarray(secs) / bucket_sec).astype(np.int64)
+    n = int(b.max() - b.min() + 1)
+    nnz = len(np.unique(b))
+    n0 = n - nnz
+    ybar = len(b) / n
+    p0 = np.exp(-ybar)
+    den = n * p0 * (1 - p0) - n * ybar * p0 * p0
+    if den <= 0:
+        return None
+    return (n0 - n * p0) ** 2 / den
+
+
+def test_zip_matches_formula(spark):
+    rng = np.random.default_rng(157)
+    secs = np.sort(rng.uniform(0, 600 * 200, 500))
+    r = zero_inflation(_ev_df(spark, _mk("a", secs)), "source").first()
+    ref = _zip_local(secs)
+    assert r["score"] == pytest.approx(ref, rel=1e-9)
+    b = np.floor(secs / 600).astype(np.int64)
+    assert r["n_buckets"] == int(b.max() - b.min() + 1)
+    assert r["n_zero"] == r["n_buckets"] - len(np.unique(b))
+
+
+def test_zip_fires_on_structural_zeros_not_on_poisson(spark):
+    rng = np.random.default_rng(163)
+    # Poisson-ish: events uniformly over the whole span
+    pois = np.sort(rng.uniform(0, 600 * 300, 900))
+    # structural: same volume but the service is "off" 2/3 of the time
+    # (events only in every third 10-bucket block)
+    blocks = [k for k in range(30) if k % 3 == 0]
+    structural = np.sort(
+        np.concatenate(
+            [rng.uniform(k * 6000, (k + 1) * 6000, 90) for k in blocks]
+        )
+    )
+    s_p = zero_inflation(_ev_df(spark, _mk("a", pois)), "source").first()
+    s_s = zero_inflation(_ev_df(spark, _mk("a", structural)), "source").first()
+    assert s_s["score"] > 100 * max(s_p["score"], 1e-9)
+    assert s_s["zero_frac"] > 0.5
+
+
+def test_zip_short_span_null(spark):
+    r = zero_inflation(
+        _ev_df(spark, _mk("a", [1.0, 700.0])), "source", min_buckets=8
+    ).first()
+    assert r["score"] is None
