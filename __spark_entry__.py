@@ -7370,6 +7370,59 @@ FROM fin
 
 
 
+def _q_overdispersion(spark, sf_dir):
+    """Dean's Poisson overdispersion score per source
+    (operators/dispersion.overdispersion_score, Dean & Lawless 1989):
+    P_B = Σ[(y−ȳ)²−y]/(ȳ√(2n)) — the calibrated z for the Fano
+    factor, closing the count triptych with zero_inflation.  Empty
+    buckets fold in closed form (each adds ȳ²), so only the non-empty
+    census is touched; ONE fixed float expression over exact
+    integers."""
+    from eristropy_spark.operators.dispersion import overdispersion_score
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = overdispersion_score(
+        ev, source_col="event_type", ts_col="ts",
+        bucket_sec=600, min_buckets=8,
+    )
+    return r.select(
+        "source",
+        "n_events",
+        "n_buckets",
+        _r6("mean_count").alias("mean_count"),
+        _r6("p_b").alias("p_b"),
+    )
+
+
+_ORACLE_OVERDISPERSION = """
+WITH cts AS (
+  SELECT event_type AS source, epoch_us(ts) // 600000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // 600000000
+), red AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS sq,
+         CAST(max(bucket) - min(bucket) + 1 AS BIGINT) AS n_buckets
+  FROM cts GROUP BY source
+), st AS (
+  SELECT source, n_events, n_buckets,
+         CAST(n_buckets AS DOUBLE) AS nd,
+         CAST(n_events AS DOUBLE) AS ne,
+         CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS ybar,
+         CAST(sq AS DOUBLE) AS sqd
+  FROM red
+)
+SELECT source, n_events, n_buckets,
+       floor(ybar * 1000000 + 0.5) / 1000000 AS mean_count,
+       CASE WHEN n_buckets >= 8 AND n_events > 0 THEN
+         floor(((sqd - 2.0 * ybar * ne + nd * ybar * ybar) - ne)
+               / (ybar * sqrt(2.0 * nd)) * 1000000 + 0.5) / 1000000
+       END AS p_b
+FROM st
+"""
+
+
 def _q_zero_inflation(spark, sf_dir):
     """van den Broek zero-inflation score test per source
     (operators/dispersion.zero_inflation, van den Broek 1995): more
@@ -11942,6 +11995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dcca": _q_dcca,
         "count_dispersion": _q_count_dispersion,
         "zero_inflation": _q_zero_inflation,
+        "overdispersion": _q_overdispersion,
         "tail_dependence": _q_tail_dependence,
         "poincare": _q_poincare,
         "ordinal_census": _q_ordinal_census,
@@ -12140,6 +12194,7 @@ def oracle_sql() -> dict[str, str]:
         "dcca": _ORACLE_DCCA,
         "count_dispersion": _ORACLE_DISPERSION,
         "zero_inflation": _ORACLE_ZERO_INFLATION,
+        "overdispersion": _ORACLE_OVERDISPERSION,
         "tail_dependence": _ORACLE_TAILDEP,
         "poincare": _ORACLE_POINCARE,
         "ordinal_census": _ORACLE_ORDINAL,

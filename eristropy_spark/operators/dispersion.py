@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from eristropy_spark.operators.rolling import _micros
 
-__all__ = ["count_dispersion", "zero_inflation"]
+__all__ = ["count_dispersion", "zero_inflation", "overdispersion_score"]
 
 
 def count_dispersion(
@@ -177,4 +177,66 @@ def zero_inflation(
         (F.col("n_zero").cast("double") / nd).alias("zero_frac"),
         p0.alias("p0"),
         score.alias("score"),
+    )
+
+
+def overdispersion_score(
+    df: DataFrame,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    bucket_sec: int = 600,
+    min_buckets: int = 8,
+) -> DataFrame:
+    """(source, n_events, n_buckets, mean_count, p_b) — Dean's score
+    test for Poisson OVERDISPERSION (Dean & Lawless 1989 JASA 84;
+    Dean 1992), per source over the ``count_dispersion`` bucket grid:
+
+        P_B = Σ[(y_i − ȳ)² − y_i] / (ȳ·√(2n))  ~  N(0,1)
+
+    under equidispersion.  The calibrated z for what the Fano factor
+    reports as an effect size — closing the count triptych: Fano (how
+    overdispersed), P_B (is it significant), zero_inflation (is the
+    excess AT zero).
+
+    NO dense bucket explode: empty buckets contribute (0 − ȳ)² − 0 =
+    ȳ² each, so Σ(y−ȳ)² = Σy² − 2ȳ·Σy + n·ȳ² needs only the
+    NON-EMPTY census (Σy² , Σy exact integers) plus the span n —
+    the ``zero_inflation`` 4-scalar shape.  P_B is ONE fixed float
+    expression over exact integers — bit-identical in the DuckDB
+    replay.  NULL when the span is under ``min_buckets`` or ȳ = 0.
+    """
+    span_us = F.lit(int(bucket_sec) * 1_000_000)
+    b = F.floor(_micros(df, ts_col) / span_us).cast("long")
+    cts = df.groupBy(
+        F.col(source_col).alias("source"), b.alias("_b")
+    ).agg(F.count("*").cast("long").alias("_c"))
+
+    red = cts.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sq"),
+        F.min("_b").alias("_bmin"),
+        F.max("_b").alias("_bmax"),
+    )
+    red = red.withColumn(
+        "n_buckets", (F.col("_bmax") - F.col("_bmin") + 1).cast("long")
+    )
+    nd = F.col("n_buckets").cast("double")
+    ne = F.col("n_events").cast("double")
+    ybar = ne / nd
+    # sum (y - ybar)^2 over ALL buckets = sq - 2*ybar*ne + n*ybar^2
+    ss = (
+        F.col("_sq").cast("double")
+        - F.lit(2.0) * ybar * ne
+        + nd * ybar * ybar
+    )
+    p_b = F.when(
+        (F.col("n_buckets") >= int(min_buckets)) & (F.col("n_events") > 0),
+        (ss - ne) / (ybar * F.sqrt(F.lit(2.0) * nd)),
+    )
+    return red.select(
+        "source",
+        "n_events",
+        "n_buckets",
+        ybar.alias("mean_count"),
+        p_b.alias("p_b"),
     )

@@ -988,16 +988,16 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # 43b2. zero_inflation: the whole statistic from a 4-scalar
     # reduce over ONE (source, bucket) census — <=2 keyed Exchanges,
     # no window, no Join, zero Python
-    ziq = entrymod.queries()["zero_inflation"](spark, sf_dir)
-    p = plan_of(ziq)
-    checks.append(
-        ("zero_inflation: <=2 keyed Exchanges, no Join/window, "
-         "zero Python",
-         p.count("Exchange") <= 2
-         and "Join" not in p
-         and "Window" not in p
-         and _py_node_count(p) == 0, p)
-    )
+    for qn in ("zero_inflation", "overdispersion"):
+        ziq = entrymod.queries()[qn](spark, sf_dir)
+        p = plan_of(ziq)
+        checks.append(
+            (f"{qn}: <=2 keyed Exchanges, no Join/window, zero Python",
+             p.count("Exchange") <= 2
+             and "Join" not in p
+             and "Window" not in p
+             and _py_node_count(p) == 0, p)
+        )
 
     # 43c. allan_variance / hadamard_variance: in-row tau explode +
     # ONE (key, tau, bucket) map-side-combined aggregate + lag window

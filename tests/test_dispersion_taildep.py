@@ -253,3 +253,51 @@ def test_zip_short_span_null(spark):
         _ev_df(spark, _mk("a", [1.0, 700.0])), "source", min_buckets=8
     ).first()
     assert r["score"] is None
+
+
+# ---------------------------------------------------------------- Dean P_B
+
+from eristropy_spark.operators.dispersion import overdispersion_score
+
+
+def _dean_local(secs, bucket_sec=600):
+    b = np.floor(np.asarray(secs) / bucket_sec).astype(np.int64)
+    lo, hi = b.min(), b.max()
+    n = int(hi - lo + 1)
+    y = np.bincount((b - lo).astype(int), minlength=n).astype(float)
+    ybar = y.mean()
+    if ybar == 0:
+        return None
+    return float((((y - ybar) ** 2 - y).sum()) / (ybar * np.sqrt(2 * n)))
+
+
+def test_dean_matches_dense_recomputation(spark):
+    rng = np.random.default_rng(167)
+    secs = np.sort(rng.uniform(0, 600 * 150, 400))
+    r = overdispersion_score(_ev_df(spark, _mk("a", secs)), "source").first()
+    assert r["p_b"] == pytest.approx(_dean_local(secs), rel=1e-9)
+
+
+def test_dean_fires_on_bursty_not_on_uniformish(spark):
+    rng = np.random.default_rng(173)
+    n_ev = 1200
+    uni = np.sort(rng.uniform(0, 600 * 200, n_ev))
+    # bursty: all events crammed into 10 of 200 buckets
+    hot = rng.choice(200, 10, replace=False)
+    bursty = np.sort(
+        np.concatenate(
+            [rng.uniform(h * 600, (h + 1) * 600, n_ev // 10) for h in hot]
+        )
+    )
+    # pin the same span so n matches
+    bursty = np.concatenate([[0.5], bursty, [600 * 200 - 0.5]])
+    z_u = overdispersion_score(_ev_df(spark, _mk("a", uni)), "source").first()["p_b"]
+    z_b = overdispersion_score(_ev_df(spark, _mk("a", bursty)), "source").first()["p_b"]
+    assert z_b > 10 * max(z_u, 1.0)
+
+
+def test_dean_short_span_null(spark):
+    r = overdispersion_score(
+        _ev_df(spark, _mk("a", [1.0, 700.0])), "source", min_buckets=8
+    ).first()
+    assert r["p_b"] is None
