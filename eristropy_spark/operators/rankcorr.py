@@ -151,7 +151,7 @@ def kendall_pairs(
     value_col: str = "value",
     bucket_sec: int = 60,
     min_overlap: int = 3,
-    max_overlap: int = 50_000,
+    max_overlap: int = 5_000_000,
 ) -> DataFrame:
     """Kendall τ-b between signal pairs on the bucket grid (Kendall
     1938 Biometrika 30; τ-b tie treatment per Kendall 1945).
@@ -173,16 +173,19 @@ def kendall_pairs(
     comparison; C, D and the tie counts are exact integers and τ is
     ONE fixed float expression — bit-identical in the DuckDB replay.
 
-    Scale shape: the classification is inherently O(n²) in the SHARED
-    BUCKET count per pair (not raw rows — the grid bounds n by
-    timespan / bucket_sec).  The self-join is keyed by (source_a,
-    source_b) so each pair's quadratic work distributes; the
-    ``max_overlap`` guard FAILS LOUD (one tiny aggregate pre-check)
-    rather than letting a degenerate grid turn into 10¹⁰ join rows —
-    widen ``bucket_sec`` deliberately if a pair really overlaps that
-    long.  An O(n log n) inversion-count exists but needs a
-    sequential merge; at grid cardinalities the keyed quadratic join
-    is the plan that distributes.
+    Scale shape: Knight's O(n log n) algorithm (Knight 1966 JASA 61)
+    per pair — sort the shared buckets by (a, b), count strict
+    inversions of b with a merge pass (= discordant pairs exactly:
+    a-tied pairs sort b-ascending and contribute none, b-tied pairs
+    are never strict descents), take tie counts from run lengths, and
+    recover C = n0 − t1 − t2 + t3 − D.  All counts are exact int64,
+    so the result is bit-identical to the O(n²) classification (the
+    DuckDB oracle still replays the quadratic form).  The grouped map
+    is keyed by (source_a, source_b) and spread via ``keyed_parallel``
+    so per-pair work distributes; the ``max_overlap`` guard FAILS
+    LOUD (one tiny aggregate pre-check) on degenerate grids — with
+    the loglinear kernel its default affords 100× the old quadratic
+    bound.
     """
     if bucket_sec <= 0:
         raise ValueError("bucket_sec must be > 0")
@@ -192,9 +195,9 @@ def kendall_pairs(
         raise ValueError("max_overlap must be >= min_overlap")
 
     matched = _matched_grid_int(df, source_col, ts_col, value_col, bucket_sec)
-    # materialize once: the guard aggregate, both join sides and the
-    # per-pair n all reuse it instead of re-scanning raw events
-    # (matched rows = shared grid cells, bounded by sources² × span)
+    # materialize once: the guard aggregate and the grouped map both
+    # reuse it instead of re-scanning raw events (matched rows =
+    # shared grid cells, bounded by sources² × span)
     matched = matched.localCheckpoint(eager=False)
     pair = ["source_a", "source_b"]
 
@@ -205,40 +208,93 @@ def kendall_pairs(
     if worst is not None and worst > max_overlap:
         raise ValueError(
             f"a source pair shares {worst} buckets > max_overlap="
-            f"{max_overlap}; the O(n^2) Kendall classification would "
-            f"explode — widen bucket_sec or raise max_overlap deliberately"
+            f"{max_overlap}; the Kendall classification would need "
+            f"{worst} log-sorted rows in one task — widen bucket_sec "
+            f"or raise max_overlap deliberately"
         )
 
-    m1 = matched.select(
-        *pair,
-        F.col("bucket").alias("_k1"),
-        F.col("via").alias("_a1"),
-        F.col("vib").alias("_b1"),
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eristropy_spark.operators._pandas_par import keyed_parallel
+
+    out_schema = StructType(
+        [
+            StructField("source_a", matched.schema["source_a"].dataType),
+            StructField("source_b", matched.schema["source_b"].dataType),
+            StructField("n", LongType()),
+            StructField("n_c", LongType()),
+            StructField("n_d", LongType()),
+            StructField("_t1", LongType()),
+            StructField("_t2", LongType()),
+            StructField("_n0", LongType()),
+        ]
     )
-    m2 = matched.select(
-        *pair,
-        F.col("bucket").alias("_k2"),
-        F.col("via").alias("_a2"),
-        F.col("vib").alias("_b2"),
+
+    def _knight(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf["via"].to_numpy(np.int64, copy=False)
+        b = pdf["vib"].to_numpy(np.int64, copy=False)
+        n = len(a)
+        order = np.lexsort((b, a))
+        a = a[order]
+        b = b[order]
+        n0 = n * (n - 1) // 2
+
+        def _tie(counts):
+            c = counts.astype(np.int64)
+            return int((c * (c - 1) // 2).sum())
+
+        # a is sorted: run lengths from boundaries; joint runs likewise
+        bound_a = np.flatnonzero(
+            np.r_[True, a[1:] != a[:-1], True]
+        )
+        t1 = _tie(np.diff(bound_a))
+        t2 = _tie(np.unique(b, return_counts=True)[1])
+        bound_ab = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]), True]
+        )
+        t3 = _tie(np.diff(bound_ab))
+
+        # strict inversions of b = discordant pairs (Knight 1966):
+        # bottom-up merge; cross-count via searchsorted per block
+        arr = b.copy()
+        inv = 0
+        width = 1
+        while width < n:
+            for lo in range(0, n, 2 * width):
+                mid = lo + width
+                hi = min(lo + 2 * width, n)
+                if mid >= hi:
+                    continue
+                left = arr[lo:mid]
+                right = arr[mid:hi]
+                pos = np.searchsorted(left, right, side="right")
+                inv += int((len(left) - pos).sum())
+                arr[lo:hi] = np.sort(arr[lo:hi], kind="stable")
+            width *= 2
+
+        n_d = inv
+        n_c = n0 - t1 - t2 + t3 - n_d
+        return pd.DataFrame(
+            {
+                "source_a": [pdf["source_a"].iloc[0]],
+                "source_b": [pdf["source_b"].iloc[0]],
+                "n": np.int64(n),
+                "n_c": np.int64(n_c),
+                "n_d": np.int64(n_d),
+                "_t1": np.int64(t1),
+                "_t2": np.int64(t2),
+                "_n0": np.int64(n0),
+            }
+        )
+
+    agg = (
+        keyed_parallel(matched.select(*pair, "via", "vib"), pair)
+        .groupBy(*pair)
+        .applyInPandas(_knight, out_schema)
     )
-    pairs = m1.join(m2, pair).where(F.col("_k1") < F.col("_k2"))
-    sa = F.signum((F.col("_a2") - F.col("_a1")).cast("double")).cast("int")
-    sb = F.signum((F.col("_b2") - F.col("_b1")).cast("double")).cast("int")
-    cls = pairs.select(
-        *pair,
-        (sa * sb).alias("_ss"),
-        sa.alias("_sa"),
-        sb.alias("_sb"),
-    )
-    agg = cls.groupBy(*pair).agg(
-        F.sum(F.when(F.col("_ss") > 0, 1).otherwise(0)).cast("long").alias("n_c"),
-        F.sum(F.when(F.col("_ss") < 0, 1).otherwise(0)).cast("long").alias("n_d"),
-        F.sum(F.when(F.col("_sa") == 0, 1).otherwise(0)).cast("long").alias("_t1"),
-        F.sum(F.when(F.col("_sb") == 0, 1).otherwise(0)).cast("long").alias("_t2"),
-        F.count("*").cast("long").alias("_n0"),
-    )
-    nmatch = matched.groupBy(*pair).agg(F.count("*").cast("long").alias("n"))
-    agg = agg.join(nmatch, pair)
     d1 = (F.col("_n0") - F.col("_t1")).cast("double")
     d2 = (F.col("_n0") - F.col("_t2")).cast("double")
     tau = F.when(
