@@ -71,7 +71,9 @@ def pmi_collocations(
         raise ValueError("min_count must be >= 1")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    words = F.split(F.col(text_col), " ")
+    # split once per row (staged projection at the explode below): the
+    # size/slice references would otherwise each re-split the text
+    words = F.col("_ws")
     n = F.size(words)
     pairs = F.when(
         n >= 2,
@@ -86,7 +88,8 @@ def pmi_collocations(
     # total and BOTH join probes — uncached, Spark would re-scan and
     # re-explode the corpus for every reference (5 scans instead of 2)
     bi = (
-        docs.select(F.explode_outer(pairs).alias("p"))
+        docs.select(F.split(F.col(text_col), " ").alias("_ws"))
+        .select(F.explode_outer(pairs).alias("p"))
         .where(F.col("p").isNotNull())
         .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .groupBy("x", "y")
@@ -300,7 +303,8 @@ def kn_bigram_score(
     """
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    arr = F.split(F.col(text_col), " ")
+    # split once per row (staged projection at the explode below)
+    arr = F.col("_ws")
     n = F.size(arr)
     pairs = F.zip_with(
         F.slice(arr, 1, n - 1),
@@ -310,6 +314,10 @@ def kn_bigram_score(
     bg = (
         docs.select(
             F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_ws"),
+        )
+        .select(
+            F.col("doc_id"),
             F.explode(F.when(n >= 2, pairs)).alias("_p"),
         )
         .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))

@@ -41,9 +41,11 @@ from pyspark.sql import functions as F
 __all__ = ["ngram_overlap_decontaminate"]
 
 
-def _gram_hashes(text_col, n: int):
-    """array<bigint> of distinct n-gram hashes of a text column, in-row."""
-    words = F.split(F.lower(text_col), " ")
+def _gram_hashes(words, n: int):
+    """array<bigint> of distinct n-gram hashes from a pre-split word
+    array column, in-row.  Callers must project the split FIRST (one
+    ``F.split`` per row): referencing a split expression inside the
+    transform lambda re-evaluates it per gram position (O(words²))."""
     count = F.size(words) - (n - 1)
     grams = F.when(
         count >= 1,
@@ -83,8 +85,9 @@ def ngram_overlap_decontaminate(
 
     bench_grams = (
         benchmark.select(
-            F.explode_outer(_gram_hashes(F.col(text_col), n)).alias("g")
+            F.split(F.lower(F.col(text_col)), " ").alias("_ws")
         )
+        .select(F.explode_outer(_gram_hashes(F.col("_ws"), n)).alias("g"))
         .where(F.col("g").isNotNull())
         .distinct()
         .withColumn("_hit", F.lit(1))
@@ -99,9 +102,12 @@ def ngram_overlap_decontaminate(
     # corpus twice and let InferFiltersFromGenerate push the whole gram
     # expression into a serial scan-side Filter; explode_outer infers
     # nothing, and _grams is never empty by construction.)
-    doc_grams = widen_narrow_input(corpus).select(
-        F.col(id_col),
-        _gram_hashes(F.col(text_col), n).alias("_grams"),
+    doc_grams = (
+        widen_narrow_input(corpus)
+        .select(
+            F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_ws")
+        )
+        .select(F.col(id_col), _gram_hashes(F.col("_ws"), n).alias("_grams"))
     )
     exploded = doc_grams.select(
         id_col,

@@ -224,7 +224,9 @@ def top_ngram_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
     words."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    words = F.split(F.col("text"), " ")
+    # split ONCE per row via a staged projection: referencing the split
+    # inside the transform lambda re-evaluates it per gram (O(words²))
+    words = F.col("_ws")
     count = F.size(words) - (n - 1)
     grams = F.when(
         count >= 1,
@@ -233,7 +235,13 @@ def top_ngram_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    from eristropy_spark.functions.partitioning import widen_narrow_input
+
+    exploded = (
+        widen_narrow_input(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("_ws"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
     counts = exploded.groupBy("doc_id", "gram").agg(
         F.count("*").alias("cnt")
     )
@@ -289,7 +297,9 @@ def chunk_text(
         raise ValueError("stride must be in [1, window]")
     if min_tokens < 1:
         raise ValueError("min_tokens must be >= 1")
-    words = F.split(F.col("text"), " ")
+    # split once per row (staged projection below) — the chunk slices
+    # would otherwise re-split the text per window start
+    words = F.col("_ws")
     n = F.size(words)
     # window start indices (1-based): 1, 1+stride, ... while a NEW
     # token is covered and the tail clears min_tokens
@@ -308,8 +318,12 @@ def chunk_text(
     chunks = F.transform(
         kept, lambda s: F.concat_ws(" ", F.slice(words, s, window))
     )
+    from eristropy_spark.functions.partitioning import widen_narrow_input
+
     return (
-        docs.select("doc_id", n.alias("_n"), F.posexplode(chunks))
+        widen_narrow_input(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("_ws"))
+        .select("doc_id", n.alias("_n"), F.posexplode(chunks))
         .select(
             "doc_id",
             F.col("pos").cast("long").alias("chunk_id"),

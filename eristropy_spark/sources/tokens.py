@@ -56,8 +56,18 @@ def events_to_tokens(
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    # explicit keyed repartition instead of the bare groupBy shuffle:
+    # the REPARTITION_BY_NUM exchange already satisfies the
+    # aggregation's clustering (ONE exchange either way) but is exempt
+    # from AQE's size-based coalescing, which would fold the tiny-SF
+    # token table to 1-2 partitions and serialize every downstream
+    # per-sequence entropy UDF (the _pandas_par.keyed_parallel
+    # rationale; collect_list has no map-side reduction, so nothing is
+    # lost by skipping the partial aggregate).
+    n = spark.sparkContext.defaultParallelism
     out = (
-        ev.groupBy("user_id", "event_type")
+        ev.repartition(n, "user_id", "event_type")
+        .groupBy("user_id", "event_type")
         .agg(seq.alias("seq"), F.min("ts").alias("first_ts"))
     )
     if max_tokens is not None:
