@@ -31,12 +31,21 @@ def _sampen_matrix(X: np.ndarray, lens: np.ndarray, m: int, r) -> np.ndarray:
     """
     B, n_max = X.shape
     mm = m + 1
+    if mm < 2:
+        raise ValueError(f"m must be >= 1, got {m}")
     r_col = np.asarray(r, dtype=np.float64)
     if r_col.ndim == 1:
         r_col = r_col[:, None]
 
-    a = np.zeros((B, mm), dtype=np.float64)
-    b = np.zeros((B, mm), dtype=np.float64)
+    # Only a[mm-1] (order-(m+1) matches) and b[mm-2] (order-m matches
+    # excluding last-endpoint pairs) feed the output, so only those two
+    # accumulate — the full a[0..mm]/b[0..mm] ladder of the scalar
+    # kernel costs mm·2 threshold passes per sweep step for counts the
+    # result never reads.  ``capped = min(run, mm)`` disappears too:
+    # (capped > mm-1) ≡ (run >= mm) and (capped > mm-2) ≡ (run >= mm-1)
+    # — identical integer counts, bit-identical output.
+    a_hi = np.zeros(B, dtype=np.float64)
+    b_lo = np.zeros(B, dtype=np.float64)
     lastrun = np.zeros((B, n_max - 1), dtype=np.int64)
     rows = np.arange(B)
 
@@ -45,20 +54,19 @@ def _sampen_matrix(X: np.ndarray, lens: np.ndarray, m: int, r) -> np.ndarray:
         with np.errstate(invalid="ignore"):
             match = np.abs(X[:, i + 1 :] - X[:, i : i + 1]) < r_col
         run = np.where(match, lastrun[:, :nj] + 1, 0)
-        capped = np.minimum(run, mm)
         # per-row column of the pair whose right endpoint is the row's
         # true last sample: jj = len - i - 2
         last_col = lens - i - 2
         valid_last = last_col >= 0
-        gathered = capped[rows, np.clip(last_col, 0, nj - 1)]
-        for k in range(mm):
-            cnt = (capped > k).sum(axis=1)
-            a[:, k] += cnt
-            b[:, k] += cnt - (valid_last & (gathered > k))
+        gathered = run[rows, np.clip(last_col, 0, nj - 1)]
+        a_hi += (run >= mm).sum(axis=1)
+        b_lo += (run >= mm - 1).sum(axis=1) - (
+            valid_last & (gathered >= mm - 1)
+        )
         lastrun[:, :nj] = run
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        out = np.where(a[:, mm - 1] > 0.0, -np.log(a[:, mm - 1] / b[:, mm - 2]), np.nan)
+        out = np.where(a_hi > 0.0, -np.log(a_hi / b_lo), np.nan)
     return out
 
 

@@ -321,37 +321,35 @@ def _drop_hot_buckets(
     """
     if max_bucket_size is None:
         return tabled
-    sizes = tabled.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    from pyspark.sql import Window
+
+    # Bucket sizes come from ONE window count over the join keys
+    # instead of a sizes aggregate + join-back: the join-back
+    # re-executed the whole upstream (signature UDF included) for the
+    # sizes branch, while the window's exchange is exactly the
+    # partitioning the downstream bucket self-join needs, so Spark
+    # reuses it (1 upstream execution, plan-audited).
+    w = Window.partitionBy(*keys)
+    wide = tabled.withColumn("_bsz", F.count("*").over(w))
     if max_bucket_size == "auto":
         if n_buckets is None or n_buckets < 1:
             raise ValueError('max_bucket_size="auto" requires n_buckets >= 1')
-        totals = sizes.groupBy(table_key).agg(F.sum("_bsz").alias("_tot"))
+        # per-table totals branch off the SAME window exchange (tiny
+        # aggregate, broadcast back); total rows per table == Σ bucket
+        # sizes per table
+        totals = wide.groupBy(table_key).agg(F.count("*").alias("_tot"))
         cap = F.greatest(
             F.lit(float(min_cap)),
             F.lit(float(hot_factor)) * F.col("_tot") / F.lit(float(n_buckets)),
         )
-        keep = (
-            sizes.join(F.broadcast(totals), table_key)
+        return (
+            wide.join(F.broadcast(totals), table_key)
             .where(F.col("_bsz") <= cap)
-            .select(*keys)
+            .select(*tabled.columns)
         )
-        return tabled.join(keep, keys)
     if not isinstance(max_bucket_size, int) or max_bucket_size < 1:
         raise ValueError('max_bucket_size must be >= 1, "auto", or None')
-    # absolute cap: ONE window count over the join keys instead of a
-    # sizes aggregate + join-back — the join-back re-executed the whole
-    # upstream (signature UDF included) for the sizes branch, and the
-    # window's exchange is exactly the partitioning the downstream
-    # bucket self-join needs, so Spark reuses it (1 upstream execution,
-    # 1 Exchange, plan-audited)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*keys)
-    return (
-        tabled.withColumn("_bsz", F.count("*").over(w))
-        .where(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-    )
+    return wide.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
 
 
 def make_minhash_udf(k: int = 64, n: int = 3, seed: int = 17):

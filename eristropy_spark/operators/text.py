@@ -318,11 +318,8 @@ def chunk_text(
     chunks = F.transform(
         kept, lambda s: F.concat_ws(" ", F.slice(words, s, window))
     )
-    from eristropy_spark.functions.partitioning import widen_narrow_input
-
     return (
-        widen_narrow_input(docs)
-        .select("doc_id", F.split(F.col("text"), " ").alias("_ws"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("_ws"))
         .select("doc_id", n.alias("_n"), F.posexplode(chunks))
         .select(
             "doc_id",

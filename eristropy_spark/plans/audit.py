@@ -1506,17 +1506,20 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 1, p)
     )
 
-    # 72. kendall: grid equi-join + PAIR-KEYED quadratic self-join
-    # (equi on the pair key, range residual on bucket — never a
-    # cartesian/nested-loop over rows) — zero Python
+    # 72. kendall: grid equi-join + Knight O(n log n) grouped map
+    # keyed by the source pair (round 6 — replaced the pair-keyed
+    # quadratic self-join): ONE pair-keyed exchange feeding ONE
+    # grouped-Pandas boundary, never a cartesian/nested-loop
     q72 = entrymod.queries()["kendall"](spark, sf_dir)
     p = plan_of(q72)
     checks.append(
-        ("kendall: keyed equi-joins only (no cartesian/nested-loop), "
-         "zero Python",
+        ("kendall: pair-keyed Knight grouped map (no cartesian/"
+         "nested-loop), one Pandas boundary",
          "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p
-         and _py_node_count(p) == 0, p)
+         and "FlatMapGroupsInPandas" in p
+         and "hashpartitioning(source_a" in p
+         and _py_node_count(p) == 1, p)
     )
 
     # 73. wilcoxon: bucket equi-join + pair-keyed rank windows +
