@@ -109,16 +109,23 @@ def embedding_dup_pairs_lsh(
         )
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms are per-VECTOR, so evaluate them on the n-row sides before
+    # the join instead of per candidate PAIR: the interpreted aggregate
+    # fold runs 2n times, not 2|candidates| times (same double — the
+    # fold over the same array is deterministic), like the exact path
+    va = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    vb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
     return (
         cand_ids.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cos_sim",
             round6(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
             ),
         )
         .where(F.col("cos_sim") >= threshold)

@@ -166,20 +166,20 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # per-vector norms evaluated on the sides, not per candidate pair
+    # (identical doubles — same fold over the same array)
     corpus_vecs = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     query_vecs = emb.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
-    )
+    ).withColumn("nq", _norm(F.col("q")))
     scored = (
         cand_ids.join(corpus_vecs, "neighbor_id")
         .join(F.broadcast(query_vecs), "query_id")
         .withColumn(
             "cos_sim",
-            round6(
-                _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
-            ),
+            round6(_dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
