@@ -99,6 +99,99 @@ def _chunk_counts(x, n, ncols, i_idx, r_values, mm, t0, t1, acc):
             a["R1"] = R1
 
 
+def _chunk_counts_hist(x, n, ncols, i_idx, r_values, mm, t0, t1, acc):
+    """Same accumulator updates as ``_chunk_counts``, computed for ALL
+    r values in one pass instead of one matrix sweep per r.
+
+    Two exact identities make this possible:
+
+    * ``searchsorted`` is monotone, so the per-cell "first matching r
+      index" ``ti = searchsorted(rs, ad, 'right')`` satisfies
+      {j : ad < rs[j]} == {j : j >= ti} (strict ``< r`` preserved,
+      NaN/inf cells get ti = R and match nothing), and
+    * ``run(t, i) > o  <=>  max(ad[t, i−o..i]) < r``, and the window
+      max of ad maps to the window max of ti — so the o-th order hit
+      mask for EVERY r is one integer window-max of ti.
+
+    Counts then fall out of cumulative bincounts over ti (global for
+    A, column-keyed for F1, right-endpoint-keyed for F2), all exact
+    integers — bit-identical accumulators (equivalence-tested against
+    ``_chunk_counts`` across m, ties, NaN and chunking).  The ~|grid|×
+    sweep of the per-r path collapses to one searchsorted + mm window
+    maxes; per-r work is only the tiny (lw, ncols) R1 recurrence.
+    Dispatched for |grid| >= 3 (bincount overhead beats the direct
+    compare only once amortized across several r)."""
+    R = len(r_values)
+    rs = np.asarray(r_values, dtype=np.float64)
+    ts = np.arange(t0, t1)
+    j_idx = ts[:, None] + 1 + i_idx[None, :]
+    valid = j_idx < n
+    jc = np.minimum(j_idx, n - 1)
+    ad = np.where(valid, np.abs(x[jc] - x[i_idx[None, :]]), np.inf)
+
+    T = t1 - t0
+    ti0 = np.searchsorted(rs, ad.ravel(), side="right").astype(np.int16)
+    ti0 = ti0.reshape(T, ncols)
+
+    anti_t = np.arange(t0, min(t1, n - 1))
+    anti_rows = anti_t - t0
+    anti_cols = n - 2 - anti_t
+
+    # j key clamped to n: invalid cells only ever land in the ti=R
+    # column, which no r reads
+    jkey = np.minimum(j_idx, n)
+
+    W = ti0
+    for o in range(mm):
+        if o > 0:
+            W = np.maximum(W[:, 1:], ti0[:, : ncols - o])
+        cols = np.arange(o, ncols)
+        flat = W.ravel()
+        cumA = np.cumsum(np.bincount(flat, minlength=R + 1))[:R]
+        keyF1 = (cols[None, :] * (R + 1) + W).ravel()
+        cumF1 = np.cumsum(
+            np.bincount(keyF1, minlength=ncols * (R + 1)).reshape(
+                ncols, R + 1
+            ),
+            axis=1,
+        )[:, :R]
+        keyF2 = (jkey[:, o:] * (R + 1) + W).ravel()
+        cumF2 = np.cumsum(
+            np.bincount(keyF2, minlength=(n + 1) * (R + 1)).reshape(
+                n + 1, R + 1
+            ),
+            axis=1,
+        )[:n, :R]
+        ok = anti_cols >= o
+        ati = W[anti_rows[ok], anti_cols[ok] - o]
+        cumB = np.cumsum(np.bincount(ati, minlength=R + 1))[:R]
+        for ri in range(R):
+            a = acc[ri]
+            a["A"][o] += int(cumA[ri])
+            a["Blast"][o] += int(cumB[ri])
+            a["F1"][o][:ncols] += cumF1[:, ri]
+            a["F2"][o] += cumF2[:, ri]
+
+    if t0 == 0:
+        # R1 needs actual run VALUES for the first lw lag rows — per r,
+        # over a tiny (lw, ncols) slice, same recurrence as the per-r path
+        lw = 2 * mm
+        lw_eff = min(lw, t1 - t0, ncols)
+        col = i_idx[None, :]
+        rows_i = np.arange(n - 1)
+        for ri, r in enumerate(r_values):
+            match = ad[:lw_eff] < r
+            lastz = np.maximum.accumulate(np.where(~match, col, -1), axis=1)
+            run = np.where(match, col - lastz, 0)
+            R1 = np.zeros((n, lw), dtype=np.int64)
+            for t in range(lw_eff):
+                if t > n - 2:
+                    break
+                src = np.minimum(rows_i, n - 2 - t)
+                R1[: n - 1, t] = run[t, src]
+            acc[ri]["R1"] = R1
+
+
 def cp_mean_sd_grid(
     x: np.ndarray, m: int, r_values
 ) -> list[tuple[float, float]]:
@@ -129,8 +222,11 @@ def cp_mean_sd_grid(
     ]
 
     chunk_rows = max(lw, _MAX_CHUNK_CELLS // max(ncols, 1))
+    # histogram path amortizes its searchsorted/bincount overhead only
+    # across several tolerances; the direct compare wins for 1-2 r's
+    counts_fn = _chunk_counts_hist if len(r_values) >= 3 else _chunk_counts
     for t0 in range(0, ncols, chunk_rows):
-        _chunk_counts(
+        counts_fn(
             x, n, ncols, i_idx, r_values, mm, t0, min(t0 + chunk_rows, ncols), acc
         )
 
