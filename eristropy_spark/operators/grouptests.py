@@ -1071,9 +1071,16 @@ def conover_squared_ranks(
     bit-identical in the DuckDB replay.
 
     Scale shape: two census hash-aggregates ((group, value) then
-    (group, z2)), the brown_forsythe per-group median windows, ONE
-    domain-bounded unkeyed cumulative window over the distinct-z2
-    census, k-row reduces broadcast back.  Zero Python.
+    (group, z2)) connected by WINDOWS all the way down — the group
+    median, the pooled tie/cumulative counts, the pooled moment sums
+    (over one representative row per distinct z2) and the k-row
+    global reduces are all window functions over the census lineage,
+    so the plan is ONE linear chain with zero joins and zero
+    re-executed branches (the join/branch form re-ran the upstream
+    census once per aggregate consumer).  The unkeyed windows are
+    domain-bounded: they see the (group, distinct-z2) census, never
+    raw rows.  All window sums are exact longs/decimals (order-free),
+    so results are bit-identical to the join form.  Zero Python.
 
     Returns one row per group: (group, n, s_u, mean_u, t_stat, df,
     k, n_total); ``s_u`` = Σu over the group (the normalized
@@ -1096,16 +1103,20 @@ def conover_squared_ranks(
     )
     lo_rank = F.floor((F.col("_n") + 1) / 2)
     hi_rank = F.floor(F.col("_n") / 2) + 1
-    med = ranked.groupBy("group").agg(
-        (
-            F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v"))).cast("long")
-            + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v"))).cast("long")
-        ).alias("_m2")
+    # group median as a window over the same group partition — no
+    # aggregate branch, no join back
+    ranked = ranked.withColumn(
+        "_m2",
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v")))
+        .over(w_tot)
+        .cast("long")
+        + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v")))
+        .over(w_tot)
+        .cast("long"),
     )
 
     dev = (
-        cnt.join(F.broadcast(med), "group")
-        .withColumn(
+        ranked.withColumn(
             "_z2",
             F.abs(2 * F.col("_v").cast("long") - F.col("_m2")).cast("long"),
         )
@@ -1113,15 +1124,27 @@ def conover_squared_ranks(
         .agg(F.sum("_c").cast("long").alias("_c"))
     )
 
-    zvals = dev.groupBy("_z2").agg(F.sum("_c").cast("long").alias("_t"))
-    w_cum = (
-        Window.orderBy("_z2").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+    # pooled tie counts, cumulative counts, the grand total and one
+    # representative row per distinct z2 — all windows on the SAME
+    # (group, z2) census rows (a RANGE cum frame folds z2 ties exactly
+    # like the distinct-z2 ROWS frame did); every sum is an exact long
+    w_z = Window.partitionBy("_z2")
+    w_cum_rng = Window.orderBy("_z2").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    dev = (
+        dev.withColumn("_t", F.sum("_c").over(w_z))
+        .withColumn("_cumt", F.sum("_c").over(w_cum_rng))
+        .withColumn("_N", F.sum("_c").over(w_all))
+        .withColumn(
+            "_rep",
+            F.row_number().over(
+                Window.partitionBy("_z2").orderBy("group")
+            )
+            == 1,
         )
     )
-    zvals = zvals.withColumn("_cumt", F.sum("_t").over(w_cum))
-
-    ntot = zvals.agg(F.sum("_t").cast("long").alias("_N"))
 
     # scale-invariance of T: u -> alpha*u leaves T unchanged, so work
     # with u = (2r / 2N)^2 in (0, 1] instead of raw R^2 — raw (4S_j)^2
@@ -1129,12 +1152,11 @@ def conover_squared_ranks(
     # while every normalized quantity stays O(N).  u and u^2 are
     # quantized onto the 12-dp grid (the psi rule) so all sums are
     # exact DECIMAL(38,12), bit-identical in the replay.
-    zvals = zvals.crossJoin(F.broadcast(ntot))
     r2d = (2 * F.col("_cumt") - F.col("_t") + 1).cast("double")
     ud = (r2d / (F.lit(2.0) * F.col("_N").cast("double"))) * (
         r2d / (F.lit(2.0) * F.col("_N").cast("double"))
     )
-    zvals = zvals.withColumn(
+    dev = dev.withColumn(
         "_u", _floor_round(ud, 12).cast("decimal(38,12)")
     ).withColumn(
         "_w",
@@ -1143,7 +1165,6 @@ def conover_squared_ranks(
         ).cast("decimal(38,12)"),
     )
 
-    joined = dev.join(F.broadcast(zvals.select("_z2", "_u")), "_z2")
     # operand widths chosen so the product precision is exactly 38 at
     # scale 12 ((13,0)x(24,12) -> (38,12)): a (38,0)x(38,12) product
     # overflows Spark's declared precision and silently REDUCES the
@@ -1152,24 +1173,41 @@ def conover_squared_ranks(
     t13 = F.col("_t").cast("decimal(13,0)")
     u24 = F.col("_u").cast("decimal(24,12)")
     w24 = F.col("_w").cast("decimal(24,12)")
-    grp = joined.groupBy("group").agg(
+    # pooled moment sums over the distinct-z2 representatives, plus the
+    # structural degeneracy flag: D² = 0 iff ONE distinct pooled
+    # deviation — an exact count, not a float-zero test (the float
+    # den lands within one ulp of 0 either side when degenerate)
+    dev = (
+        dev.withColumn(
+            "_t1", F.sum(F.when(F.col("_rep"), t13 * u24)).over(w_all)
+        )
+        .withColumn(
+            "_t2", F.sum(F.when(F.col("_rep"), t13 * w24)).over(w_all)
+        )
+        .withColumn(
+            "_nz",
+            F.sum(F.when(F.col("_rep"), F.lit(1)).otherwise(F.lit(0)))
+            .over(w_all)
+            .cast("long"),
+        )
+    )
+
+    grp = dev.groupBy("group").agg(
         F.sum("_c").cast("long").alias("n"),
         F.sum(c13 * u24).alias("_su"),
+        # constants on every input row (global windows): first() is safe
+        F.first("_t1").alias("_t1"),
+        F.first("_t2").alias("_t2"),
+        F.first("_nz").alias("_nz"),
     )
 
-    pooled = zvals.agg(
-        F.sum(t13 * u24).alias("_t1"),
-        F.sum(t13 * w24).alias("_t2"),
-        # structural degeneracy flag: D² = 0 iff ONE distinct pooled
-        # deviation — an exact count, not a float-zero test (the float
-        # den lands within one ulp of 0 either side when degenerate)
-        F.count("*").cast("long").alias("_nz"),
-    )
-
-    glob = (
-        grp.agg(
-            F.count("*").cast("int").alias("k"),
-            F.sum("n").cast("long").alias("n_total"),
+    # k-row global reduces as windows over the k-row group table
+    w_glob = Window.partitionBy()
+    grp = (
+        grp.withColumn("k", F.count("*").over(w_glob).cast("int"))
+        .withColumn("n_total", F.sum("n").over(w_glob).cast("long"))
+        .withColumn(
+            "_sq",
             F.sum(
                 _floor_round(
                     F.col("_su").cast("double")
@@ -1177,10 +1215,10 @@ def conover_squared_ranks(
                     / F.col("n").cast("double"),
                     6,
                 ).cast(_D6)
-            ).alias("_sq"),
+            ).over(w_glob),
         )
-        .crossJoin(pooled)
     )
+
     nd = F.col("n_total").cast("double")
     nbar2 = F.col("_t1").cast("double") * F.col("_t1").cast("double") / nd
     den = (F.col("_t2").cast("double") - nbar2) / (nd - F.lit(1.0))
@@ -1191,23 +1229,15 @@ def conover_squared_ranks(
         & (den > F.lit(0.0)),
         (F.col("_sq").cast("double") - nbar2) / den,
     )
-    glob = glob.select(
-        _floor_round(t_stat, 6).alias("t_stat"),
-        (F.col("k") - 1).cast("int").alias("df"),
-        "k",
-        "n_total",
-    )
-
-    out = grp.crossJoin(F.broadcast(glob))
-    return out.select(
+    return grp.select(
         "group",
         "n",
         F.col("_su").cast("double").alias("s_u"),
         (
             F.col("_su").cast("double") / F.col("n").cast("double")
         ).alias("mean_u"),
-        "t_stat",
-        "df",
+        _floor_round(t_stat, 6).alias("t_stat"),
+        (F.col("k") - 1).cast("int").alias("df"),
         "k",
         "n_total",
     )
