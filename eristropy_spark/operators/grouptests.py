@@ -78,31 +78,45 @@ def kruskal_wallis(
         F.col(group_col).alias("group"), F.col(value_col).alias("_v")
     ).agg(F.count("*").cast("long").alias("_c"))
 
-    vals = cnt.groupBy("_v").agg(F.sum("_c").cast("long").alias("_t"))
-    # distinct-value census: cardinality = value domain (see module
-    # docstring) — the unkeyed cumulative window is bounded by it
-    w_cum = (
-        Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # pooled tie counts / cumulative counts as WINDOWS on the census
+    # rows themselves (distinct-value cardinality = value domain, see
+    # module docstring — the unkeyed windows are bounded by it); the
+    # RANGE cum frame folds value ties exactly like the distinct-value
+    # ROWS frame did, and every sum is an exact long/decimal, so the
+    # join-back form this replaces is bit-identical
+    w_v = Window.partitionBy("_v")
+    w_cum_rng = Window.orderBy("_v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    vals = vals.withColumn("_cumt", F.sum("_t").over(w_cum))
-
-    joined = cnt.join(F.broadcast(vals), "_v")
+    w_all = Window.partitionBy()
+    t13 = F.col("_t").cast(_D0)
+    cnt = (
+        cnt.withColumn("_t", F.sum("_c").over(w_v))
+        .withColumn("_cumt", F.sum("_c").over(w_cum_rng))
+        .withColumn(
+            "_rep",
+            F.row_number().over(Window.partitionBy("_v").orderBy("group"))
+            == 1,
+        )
+        .withColumn(
+            "_tie",
+            F.sum(F.when(F.col("_rep"), t13 * t13 * t13 - t13)).over(w_all),
+        )
+    )
     r2 = (2 * F.col("_cumt") - F.col("_t") + 1).cast("long")
-    grp = joined.groupBy("group").agg(
+    grp = cnt.groupBy("group").agg(
         F.sum("_c").cast("long").alias("n"),
         F.sum(F.col("_c").cast(_D0) * r2.cast(_D0)).alias("_r2"),
+        # constant on every input row (global window): first() is safe
+        F.first("_tie").alias("_tie"),
     )
 
-    ties = vals.select(
-        F.sum(
-            F.col("_t").cast(_D0) * F.col("_t").cast(_D0) * F.col("_t").cast(_D0)
-            - F.col("_t").cast(_D0)
-        ).alias("_tie")
-    )
+    w_glob = Window.partitionBy()
     glob = (
-        grp.agg(
-            F.count("*").cast("int").alias("k"),
-            F.sum("n").cast("long").alias("n_total"),
+        grp.withColumn("k", F.count("*").over(w_glob).cast("int"))
+        .withColumn("n_total", F.sum("n").over(w_glob).cast("long"))
+        .withColumn(
+            "_s",
             F.sum(
                 _floor_round(
                     F.col("_r2").cast("double")
@@ -110,9 +124,8 @@ def kruskal_wallis(
                     / F.col("n").cast("double"),
                     6,
                 ).cast(_D6)
-            ).alias("_s"),
+            ).over(w_glob),
         )
-        .crossJoin(ties)
     )
 
     nd = F.col("n_total").cast("double")
@@ -122,23 +135,15 @@ def kruskal_wallis(
         - F.lit(3.0) * (nd + F.lit(1.0)),
     )
     c_tie = F.lit(1.0) - F.col("_tie").cast("double") / (nd * nd * nd - nd)
-    glob = glob.select(
-        "k",
-        "n_total",
-        h.alias("h"),
-        F.when(h.isNotNull() & (c_tie > F.lit(0.0)), h / c_tie).alias("h_adj"),
-    )
-
-    out = grp.crossJoin(F.broadcast(glob))
-    return out.select(
+    return glob.select(
         "group",
         "n",
         F.col("_r2").cast("long").alias("r2_sum"),
         (
             F.col("_r2").cast("double") / (F.lit(2.0) * F.col("n").cast("double"))
         ).alias("mean_rank"),
-        "h",
-        "h_adj",
+        h.alias("h"),
+        F.when(h.isNotNull() & (c_tie > F.lit(0.0)), h / c_tie).alias("h_adj"),
         "k",
         "n_total",
     )
@@ -299,57 +304,65 @@ def friedman_page(
         F.col(value_col).cast("long").alias("_v"),
     )
 
-    kdf = cells.agg(
-        F.count_distinct("treatment").cast("int").alias("_k")
+    # complete-block filter as WINDOWS on the cells (no count-distinct
+    # side aggregates, no join back): distinct counts via
+    # max(dense_rank), staged because window functions cannot nest —
+    # the same linearization as ``quade``, bit-identical outputs
+    w_all = Window.partitionBy()
+    w_b = Window.partitionBy("block")
+    cells = cells.withColumn(
+        "_tdr", F.dense_rank().over(Window.orderBy("treatment"))
+    ).withColumn(
+        "_btdr",
+        F.dense_rank().over(
+            Window.partitionBy("block").orderBy("treatment")
+        ),
     )
-
-    per_block = cells.groupBy("block").agg(
-        F.count("*").cast("int").alias("_nr"),
-        F.count_distinct("treatment").cast("int").alias("_nt"),
+    cells = (
+        cells.withColumn("_k", F.max("_tdr").over(w_all).cast("int"))
+        .withColumn("_nr", F.count("*").over(w_b).cast("int"))
+        .withColumn("_nt", F.max("_btdr").over(w_b).cast("int"))
     )
-    complete = per_block.crossJoin(F.broadcast(kdf)).where(
+    kept = cells.where(
         (F.col("_nr") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
     )
-    kept = cells.join(complete.select("block"), "block")
 
     w_rank = Window.partitionBy("block").orderBy("_v")
     w_eq = Window.partitionBy("block", "_v")
-    ranked = kept.select(
-        "block",
-        "treatment",
-        "_v",
-        (
-            2 * F.rank().over(w_rank) + F.count("*").over(w_eq) - 1
-        ).cast("long").alias("_r2"),
-        F.count("*").over(w_eq).cast("long").alias("_t"),
-    )
+    ranked = kept.withColumn(
+        "_r2",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_eq) - 1).cast(
+            "long"
+        ),
+    ).withColumn("_t", F.count("*").over(w_eq).cast("long"))
 
     # tie cube per block: each (block, v) group of size t contributes
-    # t³ − t, counted once — divide the per-row contribution by t
-    ties = ranked.agg(
-        F.sum(
-            (
-                F.col("_t").cast(_D0) * F.col("_t").cast(_D0)
-                - F.lit(1).cast(_D0)
-            )
-        ).alias("_tie")
-    )
-
+    # t³ − t, counted once — divide the per-row contribution by t;
+    # summed per treatment here and folded to the global total below
     grp = ranked.groupBy("treatment").agg(
         F.count("*").cast("long").alias("n_blocks"),
         F.sum(F.col("_r2").cast(_D0)).alias("_r2s"),
+        F.sum(
+            F.col("_t").cast(_D0) * F.col("_t").cast(_D0)
+            - F.lit(1).cast(_D0)
+        ).alias("_tiep"),
     )
     w_j = Window.orderBy("treatment")  # k-row result, bounded by k
     grp = grp.withColumn("_j", F.dense_rank().over(w_j).cast("int"))
 
+    # k-row global reduces as windows over the k-row treatment table
+    w_glob = Window.partitionBy()
     glob = (
-        grp.agg(
-            F.count("*").cast("int").alias("k"),
-            F.max("n_blocks").cast("long").alias("n"),
-            F.sum(F.col("_r2s") * F.col("_r2s")).alias("_s2"),
-            F.sum(F.col("_j").cast(_D0) * F.col("_r2s")).alias("_l2"),
+        grp.withColumn("k", F.count("*").over(w_glob).cast("int"))
+        .withColumn("n", F.max("n_blocks").over(w_glob).cast("long"))
+        .withColumn(
+            "_s2", F.sum(F.col("_r2s") * F.col("_r2s")).over(w_glob)
         )
-        .crossJoin(ties)
+        .withColumn(
+            "_l2",
+            F.sum(F.col("_j").cast(_D0) * F.col("_r2s")).over(w_glob),
+        )
+        .withColumn("_tie", F.sum("_tiep").over(w_glob))
     )
 
     nd = F.col("n").cast("double")
@@ -371,19 +384,7 @@ def friedman_page(
         )
         / F.sqrt(nd * kd * kd * (kd * kd - F.lit(1.0)) * (kd + F.lit(1.0))),
     )
-    glob = glob.select(
-        "k",
-        "n",
-        chi2.alias("chi2"),
-        F.when(chi2.isNotNull() & (c_tie > F.lit(0.0)), chi2 / c_tie).alias(
-            "chi2_adj"
-        ),
-        (F.col("_l2").cast("double") / F.lit(2.0)).alias("page_l"),
-        page_z.alias("page_z"),
-    )
-
-    out = grp.crossJoin(F.broadcast(glob))
-    return out.select(
+    return glob.select(
         "treatment",
         "_j",
         F.col("n_blocks"),
@@ -392,10 +393,12 @@ def friedman_page(
             F.col("_r2s").cast("double")
             / (F.lit(2.0) * F.col("n_blocks").cast("double"))
         ).alias("mean_rank"),
-        "chi2",
-        "chi2_adj",
-        "page_l",
-        "page_z",
+        chi2.alias("chi2"),
+        F.when(chi2.isNotNull() & (c_tie > F.lit(0.0)), chi2 / c_tie).alias(
+            "chi2_adj"
+        ),
+        (F.col("_l2").cast("double") / F.lit(2.0)).alias("page_l"),
+        page_z.alias("page_z"),
         "k",
     ).withColumnRenamed("_j", "j")
 
@@ -453,36 +456,61 @@ def cochran_q(
         x_checked.alias("_x"),
     )
 
-    kdf = cells.agg(F.count_distinct("treatment").cast("int").alias("_k"))
-    per_block = cells.groupBy("block").agg(
-        F.count("*").cast("int").alias("_nr"),
-        F.count_distinct("treatment").cast("int").alias("_nt"),
+    # complete-block filter as WINDOWS on the cells (the quade /
+    # friedman_page linearization — no side aggregates, no joins);
+    # the per-block success totals become a per-block window, and the
+    # Σ R_i² / block-count totals ride the per-treatment aggregate as
+    # representative-row partials folded by a k-row window — every
+    # sum an exact long/decimal, bit-identical to the join form
+    w_all = Window.partitionBy()
+    w_b = Window.partitionBy("block")
+    cells = cells.withColumn(
+        "_tdr", F.dense_rank().over(Window.orderBy("treatment"))
+    ).withColumn(
+        "_btdr",
+        F.dense_rank().over(
+            Window.partitionBy("block").orderBy("treatment")
+        ),
     )
-    complete = per_block.crossJoin(F.broadcast(kdf)).where(
+    cells = (
+        cells.withColumn("_k", F.max("_tdr").over(w_all).cast("int"))
+        .withColumn("_nr", F.count("*").over(w_b).cast("int"))
+        .withColumn("_nt", F.max("_btdr").over(w_b).cast("int"))
+    )
+    kept = cells.where(
         (F.col("_nr") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
     )
-    kept = cells.join(complete.select("block"), "block")
 
-    rows = kept.groupBy("block").agg(
-        F.sum("_x").cast("long").alias("_r")
-    )
-    r2sum = rows.agg(
-        F.sum(F.col("_r").cast(_D0) * F.col("_r").cast(_D0)).alias("_rr"),
-        F.count("*").cast("long").alias("_nb"),
+    kept = kept.withColumn("_r", F.sum("_x").over(w_b).cast("long")).withColumn(
+        "_repb",
+        F.row_number().over(Window.partitionBy("block").orderBy("treatment"))
+        == 1,
     )
     cols = kept.groupBy("treatment").agg(
         F.count("*").cast("long").alias("n_blocks"),
         F.sum("_x").cast("long").alias("successes"),
+        F.sum(
+            F.when(
+                F.col("_repb"),
+                F.col("_r").cast(_D0) * F.col("_r").cast(_D0),
+            )
+        ).alias("_rrp"),
+        F.sum(F.when(F.col("_repb"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_nbp"),
     )
+    w_glob = Window.partitionBy()
     glob = (
-        cols.agg(
-            F.count("*").cast("int").alias("k"),
-            F.sum("successes").cast("long").alias("_n"),
+        cols.withColumn("k", F.count("*").over(w_glob).cast("int"))
+        .withColumn("_n", F.sum("successes").over(w_glob).cast("long"))
+        .withColumn(
+            "_cc",
             F.sum(
                 F.col("successes").cast(_D0) * F.col("successes").cast(_D0)
-            ).alias("_cc"),
+            ).over(w_glob),
         )
-        .crossJoin(r2sum)
+        .withColumn("_rr", F.sum("_rrp").over(w_glob))
+        .withColumn("_nb", F.sum("_nbp").over(w_glob).cast("long"))
     )
 
     num = (F.col("k") - 1).cast(_D0) * (
@@ -494,18 +522,15 @@ def cochran_q(
         (F.col("k") >= 2) & (F.col("_nb") >= 1) & (den > F.lit(0).cast(_D0)),
         num.cast("double") / den.cast("double"),
     )
-    glob = glob.select("k", q.alias("q"), (F.col("k") - 1).cast("int").alias("df"))
-
-    out = cols.crossJoin(F.broadcast(glob))
-    return out.select(
+    return glob.select(
         "treatment",
         "n_blocks",
         "successes",
         (
             F.col("successes").cast("double") / F.col("n_blocks").cast("double")
         ).alias("success_rate"),
-        "q",
-        "df",
+        q.alias("q"),
+        (F.col("k") - 1).cast("int").alias("df"),
         "k",
     )
 
@@ -670,9 +695,13 @@ def mood_median(
     DECIMAL(38,6); the statistic is the float cast of that exact sum
     — bit-identical in the DuckDB replay.
 
-    Scale shape: one census hash-aggregate, one distinct-value-census
-    cumulative window (domain-bounded), a k-row reduce broadcast back
-    onto the k output rows.  Zero Python.
+    Scale shape: one census hash-aggregate linked by WINDOWS only —
+    the pooled cumulative counts, the grand-median order statistics
+    and the k-row reduces are all window functions over the census
+    lineage (domain-bounded: they see distinct values / k group
+    rows), so the plan is one linear chain with zero joins and zero
+    re-executed branches.  All window sums are exact longs/decimals,
+    bit-identical to the join-back form this replaces.  Zero Python.
 
     Returns one row per group: (group, n, n_above, n_le, median,
     chi2, df, k, n_total, n_above_total); ``chi2`` is NULL when
@@ -682,44 +711,49 @@ def mood_median(
         F.col(group_col).alias("group"), F.col(value_col).alias("_v")
     ).agg(F.count("*").cast("long").alias("_c"))
 
-    vals = cnt.groupBy("_v").agg(F.sum("_c").cast("long").alias("_t"))
-    w_cum = (
-        Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # pooled cumulative / total counts as windows on the census rows
+    # (a RANGE cum frame folds value ties across groups exactly like
+    # the distinct-value census did)
+    w_cum_rng = Window.orderBy("_v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    vals = vals.withColumn("_cum", F.sum("_t").over(w_cum)).withColumn(
-        "_n", F.sum("_t").over(Window.partitionBy())
+    w_all = Window.partitionBy()
+    cnt = cnt.withColumn("_cum", F.sum("_c").over(w_cum_rng)).withColumn(
+        "_n", F.sum("_c").over(w_all)
     )
     lo_rank = F.floor((F.col("_n") + 1) / 2)
     hi_rank = F.floor(F.col("_n") / 2) + 1
-    med = vals.agg(
-        (
-            F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v"))).cast("long")
-            + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v"))).cast("long")
-        ).alias("_m2")
+    # grand median from the same rows, as a global window
+    cnt = cnt.withColumn(
+        "_m2",
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v")))
+        .over(w_all)
+        .cast("long")
+        + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v")))
+        .over(w_all)
+        .cast("long"),
     )
 
-    grp = (
-        cnt.crossJoin(F.broadcast(med))
-        .groupBy("group")
-        .agg(
-            F.sum("_c").cast("long").alias("n"),
-            F.sum(
-                F.when(2 * F.col("_v").cast("long") > F.col("_m2"), F.col("_c"))
-                .otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("n_above"),
-            F.max("_m2").alias("_m2"),
+    grp = cnt.groupBy("group").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(
+            F.when(2 * F.col("_v").cast("long") > F.col("_m2"), F.col("_c"))
+            .otherwise(F.lit(0))
         )
+        .cast("long")
+        .alias("n_above"),
+        F.max("_m2").alias("_m2"),
     )
     grp = grp.withColumn("n_le", (F.col("n") - F.col("n_above")).cast("long"))
 
-    tot = grp.agg(
-        F.count("*").cast("int").alias("k"),
-        F.sum("n").cast("long").alias("n_total"),
-        F.sum("n_above").cast("long").alias("n_above_total"),
+    w_glob = Window.partitionBy()
+    j = (
+        grp.withColumn("k", F.count("*").over(w_glob).cast("int"))
+        .withColumn("n_total", F.sum("n").over(w_glob).cast("long"))
+        .withColumn(
+            "n_above_total", F.sum("n_above").over(w_glob).cast("long")
+        )
     )
-    j = grp.crossJoin(F.broadcast(tot))
     a_num = (
         F.col("n_above").cast(_D0) * F.col("n_total").cast(_D0)
         - F.col("n").cast(_D0) * F.col("n_above_total").cast(_D0)
@@ -750,30 +784,16 @@ def mood_median(
             6,
         ),
     )
-    glob = j.agg(
-        F.max("k").alias("k"),
-        F.max("n_total").alias("n_total"),
-        F.max("n_above_total").alias("n_above_total"),
-        F.sum(term.cast(_D6)).alias("_chi2"),
-    )
+    j = j.withColumn("_chi2", F.sum(term.cast(_D6)).over(w_glob))
     chi2 = F.when(F.col("k") >= 2, F.col("_chi2").cast("double"))
-    glob = glob.select(
-        "k",
-        "n_total",
-        "n_above_total",
-        chi2.alias("chi2"),
-        (F.col("k") - 1).cast("int").alias("df"),
-    )
-
-    out = grp.crossJoin(F.broadcast(glob))
-    return out.select(
+    return j.select(
         "group",
         "n",
         "n_above",
         "n_le",
         (F.col("_m2").cast("double") / F.lit(2.0)).alias("median"),
-        "chi2",
-        "df",
+        chi2.alias("chi2"),
+        (F.col("k") - 1).cast("int").alias("df"),
         "k",
         "n_total",
         "n_above_total",
@@ -938,51 +958,77 @@ def quade(
         F.col(value_col).cast("long").alias("_v"),
     )
 
-    kdf = cells.agg(F.count_distinct("treatment").cast("int").alias("_k"))
-
-    per_block = cells.groupBy("block").agg(
-        F.count("*").cast("int").alias("_nr"),
-        F.count_distinct("treatment").cast("int").alias("_nt"),
+    # everything the join-back form derived in side branches (the
+    # global treatment count, the per-block completeness counts, the
+    # block range and its midrank among blocks) is computed as
+    # WINDOWS on the cells themselves, so the plan is one linear
+    # chain over a single scan.  All counts are exact longs; the
+    # block-range midrank uses an integer RANGE frame over one
+    # representative row per block, identical to ranking the
+    # n_blocks-row range table.  Bit-identical to the join form.
+    w_all = Window.partitionBy()
+    w_b = Window.partitionBy("block")
+    # distinct counts via max(dense_rank) — staged in separate
+    # projections because window functions cannot nest
+    cells = cells.withColumn(
+        "_tdr", F.dense_rank().over(Window.orderBy("treatment"))
+    ).withColumn(
+        "_btdr",
+        F.dense_rank().over(
+            Window.partitionBy("block").orderBy("treatment")
+        ),
     )
-    complete = per_block.crossJoin(F.broadcast(kdf)).where(
+    cells = (
+        cells.withColumn("_k", F.max("_tdr").over(w_all).cast("int"))
+        .withColumn("_nr", F.count("*").over(w_b).cast("int"))
+        .withColumn("_nt", F.max("_btdr").over(w_b).cast("int"))
+    )
+    kept = cells.where(
         (F.col("_nr") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
     )
-    kept = cells.join(complete.select("block"), "block")
 
     w_rank = Window.partitionBy("block").orderBy("_v")
     w_eq = Window.partitionBy("block", "_v")
-    ranked = kept.select(
-        "block",
-        "treatment",
-        (2 * F.rank().over(w_rank) + F.count("*").over(w_eq) - 1)
-        .cast("long")
-        .alias("_r2"),
+    kept = kept.withColumn(
+        "_r2",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_eq) - 1).cast(
+            "long"
+        ),
     )
 
-    # block-range table: n_blocks rows (time-bucket domain bound);
-    # the one unkeyed window midranks the ranges over it
-    rng = kept.groupBy("block").agg(
-        (F.max("_v") - F.min("_v")).cast("long").alias("_d")
-    )
-    w_drank = Window.orderBy("_d")
-    w_deq = Window.partitionBy("_d")
-    rng = rng.select(
-        "block",
-        (2 * F.rank().over(w_drank) + F.count("*").over(w_deq) - 1)
-        .cast("long")
-        .alias("_q2"),
-    )
-
-    s = (
-        ranked.join(rng, "block")
-        .crossJoin(F.broadcast(kdf))
-        .select(
-            "treatment",
-            (
-                F.col("_q2").cast(_D0)
-                * (F.col("_r2").cast(_D0) - (F.col("_k") + 1).cast(_D0))
-            ).alias("_s4"),
+    # block range as a per-block window; its midrank among the
+    # n_blocks DISTINCT blocks via one representative row per block:
+    # #blocks with smaller range through an integer RANGE frame
+    # (_d is long, so range <= _d−1 is exactly "< _d"), ties through
+    # a per-range partition — 2·rank + ties − 1, the same doubled
+    # midrank the range-table window produced
+    kept = kept.withColumn(
+        "_d", (F.max("_v").over(w_b) - F.min("_v").over(w_b)).cast("long")
+    ).withColumn(
+        "_rep",
+        F.row_number().over(
+            Window.partitionBy("block").orderBy("treatment", "_v")
         )
+        == 1,
+    )
+    w_dlt = Window.orderBy("_d").rangeBetween(Window.unboundedPreceding, -1)
+    w_deq = Window.partitionBy("_d")
+    rep1 = F.when(F.col("_rep"), F.lit(1))
+    kept = kept.withColumn(
+        "_q2",
+        (
+            2 * (F.coalesce(F.sum(rep1).over(w_dlt), F.lit(0)) + 1)
+            + F.sum(rep1).over(w_deq)
+            - 1
+        ).cast("long"),
+    )
+
+    s = kept.select(
+        "treatment",
+        (
+            F.col("_q2").cast(_D0)
+            * (F.col("_r2").cast(_D0) - (F.col("_k") + 1).cast(_D0))
+        ).alias("_s4"),
     )
 
     grp = s.groupBy("treatment").agg(
@@ -994,11 +1040,15 @@ def quade(
         "_j", F.dense_rank().over(Window.orderBy("treatment")).cast("int")
     )
 
-    glob = grp.agg(
-        F.count("*").cast("int").alias("k"),
-        F.max("n_blocks").cast("long").alias("n"),
-        F.sum("_a16j").alias("_a16"),
-        F.sum(F.col("_s4s") * F.col("_s4s")).alias("_b16n"),
+    # k-row global reduces as windows over the k-row treatment table
+    w_glob = Window.partitionBy()
+    grp = (
+        grp.withColumn("k", F.count("*").over(w_glob).cast("int"))
+        .withColumn("n", F.max("n_blocks").over(w_glob).cast("long"))
+        .withColumn("_a16", F.sum("_a16j").over(w_glob))
+        .withColumn(
+            "_b16n", F.sum(F.col("_s4s") * F.col("_s4s")).over(w_glob)
+        )
     )
     den = F.col("n").cast(_D0) * F.col("_a16") - F.col("_b16n")
     f_stat = F.when(
@@ -1009,23 +1059,14 @@ def quade(
         * F.col("_b16n").cast("double")
         / den.cast("double"),
     )
-    glob = glob.select(
-        _floor_round(f_stat, 6).alias("f_stat"),
-        (F.col("k") - 1).cast("int").alias("df1"),
-        ((F.col("n") - 1) * (F.col("k") - 1)).cast("long").alias("df2"),
-        "k",
-        "n",
-    )
-
-    out = grp.crossJoin(F.broadcast(glob))
-    return out.select(
+    return grp.select(
         "treatment",
         F.col("_j").alias("j"),
         "n_blocks",
         F.col("_s4s").cast("long").alias("s4_sum"),
-        "f_stat",
-        "df1",
-        "df2",
+        _floor_round(f_stat, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        ((F.col("n") - 1) * (F.col("k") - 1)).cast("long").alias("df2"),
         "k",
         "n",
     )
