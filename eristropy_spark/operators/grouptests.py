@@ -176,22 +176,24 @@ def brown_forsythe(
     )
     lo_rank = F.floor((F.col("_n") + 1) / 2)
     hi_rank = F.floor(F.col("_n") / 2) + 1
-    med = ranked.groupBy("group").agg(
-        F.max("_n").alias("n"),
-        # cum is nondecreasing in v, so min(v : cum >= rank) is the
-        # order statistic; m2 = x_(lo) + x_(hi) = 2*median, exact
-        (
-            F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v"))).cast("long")
-            + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v"))).cast("long")
-        ).alias("_m2"),
-    )
-
-    z = cnt.join(F.broadcast(med), "group").withColumn(
+    # cum is nondecreasing in v, so min(v : cum >= rank) is the
+    # order statistic; m2 = x_(lo) + x_(hi) = 2*median, exact — as a
+    # window over the same group partition (no aggregate branch, no
+    # join back: the conover linearization)
+    z = ranked.withColumn(
+        "_m2",
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v")))
+        .over(w_tot)
+        .cast("long")
+        + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v")))
+        .over(w_tot)
+        .cast("long"),
+    ).withColumn(
         "_z2",
         F.abs(2 * F.col("_v").cast("long") - F.col("_m2")).cast("long"),
     )
     grp = z.groupBy("group").agg(
-        F.max("n").cast("long").alias("n"),
+        F.max("_n").cast("long").alias("n"),
         F.max("_m2").alias("_m2"),
         F.sum(F.col("_c").cast(_D0) * F.col("_z2").cast(_D0)).alias("_tj"),
         F.sum(
@@ -210,12 +212,13 @@ def brown_forsythe(
         / F.col("n").cast("double"),
         6,
     ).cast(_D6)
-    glob = grp.agg(
-        F.count("*").cast("int").alias("_k"),
-        F.sum("n").cast("long").alias("_nt"),
-        F.sum("_tj").alias("_g"),
-        F.sum(tb).alias("_ssb4"),
-        F.sum(tw).alias("_ssw4"),
+    w_glob = Window.partitionBy()
+    glob = (
+        grp.withColumn("_k", F.count("*").over(w_glob).cast("int"))
+        .withColumn("_nt", F.sum("n").over(w_glob).cast("long"))
+        .withColumn("_g", F.sum("_tj").over(w_glob))
+        .withColumn("_ssb4", F.sum(tb).over(w_glob))
+        .withColumn("_ssw4", F.sum(tw).over(w_glob))
     )
     ntd = F.col("_nt").cast("double")
     kd = F.col("_k").cast("double")
@@ -228,14 +231,7 @@ def brown_forsythe(
         & (F.col("_ssw4").cast("double") > F.lit(0.0)),
         (ntd - kd) / (kd - F.lit(1.0)) * ssb / F.col("_ssw4").cast("double"),
     )
-    glob = glob.select(
-        w_stat.alias("w_stat"),
-        (F.col("_k") - 1).cast("int").alias("df1"),
-        (F.col("_nt") - F.col("_k")).cast("long").alias("df2"),
-    )
-
-    out = grp.crossJoin(F.broadcast(glob))
-    return out.select(
+    return glob.select(
         "group",
         "n",
         (F.col("_m2").cast("double") / F.lit(2.0)).alias("median"),
@@ -243,9 +239,9 @@ def brown_forsythe(
             F.col("_tj").cast("double")
             / (F.lit(2.0) * F.col("n").cast("double"))
         ).alias("z_mean"),
-        "w_stat",
-        "df1",
-        "df2",
+        w_stat.alias("w_stat"),
+        (F.col("_k") - 1).cast("int").alias("df1"),
+        (F.col("_nt") - F.col("_k")).cast("long").alias("df2"),
     )
 
 
