@@ -1534,4 +1534,26 @@ def audit_checks(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
          and _py_node_count(p) == 0, p)
     )
 
+    # 74-80. k-sample family window linearization (round 6): every
+    # aggregate consumer rides the single census lineage as a window,
+    # so each plan is join-free and scans its input at most twice
+    # (the join-back forms re-executed the census per branch — up to
+    # 28 scans for quade)
+    for qname in (
+        "kruskal_wallis",
+        "brown_forsythe",
+        "mood_median",
+        "conover",
+        "friedman_page",
+        "cochran_q",
+        "quade",
+    ):
+        qdf = entrymod.queries()[qname](spark, sf_dir)
+        p = plan_of(qdf)
+        checks.append(
+            (f"{qname}: window-linearized census — join-free, "
+             "at most 2 scans",
+             "Join" not in p and p.count("Scan parquet") <= 2, p)
+        )
+
     return checks
