@@ -71,7 +71,10 @@ def tail_dependence(
                 + F.lit(0.5)).cast("long").alias("u")
     )
     # strict order statistic by rank: T = max(u over the lowest
-    # ceil(q*n/100) ranks); deterministic tiebreak on bucket
+    # ceil(q*n/100) ranks); deterministic tiebreak on bucket.  The
+    # threshold is a WINDOW over the same source partition (exact
+    # long max), not an aggregate joined back — the join-back form
+    # re-executed the bucket grid for the threshold branch
     w = Window.partitionBy("source").orderBy("u", "bucket")
     wfull = Window.partitionBy("source")
     ranked = grid.select(
@@ -80,10 +83,9 @@ def tail_dependence(
         F.count("*").over(wfull).alias("_ns"),
     )
     k = F.floor((F.lit(q) * F.col("_ns") + 99) / F.lit(100.0)).cast("long")
-    thr = ranked.groupBy("source").agg(
-        F.max(F.when(F.col("_rk") <= k, F.col("u"))).alias("_thr")
-    )
-    sg = grid.join(F.broadcast(thr), "source").select(
+    sg = ranked.withColumn(
+        "_thr", F.max(F.when(F.col("_rk") <= k, F.col("u"))).over(wfull)
+    ).select(
         "source", "bucket",
         F.when(F.col("u") > F.col("_thr"), 1).otherwise(0)
         .cast("long").alias("e"),
