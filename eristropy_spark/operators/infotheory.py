@@ -39,7 +39,7 @@ Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eristropy_spark.operators.changepoint import _floor_round
@@ -67,11 +67,13 @@ def _symbol_grid(
             * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("_u")
     )
-    stats = grid.groupBy("source").agg(
-        F.count("*").cast("long").alias("_nsrc"),
-        F.sum("_u").alias("_ssrc"),
-    )
-    return grid.join(F.broadcast(stats), "source").select(
+    # per-source count/sum as windows over the same source partition
+    # (exact longs — identical symbols), not an aggregate joined back,
+    # which re-executed the bucket grid for the stats branch
+    w_src = Window.partitionBy("source")
+    return grid.withColumn(
+        "_nsrc", F.count("*").over(w_src).cast("long")
+    ).withColumn("_ssrc", F.sum("_u").over(w_src)).select(
         "source",
         "bucket",
         F.when(F.col("_u") * F.col("_nsrc") > F.col("_ssrc"), 1)
