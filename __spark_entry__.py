@@ -11644,11 +11644,13 @@ def _q_bpe_encode(spark, sf_dir):
     from eristropy_spark.operators.bpe import encode_bpe, train_bpe
 
     docs = _docs(spark, sf_dir)
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in train_bpe(docs, n_merges=_BPE_MERGES).collect()
-    ]
-    enc = encode_bpe(docs, merges)
+    # keep the training chain's final word table: its rewrite is
+    # exactly the encode fold on the training corpus (the equivalence
+    # the oracle replays), so encode skips refolding every distinct
+    # word through the |merges|-deep interpreted chain
+    mdf, words = train_bpe(docs, n_merges=_BPE_MERGES, return_words=True)
+    merges = [(r["lhs"], r["rhs"]) for r in mdf.collect()]
+    enc = encode_bpe(docs, merges, words_syms=words)
     return enc.select(
         "doc_id",
         "n_words",

@@ -105,7 +105,8 @@ def train_bpe(
     text_col: str = "text",
     end_marker: str = END_MARKER,
     checkpoint_every: int = 3,
-) -> DataFrame:
+    return_words: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (rank, lhs, rhs, merged, pair_count) in learned order.
 
@@ -113,6 +114,14 @@ def train_bpe(
     ``pair_count`` is the corpus-wide frequency of the pair at the
     round it was chosen — the classic diagnostic column (a sharp drop
     marks where merges stop paying).
+
+    ``return_words=True`` additionally returns the FINAL rewritten
+    word table (word, cnt, syms) — the training rewrite applied merge
+    by merge, which is exactly ``encode_bpe``'s per-word fold on the
+    training corpus (the same equivalence the DuckDB oracle replays) —
+    pinned by one eager vocab-sized localCheckpoint so the frame is
+    self-contained after the loop's releases.  Caller-owned; blocks
+    are freed when the frame is GC'd.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -174,13 +183,26 @@ def train_bpe(
             else:
                 nxt, nxt_ck = nxt.persist(), False
             prev, (cur, cur_ck) = (cur, cur_ck), (nxt, nxt_ck)
+        if return_words:
+            # the final table has NOT been materialized yet (each
+            # table materializes under the NEXT round's collect, and
+            # there is none after the last round) and its lineage
+            # roots at localCheckpoints whose blocks the loop frees —
+            # so pin it NOW with one eager localCheckpoint (one cheap
+            # vocab-sized job) BEFORE the normal releases run; the
+            # returned frame is then self-contained (immune to cache
+            # clears), caller-owned, freed on GC
+            words_out = cur.localCheckpoint(eager=True)
     finally:
         _release(cur, cur_ck)
         if prev is not None:
             _release(*prev)
-    return spark.createDataFrame(
+    mdf = spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, pair_count long"
     )
+    if return_words:
+        return mdf, words_out
+    return mdf
 
 
 def encode_bpe(
@@ -190,6 +212,7 @@ def encode_bpe(
     text_col: str = "text",
     end_marker: str = END_MARKER,
     dedupe_words: bool = True,
+    words_syms: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, tokens) — documents encoded with a
     learned merge list (rank order = list order): each word restarts
@@ -234,12 +257,25 @@ def encode_bpe(
         F.col(id_col).alias("doc_id"),
         F.posexplode(words).alias("_wi", "_word"),
     )
-    syms0 = F.concat(F.split(F.col("_word"), ""), F.array(F.lit(end_marker)))
-    wtab = (
-        stream.select("_word")
-        .distinct()
-        .withColumn("_syms", _fold_merges(syms0, merges))
-    )
+    if words_syms is not None:
+        # the caller already holds the rewritten word table (e.g.
+        # train_bpe(return_words=True) on the SAME corpus and merge
+        # list): the training rewrite applied merge-by-merge IS the
+        # per-word fold below (the equivalence the DuckDB oracle
+        # replays), so skip refolding the |merges|-deep interpreted
+        # chain over every distinct word
+        wtab = words_syms.select(
+            F.col("word").alias("_word"), F.col("syms").alias("_syms")
+        )
+    else:
+        syms0 = F.concat(
+            F.split(F.col("_word"), ""), F.array(F.lit(end_marker))
+        )
+        wtab = (
+            stream.select("_word")
+            .distinct()
+            .withColumn("_syms", _fold_merges(syms0, merges))
+        )
     per_doc = (
         stream.join(wtab, "_word")
         .groupBy("doc_id")
